@@ -1,0 +1,111 @@
+"""Golden end-to-end tests for the batch topology (SURVEY (S)5 plan 1-3)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from nearscan_kafka_streams_spark.pipeline import run_batch
+from tests.fixtures_near import to_dataframes
+
+
+def _run(spark):
+    r, o, a, expected = to_dataframes(spark)
+    out = run_batch(r, o, a)
+    return out, expected
+
+
+def test_transfer_row_count(spark):
+    out, expected = _run(spark)
+    assert out.transfers.count() == expected["transfer_rows"]
+
+
+def test_transfer_schema(spark):
+    out, _ = _run(spark)
+    from nearscan_kafka_streams_spark.schemas import TOKEN_TRANSFER_SCHEMA
+
+    assert [f.name for f in out.transfers.schema.fields] == [
+        f.name for f in TOKEN_TRANSFER_SCHEMA.fields
+    ]
+
+
+def test_final_balances(spark):
+    out, expected = _run(spark)
+    got = {row["account"]: row["balance"] for row in out.balances.collect()}
+    assert got == expected["balances"]
+
+
+def test_tie_break_metadata_from_higher_index(spark):
+    # FIXTURES.md adversarial case 5: equal block_timestamp, metadata from
+    # the higher index_in_chunk (TokenBalance.java:304)
+    out, expected = _run(spark)
+    eve = out.balances.where("account = 'eve.near'").collect()[0]
+    assert eve["receipt_id"] == expected["eve_meta_receipt"]
+    assert eve["index_in_chunk"] == 9
+
+
+def test_latest_metadata_fields(spark):
+    out, _ = _run(spark)
+    # bob's latest transfer is r4 (withdraw at T0+30s)
+    bob = out.balances.where("account = 'bob.near'").collect()[0]
+    assert bob["receipt_id"] == "r4"
+    assert bob["block_hash"] == "block-r4"
+    assert bob["chunk_hash"] == "chunk-r4"
+    assert bob["transaction_hash"] == "tx-r4"
+
+
+def test_duplicates_do_not_change_output(spark):
+    # fixture already contains duplicated r3 rows; doubling them again
+    # must still not change anything
+    r, o, a, expected = to_dataframes(spark)
+    out = run_batch(r.union(r), o.union(o), a.union(a))
+    got = {row["account"]: row["balance"] for row in out.balances.collect()}
+    assert got == expected["balances"]
+    assert out.transfers.count() == expected["transfer_rows"]
+
+
+def test_failure_and_foreign_receiver_filtered(spark):
+    out, _ = _run(spark)
+    rows = out.transfers.select("receipt_id").collect()
+    ids = {r["receipt_id"] for r in rows}
+    assert "r6" not in ids  # FAILURE outcome
+    assert "r7" not in ids  # non-token receiver
+    assert "r8" not in ids  # join-window miss
+    assert "r12" not in ids  # unknown method
+    assert "r13" not in ids  # ft_transfer_call disabled
+    assert "r15" not in ids  # non-FUNCTION_CALL
+
+
+def test_self_transfer_nets_zero(spark):
+    out, _ = _run(spark)
+    grace = out.balances.where("account = 'grace.near'").collect()[0]
+    assert grace["balance"] == Decimal(0)
+    # two legs are still emitted
+    assert out.transfers.where("receipt_id = 'r14'").count() == 2
+
+
+def test_multi_action_receipt(spark):
+    out, _ = _run(spark)
+    assert out.transfers.where("receipt_id = 'r11'").count() == 2
+
+
+def test_sign_conventions(spark):
+    out, _ = _run(spark)
+    legs = {
+        (r["affected_reason"], r["affected_account"]): r["affected_amount"]
+        for r in out.transfers.where("receipt_id in ('r3','r4')").collect()
+    }
+    assert legs[("ft_transfer_from", "alice.near")] == Decimal(
+        "-2000000000000000000000000"
+    )
+    assert legs[("ft_transfer_to", "bob.near")] == Decimal("2000000000000000000000000")
+    assert legs[("withdraw", "bob.near")] == Decimal("-1000000000000000000000000")
+
+
+def test_transfer_from_to_fields(spark):
+    out, _ = _run(spark)
+    new_leg = out.transfers.where("receipt_id = 'r1'").collect()[0]
+    assert new_leg["transfer_from"] == "deployer.near"  # caller
+    assert new_leg["transfer_to"] == "madtest.testnet"
+    mint_leg = out.transfers.where("receipt_id = 'r2'").collect()[0]
+    assert mint_leg["transfer_from"] == "oct.beta_oct_relay.testnet"
+    assert mint_leg["transfer_to"] == "alice.near"

@@ -1,0 +1,55 @@
+"""Edge-case tests for transfer extraction (malformed args)."""
+
+from __future__ import annotations
+
+import json
+
+from nearscan_kafka_streams_spark.pipeline import run_batch
+from tests.fixtures_near import to_dataframes
+
+
+def _with_args(spark, a, receipt_id, new_args):
+    rows = [r.asDict() for r in a.collect()]
+    for r in rows:
+        if r["receipt_id"] == receipt_id:
+            r["args"] = new_args
+    return spark.createDataFrame(rows, a.schema)
+
+
+def test_malformed_json_emits_nothing(spark):
+    r, o, a, _ = to_dataframes(spark)
+    a2 = _with_args(spark, a, "r1", "{not valid json")
+    out = run_batch(r, o, a2)
+    assert out.transfers.where("receipt_id = 'r1'").count() == 0
+
+
+def test_missing_amount_field_emits_nothing(spark):
+    r, o, a, _ = to_dataframes(spark)
+    a2 = _with_args(
+        spark, a, "r2",
+        json.dumps({"method_name": "mint", "args_json": {"account_id": "x.near"}}),
+    )
+    out = run_batch(r, o, a2)
+    assert out.transfers.where("receipt_id = 'r2'").count() == 0
+
+
+def test_missing_account_field_emits_nothing(spark):
+    r, o, a, _ = to_dataframes(spark)
+    a2 = _with_args(
+        spark, a, "r2",
+        json.dumps({"method_name": "mint", "args_json": {"amount": "123"}}),
+    )
+    out = run_batch(r, o, a2)
+    assert out.transfers.where("receipt_id = 'r2'").count() == 0
+
+
+def test_non_numeric_amount_emits_nothing(spark):
+    r, o, a, _ = to_dataframes(spark)
+    a2 = _with_args(
+        spark, a, "r2",
+        json.dumps({"method_name": "mint",
+                    "args_json": {"account_id": "x.near", "amount": "not-a-number"}}),
+    )
+    out = run_batch(r, o, a2)
+    # cast('not-a-number' as decimal) -> null -> leg dropped
+    assert out.transfers.where("receipt_id = 'r2'").count() == 0
