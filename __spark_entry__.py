@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      -- flagship query smoke check on sf0.001.
+``queries``    -- the implemented operator inventory (SURVEY (S)2 +
+                  north-star training-data ops), one callable per query.
+``oracle_sql`` -- DuckDB-dialect oracle SQL per query (omitted for the
+                  genuinely non-SQL-expressible ops -> rows-only check).
+
+Implementations live in ``nearscan_kafka_streams_spark/queries.py``;
+the NEAR-domain topology itself (the reference's single hard-coded
+query) is exercised by ``tests/`` over FIXTURES.md fixtures and its
+operator shapes are each represented in the inventory below.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine settings to a driver-provided session (the driver
+    may build its own SparkSession; these are safe runtime confs)."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session -- already effective or N/A
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference-topology analog over the events table --
+    keyed running aggregate with latest-event metadata (A1 shape:
+    sum + max_by, TokenBalance.java:279-329) at sf0.001."""
+    from nearscan_kafka_streams_spark.queries import running_balance_events
+
+    _configure(spark)
+    return running_balance_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from nearscan_kafka_streams_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_configure(spark), sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nearscan_kafka_streams_spark.queries import ORACLES
+
+    return dict(ORACLES)

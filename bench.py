@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Headline set: the scan/join/agg core + one representative from each
+north-star family (text, dedup, ANN) -- the queries whose plans
+exercise every physical path (broadcast join, SMJ, hash agg, window,
+explode, higher-order functions, Pandas UDF).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "broadcast_dim_join",
+    "window_rank_orders",
+    "running_balance_events",
+    "interval_join_events",
+    "flatmap_legs_events",
+    "tumbling_window_events",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from nearscan_kafka_streams_spark.queries import QUERIES
+    from nearscan_kafka_streams_spark.session import get_spark
+
+    spark = get_spark(app_name="nearscan-bench")
+    # one warm-up touch so JVM/codegen startup is not attributed to q1
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        # materialize fully but keep results distributed (no driver pull)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

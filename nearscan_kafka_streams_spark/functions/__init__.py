@@ -1,0 +1,18 @@
+"""Column-expression libraries beyond the reference surface.
+
+The reference's scalar-function surface (SURVEY (S)2.6) is tiny --
+JSON access, decimal arithmetic, string equality -- and maps 1:1 to
+``pyspark.sql.functions``.  These modules add the large-scale
+training-data-pipeline operators the north star asks for:
+
+- ``text``       -- language id, quality scoring, token counting,
+                    document fingerprinting
+- ``dedup``      -- exact, MinHash+LSH, SimHash, n-gram Jaccard,
+                    embedding-cosine near-dup
+- ``similarity`` -- brute-force and LSH-bucketed cosine top-k ANN
+- ``multimodal`` -- opaque binary columns + typed metadata plumbing
+
+All hot paths are built-in column expressions (JVM-side, whole-stage
+codegen); Pandas UDFs appear only where array-heavy math is genuinely
+faster through Arrow.
+"""

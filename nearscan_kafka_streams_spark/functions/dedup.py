@@ -1,0 +1,280 @@
+"""Document deduplication family for training-data pipelines.
+
+Five strategies, all shuffle-frugal by construction:
+
+- exact            -- group by 64-bit content fingerprint (never shuffles
+                      full text, only the 8-byte hash + doc id)
+- MinHash + LSH    -- shingle -> minhash signature -> band buckets ->
+                      within-bucket candidate pairs (self-join on the
+                      band key, the classic MMDS ch.3 construction)
+- SimHash          -- 64-bit weighted-projection hash; near-dups differ
+                      in few bits; bucket by rotated prefixes
+- n-gram Jaccard   -- exact Jaccard on shingle sets for candidate pairs
+                      (the verifier stage after LSH)
+- embedding cosine -- near-dup via cosine over an embedding column
+                      (delegates to functions.similarity)
+
+Scale notes (100 TB): every strategy reduces each document to a small
+signature BEFORE any shuffle; candidate generation is an equi-join on
+bucket keys (hash-partitioned, AQE-skew-safe) rather than a cross
+join.  The only quadratic step is within-bucket pairing, bounded by
+band width.  No driver-side state, no collect.
+
+Hash determinism: xxhash64 with fixed per-permutation seeds -- results
+are reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nearscan_kafka_streams_spark.functions.text import fingerprint
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to core count ONLY when the scan is under-parallel
+    (a tiny test file arrives as one split; signature computation is the
+    CPU-heavy stage).  At scale the scan already yields many splits and
+    this is a no-op -- no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per distinct (normalized) text.
+
+    Returns (id, fingerprint, dup_count).  Only the fingerprint and id
+    shuffle; the text column is pruned before the exchange.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "fp", "dup_count")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Character n-gram shingle hashes of normalized text -> array<bigint>.
+
+    Hashing shingles immediately (xxhash64) keeps the per-doc working
+    set at 8 bytes/shingle regardless of document size.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # sliding window via sequence + substring: pure Catalyst, no UDF
+    idx = F.sequence(F.lit(1), F.greatest(F.length(normalized) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: normalized.substr(i, F.lit(n)))
+    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def minhash_signature(shingle_hashes: F.Column, num_hashes: int = 64) -> F.Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle_hash, i) -- a seeded-rehash family.
+
+    xxhash64 over (long, int literal) is a few JVM bitwise ops per
+    element inside codegen; an affine (a*h + b) mod p family needs
+    128-bit multiplication (decimal math) per element and benchmarks
+    orders of magnitude slower.
+    """
+
+    def _perm(i: int):
+        # closure factory: Spark inspects lambda arity, so no default args
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_hashes, _perm(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows/bands = 4 hashes per band -> candidate threshold s ~ (1/16)^(1/4)
+    ~ 0.5 Jaccard.  Output: (left_id, right_id, band) with left < right.
+
+    Plan shape: narrow signature computation -> explode to (band_key,
+    id) -> equi-self-join on band_key.  The join is the only shuffle;
+    its key space (band hash) is uniform by construction.
+    """
+    rows_per_band = num_hashes // bands
+    sig = _spread(df).select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bkey")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (the LSH verify stage).
+
+    Joins the shingle sets back to each side of the candidate pairs;
+    similarity = |A intersect B| / |A union B|.
+    """
+    sets_df = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(
+            sets_df.withColumnRenamed(id_col, "left_id").withColumnRenamed(
+                "sh", "sh_l"
+            ),
+            "left_id",
+        )
+        .join(
+            sets_df.withColumnRenamed(id_col, "right_id").withColumnRenamed(
+                "sh", "sh_r"
+            ),
+            "right_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_l", "sh_r"))
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+    return out
+
+
+def _simhash_kernel(hash_arrays: pd.Series) -> pd.Series:
+    out = np.zeros(len(hash_arrays), dtype=np.int64)
+    for row_i, arr in enumerate(hash_arrays):
+        if arr is None or len(arr) == 0:
+            continue
+        h = np.asarray(arr, dtype=np.uint64)
+        # bits: (len(h), 64) of 0/1 -> votes in {-1, +1}, summed per bit
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                fp |= np.uint64(1) << np.uint64(b)
+        out[row_i] = fp.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_from_shingles(shingle_hashes):
+    """64-bit SimHash from an array<bigint> of shingle hashes, as a
+    vectorized Pandas UDF.
+
+    Each shingle hash votes +1/-1 per bit; the sign of the per-bit sum
+    is the fingerprint bit.  Near-duplicate documents differ in few
+    bits (compare with bit_count(a XOR b)).
+
+    A pure-Catalyst formulation needs 64 array-aggregate expressions
+    per row (one per bit) -- measured orders of magnitude slower than
+    this numpy path (unpack bits of all shingles at once, sum columns).
+    Arrow batching keeps transfer cost at one array column per row.
+    """
+    # wrapped lazily: pandas_udf needs a live SparkSession to parse the
+    # return type, so it cannot run at module import
+    return F.pandas_udf(_simhash_kernel, "long")(shingle_hashes)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with prefix bucketing.
+
+    Buckets on 4 rotations of ``prefix_bits`` leading bits (pigeonhole:
+    any pair within hamming distance 3 shares at least one of 4
+    contiguous 16-bit blocks), then verifies hamming distance exactly.
+    """
+    sh = _spread(df).select(
+        F.col(id_col),
+        simhash_from_shingles(shingles(text_col)).alias("sh"),
+    )
+    blocks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("sh"), i * prefix_bits)
+                        .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                        .alias("bkey"),
+                    )
+                    for i in range(64 // prefix_bits)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", "bb.block", "bb.bkey")
+
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

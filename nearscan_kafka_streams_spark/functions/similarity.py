@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk`` -- exact cosine top-k: query set (small) is
+  BROADCAST against the corpus; per-row dot products run JVM-side via
+  higher-order functions (zip_with + aggregate).  The corpus is never
+  shuffled -- the only exchange is the final per-query top-k
+  aggregation on k rows per partition per query.
+- ``lsh_topk`` -- approximate: random-hyperplane signatures bucket the
+  corpus; queries probe their own bucket only.  Trades recall for a
+  candidate set ~corpus/2^bits per probe.  The scale path when the
+  query set is also huge.
+
+Scale notes (100 TB): brute force is O(|corpus| * |queries|) FLOPs but
+only O(|corpus|) I/O with the broadcast; use it when queries fit in
+executor memory (<~100 MB).  LSH cuts FLOPs by 2^bits at fixed recall;
+signatures are computed in one narrow pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two array<float/double> columns.
+
+    Pure Catalyst: zip_with for the elementwise product, aggregate for
+    the sums.  Double accumulators regardless of input float width.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast).  Self-matches
+    (same id) are excluded when the id columns share a namespace.
+    Output: (query_id, neighbor_id, cosine) -- k rows per query,
+    deterministic tie-break on neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+    scored = scored.withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec_col, bits: int = 8, dim: int = 64):
+    """Random-hyperplane LSH signature -> int bucket in [0, 2^bits).
+
+    Hyperplane h_b component j = deterministic pseudo-random +/-1 from
+    xxhash-style mixing of (b, j) -- reproducible across runs without
+    shipping a matrix.  sign(dot(v, h_b)) contributes bit b.
+    """
+    def _signed_product(b: int):
+        # closure factory (Spark inspects lambda arity -- no default args):
+        # elementwise +/-1 derived from a deterministic integer mix of (b, j)
+        return lambda v, j: v.cast("double") * (
+            F.when(
+                F.pmod(
+                    F.xxhash64(j.cast("long") * F.lit(64) + F.lit(b)), F.lit(2)
+                )
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        )
+
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.sequence(F.lit(0), F.lit(dim - 1)), _signed_product(b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own hyperplane bucket.
+
+    Candidate set shrinks ~2^bits-fold; recall depends on bucket
+    granularity.  Bucket assignment is a narrow map; the probe is an
+    equi-join on the bucket key (hash-partitioned, no broadcast needed
+    even for huge query sets).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        hyperplane_signature(F.col(vec_col), bits, dim).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        hyperplane_signature(F.col(vec_col), bits, dim).alias("_bucket"),
+    )
+    cand = c.join(q, "_bucket").where(F.col("neighbor_id") != F.col(query_id_col))
+    scored = cand.withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -113,26 +113,43 @@ def join_receipts_outcomes_actions_stream(
     columns; event_time columns are derived here from the block
     timestamps.  Watermarks bound the buffered join state.
     """
-    r = with_event_time(
-        _select(receipts, _RECEIPT_COLS), "included_in_block_timestamp", "r_et"
-    ).withWatermark("r_et", watermark)
-    o = with_event_time(
-        _select(outcomes, ["receipt_id", *_OUTCOME_COLS]),
-        "executed_in_block_timestamp",
-        "o_et",
-    ).withWatermark("o_et", watermark)
-    a = (
-        with_event_time(
-            _select(
-                actions,
-                ["receipt_id", "receipt_included_in_block_timestamp", *_ACTION_COLS],
-            ),
-            "receipt_included_in_block_timestamp",
-            "a_et",
+    # Each input carries exactly one watermark definition: if the caller
+    # already derived + watermarked the et column (e.g. upstream
+    # dropDuplicatesWithinWatermark -- redefining a watermark is
+    # disallowed), reuse it; otherwise derive and watermark here.
+    if "r_et" in receipts.columns:
+        r = _select(receipts, [*_RECEIPT_COLS, "r_et"])
+    else:
+        r = with_event_time(
+            _select(receipts, _RECEIPT_COLS), "included_in_block_timestamp", "r_et"
+        ).withWatermark("r_et", watermark)
+    if "o_et" in outcomes.columns:
+        o = _select(outcomes, ["receipt_id", *_OUTCOME_COLS, "o_et"])
+    else:
+        o = with_event_time(
+            _select(outcomes, ["receipt_id", *_OUTCOME_COLS]),
+            "executed_in_block_timestamp",
+            "o_et",
+        ).withWatermark("o_et", watermark)
+    if "a_et" in actions.columns:
+        a = _select(actions, ["receipt_id", *_ACTION_COLS, "a_et"])
+    else:
+        a = (
+            with_event_time(
+                _select(
+                    actions,
+                    [
+                        "receipt_id",
+                        "receipt_included_in_block_timestamp",
+                        *_ACTION_COLS,
+                    ],
+                ),
+                "receipt_included_in_block_timestamp",
+                "a_et",
+            )
+            .drop("receipt_included_in_block_timestamp")
+            .withWatermark("a_et", watermark)
         )
-        .drop("receipt_included_in_block_timestamp")
-        .withWatermark("a_et", watermark)
-    )
 
     ro = r.alias("r").join(
         o.alias("o"),

@@ -1,0 +1,922 @@
+"""Driver-facing query inventory (SURVEY (S)2 + north-star operators).
+
+Each entry is a (spark, sf_dir) -> DataFrame callable paired with an
+ANSI-SQL oracle string runnable by DuckDB over the same parquet tables
+(pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Conventions for oracle hash-matching:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- double aggregates are rounded to a fixed precision on BOTH sides
+  (ulp-level summation-order differences otherwise break the hash);
+- deterministic tie-breaks on every top-k / window ordering;
+- cross-engine hashes (fingerprints) use md5, which both engines
+  implement identically; engine-internal dedup keeps xxhash64.
+
+Queries whose operators are genuinely not SQL-expressible (MinHash-LSH,
+SimHash, hyperplane-LSH ANN, mapInPandas decode) have no oracle entry;
+the driver records a weaker rows-only check for them (per contract).
+
+Reference parity notes are in each docstring; the NEAR-domain topology
+itself (TokenBalance.java) is exercised by tests/ over FIXTURES.md
+fixtures since the driver tables are TPC-H-shaped, while its operator
+shapes (dedup / interval join / as-of / flat-map explode / sum+max_by
+running aggregate) are each expressed below over the events table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nearscan_kafka_streams_spark.functions.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from nearscan_kafka_streams_spark.functions.multimodal import (
+    decode_media,
+    make_fake_media,
+    sample_frames,
+)
+from nearscan_kafka_streams_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from nearscan_kafka_streams_spark.functions.text import (
+    LANG_STOPWORDS,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): read as long ns (session sets
+    # spark.sql.legacy.parquet.nanosAsLong) and truncate to us -- exactly
+    # what DuckDB does when it casts its TIMESTAMP_NS to TIMESTAMP
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division (div), not /: double division loses ns precision
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational core (free via Spark SQL; declared for the t2 gate)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filter + groupBy aggregation.
+
+    Scale: partial aggregation map-side; only 4 groups shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 6)                                            AS avg_qty,
+       round(avg(l_extendedprice), 6)                                       AS avg_price,
+       round(avg(l_discount), 6)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10.
+
+    Scale: customer filter before join (Catalyst pushes it); orders and
+    lineitem join on their natural keys; only 10 rows leave."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through both dimension chains.
+
+    region/nation broadcast; customer-supplier same-nation predicate."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension broadcast join: customers per region."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+BROADCAST_DIM_SQL = """
+SELECT r_name, count(*) AS customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def filter_project_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown + column-pruning shape: 2-column projection
+    with a pushable filter; .explain shows PushedFilters + ReadSchema."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_quantity")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit top-k with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: rank orders per customer by totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-user previous event value (lag)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT user_id, event_id,
+       round(lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC), 2) AS prev_value
+FROM events
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: UNION / EXCEPT over key sets."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return building.union(rich).distinct().exceptAll(
+        c.where(F.col("c_nationkey") == 0).select("c_custkey")
+    )
+
+
+SET_OPS_SQL = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_nationkey = 0
+"""
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over the region > nation hierarchy."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference-topology operator shapes over the events stream table
+# (T1 dedup, J1/J2 interval join, as-of join, U1 flat-map, A1 sum+max_by)
+# --------------------------------------------------------------------------
+
+
+def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 shape (batch oracle semantics): distinct projection.
+
+    Reference: dedup transformer TokenBalance.java:369-427."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").distinct()
+
+
+DEDUP_EVENTS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 shape: keyed interval join -- for each error event, the
+    purchase events of the same user within +/-30 minutes.
+
+    Reference: JoinWindows.of(2000ms) on receipt_id
+    (TokenBalance.java:116-122); key = user_id, tolerance widened to
+    match the testdata's event density.  Scale: equi-key part shuffles
+    hash(user_id); the time predicate prunes within groups (and bounds
+    stream-stream join state in the streaming variant)."""
+    e = _t(spark, sf_dir, "events")
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pur_ts")
+    )
+    return (
+        err.join(pur, "user_id")
+        .where(
+            (F.col("pur_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select("user_id", "error_id", "purchase_id")
+    )
+
+
+INTERVAL_JOIN_SQL = """
+SELECT e.user_id AS user_id, e.event_id AS error_id, p.event_id AS purchase_id
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND p.ts BETWEEN e.ts - INTERVAL 30 MINUTE AND e.ts + INTERVAL 30 MINUTE
+"""
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent prior
+    signup (if any).  Spark lacks a native as-of operator; composition:
+    range join + max_by per left row -- no driver loop, one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pur_ts")
+    )
+    sign = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("sign_ts")
+    )
+    joined = pur.join(sign, "user_id").where(F.col("sign_ts") <= F.col("pur_ts"))
+    return (
+        joined.groupBy("user_id", "purchase_id")
+        .agg(
+            F.max_by(
+                "signup_id",
+                F.struct(F.col("sign_ts").alias("ts"), F.col("signup_id").alias("id")),
+            ).alias("last_signup_id")
+        )
+        .select("user_id", "purchase_id", "last_signup_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT user_id, purchase_id, last_signup_id FROM (
+  SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+         s.event_id AS last_signup_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY s.ts DESC, s.event_id DESC) AS rn
+  FROM events p JOIN events s
+    ON p.user_id = s.user_id
+   AND p.event_type = 'purchase' AND s.event_type = 'signup'
+   AND s.ts <= p.ts
+) WHERE rn = 1
+"""
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 shape: JSON field extraction + aggregation.
+
+    Reference: Gson args decode (TokenBalance.java:153-155)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def flatmap_legs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 shape: per-row CASE -> array<struct> -> explode (0/1/2 rows).
+
+    purchase -> debit+credit legs; signup -> one zero 'welcome' leg;
+    other types -> nothing.  Reference: flatMapValues switch
+    (TokenBalance.java:152-270).  Oracle uses the equivalent UNION ALL."""
+    e = _t(spark, sf_dir, "events")
+    leg_type = (
+        "struct<account:bigint,amount:double,reason:string>"
+    )
+    legs = F.when(
+        F.col("event_type") == "purchase",
+        F.array(
+            F.struct(
+                F.col("user_id").alias("account"),
+                (-F.round(F.col("value"), 2)).alias("amount"),
+                F.lit("purchase_debit").alias("reason"),
+            ),
+            F.struct(
+                F.lit(-1).cast("bigint").alias("account"),
+                F.round(F.col("value"), 2).alias("amount"),
+                F.lit("purchase_credit").alias("reason"),
+            ),
+        ),
+    ).when(
+        F.col("event_type") == "signup",
+        F.array(
+            F.struct(
+                F.col("user_id").alias("account"),
+                F.lit(0.0).alias("amount"),
+                F.lit("welcome").alias("reason"),
+            )
+        ),
+    ).otherwise(F.expr(f"CAST(array() AS array<{leg_type}>)"))
+    return (
+        e.withColumn("_legs", legs)
+        .select("event_id", F.explode("_legs").alias("_leg"))
+        .select(
+            "event_id",
+            F.col("_leg.account").alias("account"),
+            F.col("_leg.amount").alias("amount"),
+            F.col("_leg.reason").alias("reason"),
+        )
+    )
+
+
+FLATMAP_SQL = """
+SELECT event_id, user_id AS account, -round(value, 2) AS amount,
+       'purchase_debit' AS reason
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, -1 AS account, round(value, 2) AS amount,
+       'purchase_credit' AS reason
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id AS account, 0.0 AS amount, 'welcome' AS reason
+FROM events WHERE event_type = 'signup'
+"""
+
+
+def running_balance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 shape: keyed sum + latest-event metadata via max_by on a
+    composite (ts, id) ordering -- the token_balance aggregation
+    (TokenBalance.java:279-329) over the events table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max_by(
+                "event_id",
+                F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")),
+            ).alias("latest_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+RUNNING_BALANCE_SQL = """
+WITH agg AS (
+  SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+  FROM events GROUP BY user_id
+), latest AS (
+  SELECT user_id, event_id AS latest_event_id
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT a.user_id AS user_id, a.total_value, l.latest_event_id, a.n_events
+FROM agg a JOIN latest l ON a.user_id = l.user_id
+"""
+
+
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style tumbling window aggregation (batch form):
+    events per (1-hour window, event_type).  In streaming this is the
+    same expression over readStream with a watermark."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: text analysis
+# --------------------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/punct/stopword factors)."""
+    d = _t(spark, sf_dir, "documents")
+    # +1e-9 before rounding: the score is built from small rational
+    # fractions (n/500, k/64) that can land EXACTLY on a 6-decimal
+    # half-point, where Spark (BigDecimal HALF_UP on the shortest
+    # string repr) and DuckDB (binary) round differently; the epsilon
+    # pushes both engines off the boundary in the same direction
+    return d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")) + F.lit(1e-9), 6).alias("quality"),
+    )
+
+
+_SW_EN = "('the','and','of','to','is')"
+QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) END AS punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, n_tok, punct,
+         CASE WHEN n_tok = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x IN {_SW_EN}))
+                   / CAST(n_tok AS DOUBLE) END AS swr
+  FROM t
+)
+SELECT doc_id,
+       round(0.4 * least(1.0, length(text) / 500.0)
+           + 0.3 * (1.0 - punct)
+           + 0.3 * least(1.0, swr * 5.0) + 0.000000001, 6) AS quality
+FROM s
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language id per document."""
+    from nearscan_kafka_streams_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        rf"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        rf" x -> x IN ({words})))"
+    )
+
+
+LANG_ID_SQL = rf"""
+WITH h AS (
+  SELECT doc_id,
+         {_lang_hits_sql('en')} AS en, {_lang_hits_sql('de')} AS de,
+         {_lang_hits_sql('fr')} AS fr, {_lang_hits_sql('es')} AS es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+            WHEN en = greatest(en, de, fr, es) THEN 'en'
+            WHEN de = greatest(en, de, fr, es) THEN 'de'
+            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-checkable content fingerprint: md5 of
+    whitespace-normalized lowercase text.  (Engine-internal dedup uses
+    xxhash64 -- 8-byte shuffle keys -- functions/text.fingerprint.)"""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: deduplication family
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content key: keep min doc_id, count dups.
+
+    Shuffle carries only (16-byte md5, id) -- text pruned pre-exchange."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select(F.md5(norm).alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "dup_count")
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (no SQL oracle: xxhash64 signatures).
+
+    Driver records rows-only; exactness is pinned by tests/ against a
+    brute-force Jaccard oracle on small data."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d).orderBy("left_id", "right_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard >= 0.5."""
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d)
+    return ngram_jaccard_pairs(d, cands).select(
+        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 3."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d)
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.40
+) -> DataFrame:
+    """Near-dup by embedding cosine: bucketed self-join via hyperplane
+    LSH (functions.similarity), verified exactly.
+
+    Production near-dup uses ~0.95; this synthetic corpus's max
+    pairwise cosine is ~0.48, so the inventory entry runs at 0.40 to
+    exercise real output (threshold is a parameter)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        cosine_expr,
+        hyperplane_signature,
+    )
+
+    sig = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        hyperplane_signature(F.col("embedding"), bits=4, dim=64).alias("_b"),
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._b") == F.col("r._b"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .withColumn("cosine", cosine_expr(F.col("l.embedding"), F.col("r.embedding")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("l.vec_id").alias("left_id"),
+            F.col("r.vec_id").alias("right_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: similarity search
+# --------------------------------------------------------------------------
+
+
+def ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors as queries
+    (broadcast queries, corpus never shuffles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ANN_BRUTEFORCE_SQL = """
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via hyperplane-LSH bucketing (rows-only check;
+    recall vs brute force is pinned in tests/)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = lsh_topk(emb, queries, k=5, bits=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + JVM-side metadata (sha256, byte length)."""
+    d = _t(spark, sf_dir, "documents")
+    media = make_fake_media(d)
+    return media.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.sha_hex").alias("sha_hex"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha_hex
+FROM documents
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (deterministic fake kernel;
+    rows-only check -- the kernel is a stub by design)."""
+    d = _t(spark, sf_dir, "documents")
+    media = make_fake_media(d)
+    return decode_media(media).select(
+        "media_id", "width", "height", "n_bytes", F.round("feature", 6).alias("feature")
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explode: one row per 1024-byte 'frame'."""
+    d = _t(spark, sf_dir, "documents")
+    media = make_fake_media(d)
+    return sample_frames(media, every_n_bytes=1024)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       unnest(generate_series(0,
+         greatest(CAST(floor(octet_length(encode(text)) / 1024.0) AS INT), 1) - 1
+       )) AS frame_index
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "broadcast_dim_join": broadcast_dim_join,
+    "filter_project_scan": filter_project_scan,
+    "topk_orders": topk_orders,
+    "window_rank_orders": window_rank_orders,
+    "window_lag_events": window_lag_events,
+    "set_ops_customers": set_ops_customers,
+    "rollup_region_nation": rollup_region_nation,
+    "dedup_events": dedup_events,
+    "interval_join_events": interval_join_events,
+    "asof_join_events": asof_join_events,
+    "json_extract_events": json_extract_events,
+    "flatmap_legs_events": flatmap_legs_events,
+    "running_balance_events": running_balance_events,
+    "tumbling_window_events": tumbling_window_events,
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_bruteforce_cosine": ann_bruteforce_cosine,
+    "ann_lsh_cosine": ann_lsh_cosine,
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "broadcast_dim_join": BROADCAST_DIM_SQL,
+    "filter_project_scan": FILTER_PROJECT_SQL,
+    "topk_orders": TOPK_SQL,
+    "window_rank_orders": WINDOW_RANK_SQL,
+    "window_lag_events": WINDOW_LAG_SQL,
+    "set_ops_customers": SET_OPS_SQL,
+    "rollup_region_nation": ROLLUP_SQL,
+    "dedup_events": DEDUP_EVENTS_SQL,
+    "interval_join_events": INTERVAL_JOIN_SQL,
+    "asof_join_events": ASOF_JOIN_SQL,
+    "json_extract_events": JSON_EXTRACT_SQL,
+    "flatmap_legs_events": FLATMAP_SQL,
+    "running_balance_events": RUNNING_BALANCE_SQL,
+    "tumbling_window_events": TUMBLING_SQL,
+    "text_token_count": TOKEN_COUNT_SQL,
+    "text_quality_score": QUALITY_SQL,
+    "text_lang_id": LANG_ID_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+    "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "ann_bruteforce_cosine": ANN_BRUTEFORCE_SQL,
+    "multimodal_metadata": MULTIMODAL_META_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    # no oracle (rows-only, by design): dedup_minhash_lsh,
+    # dedup_ngram_jaccard, dedup_simhash, dedup_embedding_cosine,
+    # ann_lsh_cosine, multimodal_decode
+}

@@ -1,0 +1,56 @@
+"""S3/S4: Kafka sinks.
+
+Reference: ``.to(topic, Produced.with(String, SpecificAvro))`` --
+append stream for ``token_transfer`` (TokenBalance.java:274-276, via a
+1-partition repartition topic for global order, :275) and the
+update-per-key changelog for ``token_balance`` (:331-333; downstream
+UPSERTed into Postgres on pk ``account``, README.md:273-297).
+
+Spark mapping: ``writeStream.format("kafka")`` with
+- append mode + ``repartition(1)`` for the transfer stream (T3 parity:
+  global ordering; at scale you would drop this, exactly like the
+  reference would need >1 partition to scale -- it is a semantic
+  choice, not an engine limit);
+- update mode for the balance changelog (consumers treat it as keyed
+  upserts -- same contract as the reference's sink connector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_topic_stream(
+    df: DataFrame,
+    topic: str,
+    key_col: str,
+    checkpoint: str,
+    bootstrap: str = "localhost:9092",
+    output_mode: str = "append",
+    single_partition: bool = False,
+    trigger_interval: str | None = None,
+    kafka_options: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """Serialize rows as (key, JSON value) and write to a Kafka topic."""
+    out = df
+    if single_partition:
+        # T3: global ordering of transfers (TokenBalance.java:275)
+        out = out.repartition(1)
+    payload = out.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in out.columns])).alias("value"),
+    )
+    writer = (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    for k, v in (kafka_options or {}).items():
+        writer = writer.option(k, v)
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

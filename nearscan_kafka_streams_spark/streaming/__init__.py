@@ -1,0 +1,6 @@
+from nearscan_kafka_streams_spark.streaming.pipeline import (
+    build_streaming_transfers,
+    run_fixture_pipeline,
+)
+
+__all__ = ["build_streaming_transfers", "run_fixture_pipeline"]

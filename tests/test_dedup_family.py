@@ -1,0 +1,108 @@
+"""Correctness tests for the dedup family on handcrafted corpora
+with known duplicate structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nearscan_kafka_streams_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+# deliberately structured corpus: 0/1 identical mod whitespace+case,
+# 2 a near-dup of 0 (one word changed), 3/4 unrelated, 5 empty
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog and runs far away home"),
+    (1, "the  QUICK brown fox jumps over the lazy dog and runs far away home"),
+    (2, "The quick brown fox jumps over the lazy cat and runs far away home"),
+    (3, "Completely different subject matter entirely unrelated to animals"),
+    (4, "Numerical tables of integrals series and products reference volume"),
+    (5, ""),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_collapses_normalized_equal(spark):
+    out = exact_dedup(_df(spark)).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[0] == 2  # docs 0 and 1 collapse (case+whitespace)
+    assert 1 not in by_id  # 1 absorbed into 0
+    assert by_id[2] == 1
+    assert len(out) == 5  # 6 docs -> 5 distinct
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_candidates(_df(spark)).collect()
+    }
+    assert (0, 1) in pairs  # identical post-normalization
+    assert (0, 2) in pairs  # one-word change, jaccard >> 0.5
+    assert (3, 4) not in pairs  # unrelated
+
+
+def test_ngram_jaccard_verifies(spark):
+    df = _df(spark)
+    cands = minhash_lsh_candidates(df)
+    verified = ngram_jaccard_pairs(df, cands, threshold=0.5).collect()
+    sims = {(r["left_id"], r["right_id"]): r["jaccard"] for r in verified}
+    assert sims[(0, 1)] == 1.0  # identical shingle sets
+    assert 0.5 <= sims[(0, 2)] < 1.0
+    assert (3, 4) not in sims
+
+
+def test_simhash_near_dups_close(spark):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in simhash_pairs(_df(spark), max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical normalized text
+    assert (0, 2) in pairs  # few bits apart
+    assert (3, 4) not in pairs
+
+
+def test_minhash_deterministic_across_partitionings(spark):
+    df1 = _df(spark).repartition(1)
+    df8 = _df(spark).repartition(8)
+    p1 = sorted(
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_candidates(df1).collect()
+    )
+    p8 = sorted(
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_candidates(df8).collect()
+    )
+    assert p1 == p8
+
+
+def test_lsh_agrees_with_bruteforce_jaccard(spark):
+    """Every pair with true Jaccard >= 0.7 must be an LSH candidate
+    (16 bands x 4 rows: P(miss at s=0.7) = (1-0.7^4)^16 ~ 0.9%)."""
+    from nearscan_kafka_streams_spark.functions.dedup import shingles
+
+    df = _df(spark)
+    sh = df.select("doc_id", shingles("text").alias("sh"))
+    l = sh.withColumnRenamed("doc_id", "left_id").withColumnRenamed("sh", "sh_l")
+    r = sh.withColumnRenamed("doc_id", "right_id").withColumnRenamed("sh", "sh_r")
+    truth = (
+        l.crossJoin(r)
+        .where(F.col("left_id") < F.col("right_id"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sh_l", "sh_r"))
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .where(F.col("j") >= 0.7)
+    )
+    true_pairs = {(r["left_id"], r["right_id"]) for r in truth.collect()}
+    lsh_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_candidates(df).collect()
+    }
+    assert true_pairs <= lsh_pairs

@@ -1,0 +1,93 @@
+"""Similarity-search tests: exactness of brute force, recall of LSH."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from nearscan_kafka_streams_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+def _vectors(n=200, dim=16, clusters=5, seed=7):
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(clusters)]
+    rows = []
+    for i in range(n):
+        c = centers[i % clusters]
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_bruteforce_matches_python_oracle(spark):
+    rows = _vectors()
+    df = _df(spark, rows)
+    queries = df.where("vec_id < 5")
+    got = brute_force_topk(df, queries, k=3).collect()
+
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"])
+        )
+    vecs = dict(rows)
+    for qid, neighbors in by_query.items():
+        scored = sorted(
+            ((_cosine(vecs[qid], v), -i) for i, v in vecs.items() if i != qid),
+            reverse=True,
+        )
+        expect = [(-negid) for _, negid in scored[:3]]
+        got_ids = [nid for _, nid, _ in sorted(neighbors)]
+        assert got_ids == expect, f"query {qid}"
+        assert len(neighbors) == 3
+
+
+def test_bruteforce_cosine_values(spark):
+    rows = _vectors(n=50)
+    df = _df(spark, rows)
+    got = brute_force_topk(df, df.where("vec_id = 0"), k=1).collect()[0]
+    vecs = dict(rows)
+    expect = max(
+        (_cosine(vecs[0], v), i) for i, v in vecs.items() if i != 0
+    )
+    assert got["neighbor_id"] == expect[1]
+    assert abs(got["cosine"] - expect[0]) < 1e-9
+
+
+def test_lsh_recall_on_clustered_data(spark):
+    """Clustered vectors: same-cluster neighbors are near-identical
+    directions, so the bucketed search must recover most of the true
+    top-k (recall >= 0.6 with 4 bits on 5 well-separated clusters)."""
+    rows = _vectors(n=200, dim=16, clusters=5)
+    df = _df(spark, rows)
+    queries = df.where("vec_id < 10")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5, query_id_col="query_id").collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(df, queries, k=5, bits=4, dim=16).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_lsh_deterministic(spark):
+    rows = _vectors(n=100, dim=16)
+    df = _df(spark, rows)
+    q = df.where("vec_id < 5")
+    a = sorted(map(tuple, lsh_topk(df, q, k=3, bits=4, dim=16).collect()))
+    b = sorted(map(tuple, lsh_topk(df, q, k=3, bits=4, dim=16).collect()))
+    assert a == b

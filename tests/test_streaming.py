@@ -1,0 +1,77 @@
+"""Streaming-shell tests: multi-micro-batch replay over file streams
+(SURVEY (S)5 plan 2).  Verifies the streaming topology (watermarked
+dedup -> chained stream-stream interval joins -> extraction) produces
+the same transfers and final balances as the batch pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from nearscan_kafka_streams_spark.pipeline import run_batch
+from nearscan_kafka_streams_spark.streaming.pipeline import run_fixture_pipeline
+from tests.fixtures_near import build_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    """Write each input as MULTIPLE json files (out-of-order batches,
+    duplicates in later files) to force multi-micro-batch replay."""
+    root = tmp_path_factory.mktemp("stream_fixture")
+    receipts, outcomes, actions, expected = build_fixture()
+
+    def dump(rows, sub, n_files=3):
+        d = root / sub
+        d.mkdir()
+        # reverse order: later blocks arrive first -> exercises
+        # out-of-order handling (FIXTURES.md adversarial case 6)
+        rows = list(reversed(rows))
+        chunk = max(1, len(rows) // n_files)
+        for i in range(0, len(rows), chunk):
+            with open(d / f"part-{i:04d}.json", "w") as f:
+                for row in rows[i : i + chunk]:
+                    f.write(json.dumps({k: str(v) if k.endswith("timestamp") or k in
+                                        ("included_in_block_timestamp",
+                                         "executed_in_block_timestamp",
+                                         "receipt_included_in_block_timestamp",
+                                         "gas_burnt", "tokens_burnt", "shard_id")
+                                        else v
+                                        for k, v in row.items()}) + "\n")
+        return d
+
+    dump(receipts, "receipts")
+    dump(outcomes, "outcomes")
+    dump(actions, "actions")
+    return root, expected
+
+
+def test_streaming_matches_batch(spark, fixture_dir, tmp_path):
+    root, expected = fixture_dir
+    out_dir = str(tmp_path / "out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    balances = run_fixture_pipeline(spark, str(root), out_dir)
+    got = {r["account"]: r["balance"] for r in balances.collect()}
+    assert got == expected["balances"]
+
+    transfers = spark.read.parquet(f"{out_dir}/token_transfer")
+    assert transfers.count() == expected["transfer_rows"]
+
+
+def test_streaming_equals_batch_pipeline(spark, fixture_dir, tmp_path):
+    """Field-level equality of streaming vs batch final balances."""
+    from tests.fixtures_near import to_dataframes
+
+    root, _ = fixture_dir
+    out_dir = str(tmp_path / "out2")
+    streaming_balances = run_fixture_pipeline(spark, str(root), out_dir)
+
+    r, o, a, _ = to_dataframes(spark)
+    batch_balances = run_batch(r, o, a).balances
+
+    s_rows = {tuple(r) for r in streaming_balances.collect()}
+    b_rows = {tuple(r) for r in batch_balances.collect()}
+    assert s_rows == b_rows
