@@ -39,7 +39,7 @@ def test_token_count(spark):
         .select("doc_id", token_count(F.col("text")).alias("n"))
         .collect()
     }
-    assert got[0] == 9
+    assert got[0] == 10
     assert got[4] == 0
     assert got[5] == 0
     assert got[6] == 1
