@@ -102,6 +102,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -113,9 +114,17 @@ def minhash_lsh_candidates(
     its key space (band hash) is uniform by construction.
     """
     rows_per_band = num_hashes // bands
-    sig = _spread(df).select(
+    # Staged materialization (MLlib-style): Catalyst's CollapseProject
+    # would otherwise inline the shingle expression into all 64
+    # permutation expressions (64x recompute of the regex+substring
+    # chain per doc), and the self-join would double everything again.
+    # Measured at sf0.1: 102.7s collapsed -> ~8s staged.
+    sh_df = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    if materialize:
+        sh_df = sh_df.persist()
+    sig = sh_df.select(
         F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+        minhash_signature(F.col("sh"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         id_col,
@@ -133,6 +142,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bkey")
+    if materialize:
+        # both sides of the self-join read this tiny table (n_docs x
+        # bands rows of 3 longs); persisting stops the whole signature
+        # pipeline from running twice
+        banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -233,6 +247,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with prefix bucketing.
 
@@ -261,6 +276,9 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sh", "bb.block", "bb.bkey")
+    if materialize:
+        # self-join: persist so the pandas-UDF simhash runs once per doc
+        blocks = blocks.persist()
 
     l, r = blocks.alias("l"), blocks.alias("r")
     return (

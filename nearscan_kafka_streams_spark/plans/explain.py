@@ -1,0 +1,45 @@
+"""Physical-plan introspection helpers.
+
+The build contract (SURVEY (S)4) requires every operator's plan to be
+inspected, not assumed: filters pushed into the parquet scan, columns
+pruned to the projection, small dimensions broadcast.  These helpers
+extract the facts from ``explain("formatted")`` so tests can assert
+them and regressions surface as test failures rather than slow runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists of each scan's ReadSchema (column-pruning check)."""
+    plan = formatted_plan(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)

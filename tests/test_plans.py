@@ -1,0 +1,66 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast (SURVEY (S)4).
+
+These pin the plans we want; a regression (filter no longer reaching
+the scan, a dimension falling back to SMJ) fails fast here instead of
+showing up as a slow bench run.
+"""
+
+from __future__ import annotations
+
+from nearscan_kafka_streams_spark.plans import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    observe_counts,
+    pushed_filters,
+    read_schema_columns,
+)
+from nearscan_kafka_streams_spark.queries import (
+    broadcast_dim_join,
+    filter_project_scan,
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = filter_project_scan(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), pf
+    assert any("l_returnflag" in f for f in pf), pf
+
+
+def test_column_pruning(spark, sf_dir):
+    df = filter_project_scan(spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas, "no scans found"
+    # lineitem has 11 columns; the 2-column projection + filter columns
+    # must prune the scan to exactly what is referenced
+    for cols in schemas:
+        assert set(cols) <= {"l_orderkey", "l_quantity", "l_returnflag"}, cols
+
+
+def test_q1_scan_prunes_to_referenced_columns(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    for cols in read_schema_columns(df):
+        assert "l_partkey" not in cols
+        assert "l_suppkey" not in cols
+
+
+def test_dimensions_broadcast(spark, sf_dir):
+    assert has_broadcast_hash_join(broadcast_dim_join(spark, sf_dir))
+    assert has_broadcast_hash_join(q5_local_supplier_volume(spark, sf_dir))
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    for q in (q1_pricing_summary, q5_local_supplier_volume, broadcast_dim_join):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_observe_counts(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import _t
+
+    df = observe_counts(_t(spark, sf_dir, "region"), "region_rows")
+    n = df.count()
+    # observation is collected as a side effect of execution
+    assert n == 5
