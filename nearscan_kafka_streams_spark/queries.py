@@ -336,6 +336,111 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins: customers with orders but without
+    any high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    has_order = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    big = o.where(F.col("o_totalprice") > 400000)
+    return has_order.join(
+        big, has_order.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def exists_subquery_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (SQL text interface -- the engine
+    accepts full Spark SQL; this entry exercises spark.sql())."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier_v s
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        """
+    )
+
+
+EXISTS_SQL = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+"""
+
+
+def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + exact median (percentile) per order status."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, hour-of-day)."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_type", F.hour("ts").alias("hod"), "value")
+    return base.cube("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+CUBE_SQL = """
+SELECT event_type, hod, count(*) AS n, round(sum(value), 2) AS total
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hod, value FROM events)
+GROUP BY CUBE (event_type, hod)
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) -- batch form of the custom
+    stateful operator (operators/sessionize.py; streaming variant uses
+    applyInPandasWithState, exercised in tests/)."""
+    from nearscan_kafka_streams_spark.operators.sessionize import sessionize_batch
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize_batch(e, key_col="user_id", ts_col="ts", gap_minutes=30)
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts ASC) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), seq AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
 # --------------------------------------------------------------------------
 # Reference-topology operator shapes over the events stream table
 # (T1 dedup, J1/J2 interval join, as-of join, U1 flat-map, A1 sum+max_by)
@@ -867,6 +972,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lag_events": window_lag_events,
     "set_ops_customers": set_ops_customers,
     "rollup_region_nation": rollup_region_nation,
+    "semi_anti_join_customers": semi_anti_join_customers,
+    "exists_subquery_suppliers": exists_subquery_suppliers,
+    "distinct_agg_orders": distinct_agg_orders,
+    "cube_events": cube_events,
+    "sessionize_events": sessionize_events,
     "dedup_events": dedup_events,
     "interval_join_events": interval_join_events,
     "asof_join_events": asof_join_events,
@@ -901,6 +1011,11 @@ ORACLES: dict[str, str] = {
     "window_lag_events": WINDOW_LAG_SQL,
     "set_ops_customers": SET_OPS_SQL,
     "rollup_region_nation": ROLLUP_SQL,
+    "semi_anti_join_customers": SEMI_ANTI_SQL,
+    "exists_subquery_suppliers": EXISTS_SQL,
+    "distinct_agg_orders": DISTINCT_AGG_SQL,
+    "cube_events": CUBE_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
     "dedup_events": DEDUP_EVENTS_SQL,
     "interval_join_events": INTERVAL_JOIN_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
