@@ -57,6 +57,19 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # flagship: the reference's own topology end-to-end (dedup -> 3-way
+    # join -> JSON flat-map -> balance agg) over generated NEAR-shaped
+    # input scaled to the sf (sf0.1 -> 200k receipts + 5% duplicates)
+    from nearscan_kafka_streams_spark.pipeline import run_batch
+    from nearscan_kafka_streams_spark.testgen import generate_near_tables
+
+    n_receipts = max(int(2_000_000 * float(sf)), 1000)
+    r, o, a = generate_near_tables(spark, n_receipts)
+    t0 = time.perf_counter()
+    out = run_batch(r, o, a)
+    out.balances.write.format("noop").mode("overwrite").save()
+    timings["token_pipeline"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -670,6 +670,96 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: date parts, string ops, conditional --
+    the F1-F8 families (SURVEY (S)2.6) over one projection."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.upper("event_type").alias("etype_upper"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias(
+            "etype_user"
+        ),
+        F.substring("event_type", 1, 3).alias("etype3"),
+        F.length("props").alias("props_len"),
+        F.when(F.col("value") > 100, F.lit("high"))
+        .when(F.col("value") > 10, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("value_band"),
+        F.round(F.abs(-F.col("value")), 2).alias("abs_value"),
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("none")).alias(
+            "fallback"
+        ),
+    )
+
+
+SCALAR_FN_SQL = """
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       upper(event_type) AS etype_upper,
+       concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS etype_user,
+       substring(event_type, 1, 3) AS etype3,
+       CAST(length(props) AS INT) AS props_len,
+       CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid'
+            ELSE 'low' END AS value_band,
+       round(abs(-value), 2) AS abs_value,
+       coalesce(json_extract_string(props, '$.missing'), 'none') AS fallback
+FROM events
+"""
+
+
+def array_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions: collect + sort + size + element access
+    (deterministic: collect_list order is pinned by array_sort)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("event_type")).alias("types"))
+        .select(
+            "user_id",
+            F.size("types").alias("n"),
+            F.element_at("types", 1).alias("first_type"),
+            F.array_distinct("types").alias("distinct_types"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "first_type",
+            F.size("distinct_types").alias("n_distinct"),
+            F.array_join("distinct_types", ",").alias("distinct_csv"),
+        )
+    )
+
+
+ARRAY_AGG_SQL = """
+WITH t AS (
+  SELECT user_id, list_sort(list(event_type)) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(types) AS INT) AS n, types[1] AS first_type,
+       CAST(len(list_distinct(types)) AS INT) AS n_distinct,
+       array_to_string(list_sort(list_distinct(types)), ',') AS distinct_csv
+FROM t
+"""
+
+
+def approx_sketches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL distinct + quantile sketch (no
+    oracle: sketch estimates are algorithm-specific; accuracy vs exact
+    is pinned in tests/)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: text analysis
 # --------------------------------------------------------------------------
@@ -977,6 +1067,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg_orders": distinct_agg_orders,
     "cube_events": cube_events,
     "sessionize_events": sessionize_events,
+    "scalar_functions_events": scalar_functions_events,
+    "array_agg_events": array_agg_events,
+    "approx_sketches_events": approx_sketches_events,
     "dedup_events": dedup_events,
     "interval_join_events": interval_join_events,
     "asof_join_events": asof_join_events,
@@ -1016,6 +1109,10 @@ ORACLES: dict[str, str] = {
     "distinct_agg_orders": DISTINCT_AGG_SQL,
     "cube_events": CUBE_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "scalar_functions_events": SCALAR_FN_SQL,
+    "array_agg_events": ARRAY_AGG_SQL,
+    # approx_sketches_events: no oracle (sketch estimates are
+    # algorithm-specific; accuracy pinned in tests/)
     "dedup_events": DEDUP_EVENTS_SQL,
     "interval_join_events": INTERVAL_JOIN_SQL,
     "asof_join_events": ASOF_JOIN_SQL,

@@ -1,0 +1,61 @@
+"""Approx-sketch accuracy, reset utility, Kafka-absence behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nearscan_kafka_streams_spark.queries import _t, approx_sketches_events
+from nearscan_kafka_streams_spark.streaming.reset import reset_pipeline
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    approx = {
+        r["event_type"]: r for r in approx_sketches_events(spark, sf_dir).collect()
+    }
+    e = _t(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for etype, row in exact.items():
+        rel = abs(approx[etype]["approx_users"] - row["users"]) / max(row["users"], 1)
+        assert rel <= 0.1, (etype, approx[etype]["approx_users"], row["users"])
+        # percentile_approx default accuracy: within the value spread
+        assert abs(approx[etype]["approx_median"] - row["median"]) <= max(
+            abs(row["median"]) * 0.25, 5.0
+        )
+
+
+def test_reset_pipeline(tmp_path):
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    ckpt.mkdir()
+    out.mkdir()
+    (ckpt / "offsets").mkdir()
+    removed = reset_pipeline(str(ckpt), [str(out)])
+    assert set(removed) == {str(ckpt), str(out)}
+    assert not ckpt.exists() and not out.exists()
+    # reset of a never-run pipeline is a no-op
+    assert reset_pipeline(str(ckpt)) == []
+
+
+def test_kafka_source_reports_missing_connector(spark):
+    """This container has no kafka connector jar; the source must fail
+    with the standard actionable Spark error (deploy instructions), not
+    something opaque from our wrapper."""
+    from nearscan_kafka_streams_spark.schemas import RECEIPTS_SCHEMA
+    from nearscan_kafka_streams_spark.sources.kafka import read_topic_stream
+
+    with pytest.raises(Exception, match="kafka"):
+        read_topic_stream(
+            spark,
+            "near.indexer.receipts",
+            RECEIPTS_SCHEMA,
+            "included_in_block_timestamp",
+        )
