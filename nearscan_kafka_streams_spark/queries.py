@@ -48,9 +48,7 @@ from nearscan_kafka_streams_spark.functions.similarity import (
 )
 from nearscan_kafka_streams_spark.functions.text import (
     LANG_STOPWORDS,
-    punct_ratio,
     quality_score,
-    stopword_ratio,
     token_count,
 )
 

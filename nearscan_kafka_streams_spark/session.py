@@ -43,6 +43,14 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
         # default; read as long ns and convert explicitly (queries._t)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state store: the reference's dedup/join/KTable state is
+        # RocksDB-backed (TokenBalance.java:87-89); Spark's provider
+        # keeps large streaming state off-heap and incremental-checkpoints
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

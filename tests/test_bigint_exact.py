@@ -3,8 +3,6 @@ decimal(38,0) (SURVEY (S)7.4.1 optional exact mode)."""
 
 from __future__ import annotations
 
-from decimal import Decimal
-
 from nearscan_kafka_streams_spark.functions.bigint import token_balances_exact
 from nearscan_kafka_streams_spark.operators.balance import token_balances
 from nearscan_kafka_streams_spark.schemas import TOKEN_TRANSFER_SCHEMA
