@@ -33,6 +33,31 @@ from pyspark.sql import functions as F
 
 from nearscan_kafka_streams_spark.functions.text import fingerprint
 
+# persisted intermediates (staged LSH materialization); the producing
+# functions return lazy DataFrames over them so they cannot unpersist
+# eagerly -- callers release executor memory with release_cached() once
+# results are consumed (bench.py does this between queries)
+_CACHED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _CACHED.append(out)
+    return out
+
+
+def release_cached() -> int:
+    """Unpersist every tracked LSH intermediate; returns count released."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to core count ONLY when the scan is under-parallel
     (a tiny test file arrives as one split; signature computation is the
@@ -103,8 +128,13 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     materialize: bool = True,
-) -> DataFrame:
+    return_shingles: bool = False,
+):
     """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    ``return_shingles=True`` returns ``(pairs, shingle_df)`` so a verify
+    stage (ngram_jaccard_pairs) can reuse the persisted shingle sets
+    instead of recomputing the CPU-heaviest stage of the whole family.
 
     rows/bands = 4 hashes per band -> candidate threshold s ~ (1/16)^(1/4)
     ~ 0.5 Jaccard.  Output: (left_id, right_id, band) with left < right.
@@ -121,7 +151,7 @@ def minhash_lsh_candidates(
     # Measured at sf0.1: 102.7s collapsed -> ~8s staged.
     sh_df = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     if materialize:
-        sh_df = sh_df.persist()
+        sh_df = _persist_tracked(sh_df)
     sig = sh_df.select(
         F.col(id_col),
         minhash_signature(F.col("sh"), num_hashes).alias("sig"),
@@ -146,7 +176,7 @@ def minhash_lsh_candidates(
         # both sides of the self-join read this tiny table (n_docs x
         # bands rows of 3 longs); persisting stops the whole signature
         # pipeline from running twice
-        banded = banded.persist()
+        banded = _persist_tracked(banded)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -163,6 +193,8 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    if return_shingles:
+        return pairs, sh_df
     return pairs
 
 
@@ -173,14 +205,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (the LSH verify stage).
 
     Joins the shingle sets back to each side of the candidate pairs;
-    similarity = |A intersect B| / |A union B|.
+    similarity = |A intersect B| / |A union B|.  Pass ``shingle_df``
+    (id_col, "sh") -- e.g. from ``minhash_lsh_candidates(...,
+    return_shingles=True)`` -- to reuse already-computed sets.
     """
-    sets_df = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    sets_df = (
+        shingle_df
+        if shingle_df is not None
+        else df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     )
     out = (
         candidates.join(
@@ -278,7 +315,7 @@ def simhash_pairs(
     ).select(id_col, "sh", "bb.block", "bb.bkey")
     if materialize:
         # self-join: persist so the pandas-UDF simhash runs once per doc
-        blocks = blocks.persist()
+        blocks = _persist_tracked(blocks)
 
     l, r = blocks.alias("l"), blocks.alias("r")
     return (

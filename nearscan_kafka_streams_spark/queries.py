@@ -901,10 +901,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard >= 0.5."""
+    """LSH candidates verified by exact n-gram Jaccard >= 0.5; the
+    verify stage reuses the candidate stage's persisted shingle sets."""
     d = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(d)
-    return ngram_jaccard_pairs(d, cands).select(
+    cands, sh_df = minhash_lsh_candidates(d, return_shingles=True)
+    return ngram_jaccard_pairs(d, cands, shingle_df=sh_df).select(
         "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
     )
 

@@ -39,6 +39,8 @@ def foreach_batch_upsert(
     changed key per batch; ``order_cols`` guards the general case."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         if merge_fn is not None:
             merge_fn(batch_df, batch_id)
             return
@@ -51,11 +53,30 @@ def foreach_batch_upsert(
             keys = batch.select(key_col).distinct()
             kept = current.join(keys, key_col, "left_anti")
             merged = kept.unionByName(batch)
-        except Exception:  # first batch: target does not exist yet
+        except AnalysisException as e:
+            # ONLY the missing-target (first batch) case may fall back to
+            # batch-only state; any other failure must surface, not
+            # silently truncate the accumulated store
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             merged = batch
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        # stage-then-swap: `merged` reads from target_path, so an in-place
+        # overwrite could recompute from already-deleted files on executor
+        # loss; materialize fully to a staging dir first
+        staging = f"{target_path}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+        _rmtree_if_local(staging)
 
     return _upsert
+
+
+def _rmtree_if_local(path: str) -> None:
+    """Best-effort staging cleanup (local filesystems; object stores can
+    rely on lifecycle rules or the next batch's overwrite)."""
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    if p.exists():
+        shutil.rmtree(p, ignore_errors=True)

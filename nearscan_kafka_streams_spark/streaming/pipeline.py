@@ -113,13 +113,21 @@ def run_fixture_pipeline(
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination(600)
+    if not q1.awaitTermination(600):
+        q1.stop()
+        raise TimeoutError(
+            "transfer replay did not finish within 600s; bridge is partial"
+        )
 
     # half 2: the balance aggregation over the bridged transfer store.
     # In production this is a second streaming query in update mode with
     # a foreachBatch upsert (sinks/upsert.py); over a bounded replay the
     # final state equals the batch aggregate of the bridge contents.
-    transfers_batch = spark.read.schema(
-        spark.read.parquet(transfer_path).schema
-    ).parquet(transfer_path)
+    # Explicit schema: a zero-transfer replay leaves no part files to
+    # infer from, and must yield empty balances rather than an error.
+    from nearscan_kafka_streams_spark.schemas import TOKEN_TRANSFER_SCHEMA
+
+    transfers_batch = spark.read.schema(TOKEN_TRANSFER_SCHEMA).parquet(
+        transfer_path
+    )
     return token_balances(transfers_batch)
