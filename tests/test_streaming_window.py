@@ -1,0 +1,69 @@
+"""Streaming tumbling-window aggregation with watermark (the batch
+form is the oracle-checked tumbling_window_events query; this pins the
+streaming path: window state, late-data drop, append emission)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, T0 + dt.timedelta(minutes=3 * i), i % 5, "click", float(i))
+        )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    pdf = df.toPandas()
+    pdf.iloc[:20].to_json(src / "a.json", orient="records", lines=True,
+                          date_format="iso")
+    pdf.iloc[20:].to_json(src / "b.json", orient="records", lines=True,
+                          date_format="iso")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["window_start"]: (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+
+    expect = {
+        r["window_start"]: (r["n"], r["total"])
+        for r in df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+        .collect()
+    }
+    # append mode emits only windows finalized by the watermark; the
+    # 40th event is at minute 117, watermark 10 min -> the first window
+    # (0:00) is final; every emitted window must match batch exactly
+    assert got, "no windows emitted"
+    for w, (n, total) in got.items():
+        assert expect[w] == (n, total)
