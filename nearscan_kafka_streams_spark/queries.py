@@ -985,6 +985,19 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
 """
 
 
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF cells (KMeans-partitioned corpus,
+    3-probe; rows-only check -- recall vs brute force pinned in tests)."""
+    from nearscan_kafka_streams_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via hyperplane-LSH bucketing (rows-only check;
     recall vs brute force is pinned in tests/)."""
@@ -1087,6 +1100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_bruteforce_cosine": ann_bruteforce_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "ann_ivf_cosine": ann_ivf_cosine,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,

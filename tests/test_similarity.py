@@ -84,6 +84,37 @@ def test_lsh_recall_on_clustered_data(spark):
     assert recall >= 0.6, f"recall {recall}"
 
 
+def test_ivf_recall_beats_or_matches_lsh(spark):
+    """IVF cells adapt to the cluster structure; recall on clustered
+    data must be high (>= 0.8 with 8 cells / 3 probes on 5 clusters)."""
+    from nearscan_kafka_streams_spark.functions.similarity import ivf_topk
+
+    rows = _vectors(n=200, dim=16, clusters=5)
+    df = _df(spark, rows)
+    queries = df.where("vec_id < 10")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, queries, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    recall = len(truth & ivf) / len(truth)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_ivf_deterministic(spark):
+    from nearscan_kafka_streams_spark.functions.similarity import ivf_topk
+
+    rows = _vectors(n=100, dim=16)
+    df = _df(spark, rows)
+    q = df.where("vec_id < 5")
+    a = sorted(map(tuple, ivf_topk(df, q, k=3, n_clusters=8).collect()))
+    b = sorted(map(tuple, ivf_topk(df, q, k=3, n_clusters=8).collect()))
+    assert a == b
+
+
 def test_lsh_deterministic(spark):
     rows = _vectors(n=100, dim=16)
     df = _df(spark, rows)
