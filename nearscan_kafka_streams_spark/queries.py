@@ -334,6 +334,32 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING with a correlated-average comparison: customers
+    whose total order value exceeds 1.5x the overall average customer
+    total (scalar subquery shape, TPC-H Q22 flavor)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    avg_total = per_cust.agg(F.avg("total").alias("a"))
+    return (
+        per_cust.crossJoin(F.broadcast(avg_total))
+        .where(F.col("total") > F.lit(1.5) * F.col("a"))
+        .select("o_custkey", "total")
+    )
+
+
+HAVING_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total FROM per_cust
+WHERE total > 1.5 * (SELECT avg(total) FROM per_cust)
+"""
+
+
 def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins: customers with orders but without
     any high-value order."""
@@ -1074,6 +1100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lag_events": window_lag_events,
     "set_ops_customers": set_ops_customers,
     "rollup_region_nation": rollup_region_nation,
+    "having_big_customers": having_big_customers,
     "semi_anti_join_customers": semi_anti_join_customers,
     "exists_subquery_suppliers": exists_subquery_suppliers,
     "distinct_agg_orders": distinct_agg_orders,
@@ -1117,6 +1144,7 @@ ORACLES: dict[str, str] = {
     "window_lag_events": WINDOW_LAG_SQL,
     "set_ops_customers": SET_OPS_SQL,
     "rollup_region_nation": ROLLUP_SQL,
+    "having_big_customers": HAVING_SQL,
     "semi_anti_join_customers": SEMI_ANTI_SQL,
     "exists_subquery_suppliers": EXISTS_SQL,
     "distinct_agg_orders": DISTINCT_AGG_SQL,
