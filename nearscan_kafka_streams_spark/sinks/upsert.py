@@ -1,20 +1,44 @@
-"""Keyed upsert sink via foreachBatch.
+"""Keyed upsert sink via foreachBatch, backed by a hash-bucketed store.
 
 The reference delegates idempotence to a Postgres sink connector with
 ``insert.mode=UPSERT, pk.fields=account`` (README.md:273-297).  Spark
 equivalent: ``foreachBatch`` that merges each micro-batch into a keyed
-store.  The default store here is a parquet directory keyed by
-``key_col`` (last writer wins per key) -- swap ``merge_fn`` for JDBC
-``MERGE`` in a live deployment.
+store.
+
+Store design (scale + crash-safety):
+
+* Rows are hash-bucketed on ``key_col`` (``pmod(xxhash64(key), B)``).
+  Each micro-batch rewrites ONLY the buckets containing batch keys --
+  per-batch cost is O(touched buckets), not O(total state), so a
+  500 ms-cadence changelog over millions of accounts stays bounded.
+* Each rewrite lands in a fresh generation directory
+  (``gen-<batch>-<nonce>/_bucket=N/``); a JSON manifest maps bucket ->
+  generation and is swapped atomically (tmp + ``os.replace``).  A crash
+  at ANY point leaves the previous manifest -- and therefore the
+  previous fully-consistent store -- intact; retried batches re-merge
+  idempotently (last-writer-wins per key).
+* Unreferenced generations are garbage-collected best-effort after the
+  swap.
+
+For transactional table formats or RDBMS targets, pass ``merge_fn``
+(e.g. :func:`duckdb_merge_fn` mirrors the reference's JDBC UPSERT).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_MANIFEST = "_MANIFEST.json"
+_BUCKET = "_bucket"
 
 
 def dedupe_latest(df: DataFrame, key_col: str, order_cols: list[str]) -> DataFrame:
@@ -27,20 +51,75 @@ def dedupe_latest(df: DataFrame, key_col: str, order_cols: list[str]) -> DataFra
     )
 
 
+def _bucket_expr(key_col: str, num_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+def _load_manifest(path: str) -> dict | None:
+    p = Path(path) / _MANIFEST
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def _swap_manifest(path: str, manifest: dict) -> None:
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / f"{_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}"
+    tmp.write_text(json.dumps(manifest, sort_keys=True))
+    os.replace(tmp, root / _MANIFEST)  # atomic on POSIX
+
+
+def _gc_generations(path: str, manifest: dict) -> None:
+    """Best-effort removal of generation dirs no manifest entry references
+    (superseded generations and partially-written retries)."""
+    live = set(manifest["buckets"].values())
+    root = Path(path)
+    for child in root.iterdir():
+        if child.is_dir() and child.name.startswith("gen-") and child.name not in live:
+            shutil.rmtree(child, ignore_errors=True)
+
+
+def bucket_paths(path: str, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+    entries = manifest["buckets"]
+    if buckets is None:
+        keys = entries.keys()
+    else:
+        keys = [str(b) for b in buckets if str(b) in entries]
+    return [f"{path}/{entries[k]}/{_BUCKET}={k}" for k in keys]
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current consistent view of a bucketed upsert store."""
+    manifest = _load_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no upsert store at {path} (missing {_MANIFEST})")
+    paths = bucket_paths(path, manifest)
+    if not paths:
+        raise FileNotFoundError(f"upsert store at {path} has no buckets")
+    return spark.read.parquet(*paths)
+
+
 def foreach_batch_upsert(
     key_col: str,
     target_path: str,
     order_cols: list[str] | None = None,
     merge_fn: Callable[[DataFrame, int], None] | None = None,
+    num_buckets: int = 64,
 ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch function performing keyed upserts.
 
     Update-mode streaming aggregations already emit one latest row per
-    changed key per batch; ``order_cols`` guards the general case."""
+    changed key per batch; ``order_cols`` guards the general case.
+
+    ``num_buckets`` sizes the store partitioning: pick ~ total_rows /
+    target_rows_per_file at deployment scale (the first batch pins it;
+    later calls reuse the manifest's value).  The per-batch driver
+    collect is the distinct bucket id list -- bounded by num_buckets,
+    never by data.
+    """
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         if merge_fn is not None:
             merge_fn(batch_df, batch_id)
             return
@@ -48,35 +127,94 @@ def foreach_batch_upsert(
         batch = (
             dedupe_latest(batch_df, key_col, order_cols) if order_cols else batch_df
         )
-        try:
-            current = spark.read.parquet(target_path)
-            keys = batch.select(key_col).distinct()
-            kept = current.join(keys, key_col, "left_anti")
-            merged = kept.unionByName(batch)
-        except AnalysisException as e:
-            # ONLY the missing-target (first batch) case may fall back to
-            # batch-only state; any other failure must surface, not
-            # silently truncate the accumulated store
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
+
+        manifest = _load_manifest(target_path)
+        buckets = manifest["num_buckets"] if manifest else num_buckets
+        batch = batch.withColumn(_BUCKET, _bucket_expr(key_col, buckets))
+        affected = sorted(
+            r[0] for r in batch.select(_BUCKET).distinct().collect()
+        )
+        if not affected:  # empty micro-batch: nothing to do
+            return
+
+        old_paths = bucket_paths(target_path, manifest, affected) if manifest else []
+        if old_paths:
+            current = spark.read.parquet(*old_paths).withColumn(
+                _BUCKET, _bucket_expr(key_col, buckets)
+            )
+            # batch keys are small vs accumulated state: broadcast the
+            # anti-join so touched buckets stream past without a shuffle
+            keys = F.broadcast(batch.select(key_col).distinct())
+            merged = current.join(keys, key_col, "left_anti").unionByName(batch)
+        else:
             merged = batch
-        # stage-then-swap: `merged` reads from target_path, so an in-place
-        # overwrite could recompute from already-deleted files on executor
-        # loss; materialize fully to a staging dir first
-        staging = f"{target_path}.staging-{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
-        _rmtree_if_local(staging)
+
+        gen = f"gen-{batch_id:010d}-{uuid.uuid4().hex[:8]}"
+        (
+            merged.repartition(len(affected), _BUCKET)
+            .write.partitionBy(_BUCKET)
+            .mode("errorifexists")
+            .parquet(f"{target_path}/{gen}")
+        )
+
+        new_manifest = {
+            "num_buckets": buckets,
+            "key_col": key_col,
+            "buckets": dict(manifest["buckets"]) if manifest else {},
+        }
+        for b in affected:
+            new_manifest["buckets"][str(b)] = gen
+        _swap_manifest(target_path, new_manifest)
+        _gc_generations(target_path, new_manifest)
 
     return _upsert
 
 
-def _rmtree_if_local(path: str) -> None:
-    """Best-effort staging cleanup (local filesystems; object stores can
-    rely on lifecycle rules or the next batch's overwrite)."""
-    import shutil
-    from pathlib import Path
+def duckdb_merge_fn(
+    db_path: str,
+    table: str,
+    key_col: str,
+    order_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Reference ``merge_fn``: true SQL UPSERT into a DuckDB table,
+    mirroring the reference's JDBC sink connector contract
+    (README.md:289-292 -- ``insert.mode=UPSERT, pk.fields=account``).
 
-    p = Path(path)
-    if p.exists():
-        shutil.rmtree(p, ignore_errors=True)
+    Collects each micro-batch through Arrow on the driver -- correct for
+    changelog batches (bounded by keys changed per trigger), the same
+    shape the reference's connector consumes from the compacted topic.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import duckdb
+
+        batch = (
+            dedupe_latest(batch_df, key_col, order_cols)
+            if order_cols
+            else batch_df
+        )
+        pdf = batch.toPandas()
+        con = duckdb.connect(db_path)
+        try:
+            con.register("_batch", pdf)
+            cols = ", ".join(f'"{c}"' for c in pdf.columns)
+            updates = ", ".join(
+                f'"{c}" = excluded."{c}"' for c in pdf.columns if c != key_col
+            )
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{table}" AS '
+                f"SELECT * FROM _batch LIMIT 0"
+            )
+            # pk constraint may not exist on CTAS tables; emulate UPSERT
+            # atomically: delete-then-insert inside one transaction
+            con.execute("BEGIN")
+            con.execute(
+                f'DELETE FROM "{table}" WHERE "{key_col}" IN '
+                f'(SELECT "{key_col}" FROM _batch)'
+            )
+            con.execute(f'INSERT INTO "{table}" SELECT {cols} FROM _batch')
+            con.execute("COMMIT")
+        finally:
+            con.close()
+
+    return _merge

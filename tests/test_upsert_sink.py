@@ -4,12 +4,21 @@ Postgres-connector UPSERT behavior, README.md:273-297)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import json
+from pathlib import Path
 
 from nearscan_kafka_streams_spark.sinks.upsert import (
     dedupe_latest,
+    duckdb_merge_fn,
     foreach_batch_upsert,
+    read_store,
 )
+
+
+def _final(spark, target):
+    return {
+        r["account"]: r["balance"] for r in read_store(spark, target).collect()
+    }
 
 
 def test_foreach_batch_upsert_keyed_state(spark, tmp_path):
@@ -32,10 +41,7 @@ def test_foreach_batch_upsert_keyed_state(spark, tmp_path):
     for i, b in enumerate([b0, b1, b2]):
         upsert(b, i)
 
-    final = {
-        r["account"]: r["balance"] for r in spark.read.parquet(target).collect()
-    }
-    assert final == {"a": 15, "b": 9, "c": 1}
+    assert _final(spark, target) == {"a": 15, "b": 9, "c": 1}
 
 
 def test_upsert_within_batch_dedupe(spark, tmp_path):
@@ -46,10 +52,88 @@ def test_upsert_within_batch_dedupe(spark, tmp_path):
         [("a", 1, 1), ("a", 7, 2), ("b", 3, 1)], ["account", "balance", "ts"]
     )
     upsert(batch, 0)
-    final = {
-        r["account"]: r["balance"] for r in spark.read.parquet(target).collect()
-    }
-    assert final == {"a": 7, "b": 3}
+    assert _final(spark, target) == {"a": 7, "b": 3}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100x-scale property: a batch touching one key rewrites only
+    the bucket holding it; every other bucket keeps its old generation
+    directory untouched (per-batch cost is O(touched), not O(store))."""
+    target = str(tmp_path / "balances3")
+    upsert = foreach_batch_upsert("account", target, num_buckets=16)
+
+    seed = spark.createDataFrame(
+        [(f"acct-{i}", i, 0) for i in range(64)],
+        ["account", "balance", "ts"],
+    )
+    upsert(seed, 0)
+    m0 = json.loads((Path(target) / "_MANIFEST.json").read_text())
+    assert m0["num_buckets"] == 16
+    assert len(m0["buckets"]) > 1  # 64 keys spread over several buckets
+
+    upsert(
+        spark.createDataFrame([("acct-0", 999, 1)], ["account", "balance", "ts"]),
+        1,
+    )
+    m1 = json.loads((Path(target) / "_MANIFEST.json").read_text())
+
+    changed = [b for b in m0["buckets"] if m0["buckets"][b] != m1["buckets"][b]]
+    assert len(changed) == 1  # exactly the bucket containing acct-0
+    unchanged = [b for b in m0["buckets"] if b not in changed]
+    assert unchanged and all(m1["buckets"][b] == m0["buckets"][b] for b in unchanged)
+    # superseded generation of the touched bucket was garbage-collected,
+    # generations still referenced survive
+    live = set(m1["buckets"].values())
+    on_disk = {p.name for p in Path(target).iterdir() if p.name.startswith("gen-")}
+    assert on_disk == live
+
+    final = _final(spark, target)
+    assert final["acct-0"] == 999 and final["acct-1"] == 1 and len(final) == 64
+
+
+def test_upsert_crash_between_write_and_swap_preserves_store(spark, tmp_path):
+    """A generation dir written without a manifest swap (crash window)
+    must not corrupt reads, and a retry of the batch must converge."""
+    target = str(tmp_path / "balances4")
+    upsert = foreach_batch_upsert("account", target)
+    upsert(spark.createDataFrame([("a", 1, 0)], ["account", "balance", "ts"]), 0)
+
+    # simulate a crash: orphan generation exists, manifest still old
+    orphan = Path(target) / "gen-0000000001-deadbeef" / "_bucket=3"
+    orphan.mkdir(parents=True)
+    assert _final(spark, target) == {"a": 1}  # reads ignore the orphan
+
+    upsert(spark.createDataFrame([("a", 2, 1)], ["account", "balance", "ts"]), 1)
+    assert _final(spark, target) == {"a": 2}
+    assert not orphan.parent.exists()  # GC swept the orphan
+
+
+def test_duckdb_merge_fn_upsert(spark, tmp_path):
+    """JDBC-style UPSERT contract (reference README.md:289-292) against
+    an in-container DuckDB stand-in: pk=account, last write wins."""
+    import duckdb
+
+    db = str(tmp_path / "store.duckdb")
+    upsert = foreach_batch_upsert(
+        "account",
+        target_path="unused",
+        order_cols=["ts"],
+        merge_fn=duckdb_merge_fn(db, "balances", "account", order_cols=["ts"]),
+    )
+    b0 = spark.createDataFrame(
+        [("a", 10, 1), ("b", 5, 1)], ["account", "balance", "ts"]
+    )
+    b1 = spark.createDataFrame(
+        [("a", 15, 2), ("a", 12, 1), ("c", 1, 2)], ["account", "balance", "ts"]
+    )
+    upsert(b0, 0)
+    upsert(b1, 1)
+    con = duckdb.connect(db)
+    rows = dict(
+        con.execute("SELECT account, balance FROM balances").fetchall()
+    )
+    con.close()
+    assert rows == {"a": 15, "b": 5, "c": 1}
 
 
 def test_dedupe_latest_deterministic(spark):
