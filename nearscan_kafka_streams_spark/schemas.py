@@ -176,6 +176,32 @@ def with_event_time(
     return df.withColumn(out_col, event_time_from_ns(F.col(ts_col)))
 
 
+# Avro wire declarations: amount fields are decimal(45,0) in the
+# reference's .avsc files (tokens_burnt/affected_amount/balance); Spark
+# holds them as decimal(38,0) (cap above), but the generated wire schema
+# restores the declared precision so frames stay byte-compatible
+AVRO_PRECISION_OVERRIDES = {
+    "tokens_burnt": 45,
+    "affected_amount": 45,
+    "balance": 45,
+}
+
+
+def avro_value_schema(topic: str) -> dict:
+    """Generated Avro value schema for a topic (mirror of the
+    ``near.indexer.<topic>-value.avsc`` layout: record ``Value`` in
+    namespace ``near.indexer.<topic>``)."""
+    from nearscan_kafka_streams_spark.serde.avro import avro_schema_from_struct
+
+    struct = TOPIC_SCHEMAS[topic][0]
+    return avro_schema_from_struct(
+        struct,
+        name="Value",
+        namespace=f"near.indexer.{topic}",
+        precision_overrides=AVRO_PRECISION_OVERRIDES,
+    )
+
+
 # topic registry: name -> (schema, event-time source column); mirror of
 # Schemas.Topics (util/Schemas.java:73-111)
 TOPIC_SCHEMAS: dict[str, tuple[StructType, str]] = {

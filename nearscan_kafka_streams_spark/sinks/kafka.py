@@ -13,6 +13,11 @@ Spark mapping: ``writeStream.format("kafka")`` with
   choice, not an engine limit);
 - update mode for the balance changelog (consumers treat it as keyed
   upserts -- same contract as the reference's sink connector).
+
+Value serialization (``topic_payload``) supports JSON and
+Confluent-framed Avro (serde/avro.py -- the reference's actual wire
+format) and is factored out of the broker write so the serialization
+leg is executable/testable without a broker.
 """
 
 from __future__ import annotations
@@ -20,6 +25,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from nearscan_kafka_streams_spark.serde.avro import (
+    avro_schema_from_struct,
+    encode_confluent_udf,
+)
+
+
+def topic_payload(
+    df: DataFrame,
+    key_col: str,
+    wire_format: str = "json",
+    avro_schema: dict | str | None = None,
+    schema_id: int = 1,
+) -> DataFrame:
+    """Rows -> Kafka-shaped (key string, value binary/string) records.
+
+    ``avro``: Confluent-framed Avro via the pure-Python codec; the
+    value schema defaults to one generated from the DataFrame schema
+    (avro_schema_from_struct) when not supplied.
+    """
+    cols = [c for c in df.columns]
+    if wire_format == "json":
+        value = F.to_json(F.struct(*cols)).alias("value")
+    elif wire_format == "avro":
+        schema = avro_schema or avro_schema_from_struct(df.schema)
+        enc = encode_confluent_udf(schema, schema_id=schema_id)
+        value = enc(F.struct(*cols)).alias("value")
+    else:
+        raise ValueError(f"unknown wire format: {wire_format}")
+    return df.select(F.col(key_col).cast("string").alias("key"), value)
 
 
 def write_topic_stream(
@@ -31,17 +66,17 @@ def write_topic_stream(
     output_mode: str = "append",
     single_partition: bool = False,
     trigger_interval: str | None = None,
+    wire_format: str = "json",
+    avro_schema: dict | str | None = None,
+    schema_id: int = 1,
     kafka_options: dict[str, str] | None = None,
 ) -> StreamingQuery:
-    """Serialize rows as (key, JSON value) and write to a Kafka topic."""
+    """Serialize rows as (key, value) and write to a Kafka topic."""
     out = df
     if single_partition:
         # T3: global ordering of transfers (TokenBalance.java:275)
         out = out.repartition(1)
-    payload = out.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[c for c in out.columns])).alias("value"),
-    )
+    payload = topic_payload(out, key_col, wire_format, avro_schema, schema_id)
     writer = (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
