@@ -121,6 +121,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    fit_sample_cap: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the
     corpus, probe each query's ``n_probe`` nearest cells only.
@@ -129,11 +130,13 @@ def ivf_topk(
     adapt to the data distribution, so clustered corpora get much
     better recall per candidate than data-oblivious hyperplanes.
 
-    Plan shape: one MLlib KMeans fit (itself distributed), a narrow
-    centroid-assignment pass over the corpus, a tiny query x centroid
-    cross join (centroids are n_clusters x dim -- broadcast), then an
-    equi-join corpus.cell == probe.cell.  Candidates ~ corpus *
-    n_probe / n_clusters.
+    Plan shape: KMeans fit on a bounded SAMPLE (centroid quality needs
+    ~100x n_clusters points, not the corpus -- a full-corpus fit would
+    be several complete passes at 100 TB; default cap 256 x n_clusters),
+    a narrow centroid-assignment pass over the FULL corpus, a tiny
+    query x centroid cross join (centroids are n_clusters x dim --
+    broadcast), then an equi-join corpus.cell == probe.cell.
+    Candidates ~ corpus * n_probe / n_clusters.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -143,9 +146,18 @@ def ivf_topk(
         F.col(vec_col).alias("_cvec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
+    cap = fit_sample_cap if fit_sample_cap is not None else 256 * n_clusters
+    fit_input = corpus_vec.select("features")
+    # one cheap count pass to size the sample fraction; KMeans itself is
+    # many passes, so this is strictly cheaper than fitting the corpus
+    total = fit_input.count()
+    if total > cap:
+        fit_input = fit_input.sample(
+            withReplacement=False, fraction=min(1.0, 1.2 * cap / total), seed=seed
+        ).limit(cap)
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
                 predictionCol="_cell")
-    model = km.fit(corpus_vec)
+    model = km.fit(fit_input)
     assigned = model.transform(corpus_vec).select("neighbor_id", "_cvec", "_cell")
 
     centers = [

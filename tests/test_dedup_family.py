@@ -130,3 +130,42 @@ def test_lsh_agrees_with_bruteforce_jaccard(spark):
         for r in minhash_lsh_candidates(df).collect()
     }
     assert true_pairs <= lsh_pairs
+
+
+def test_simhash_kernel_matches_rowwise_reference(monkeypatch):
+    """The vectorized reduceat kernel must reproduce the definitional
+    per-row implementation bit-for-bit (incl. empty/None rows and tie
+    votes), across chunk boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from nearscan_kafka_streams_spark.functions import dedup as d
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(300):
+        ln = int(rng.integers(0, 24))
+        if ln == 0:
+            rows.append(None if i % 2 else [])
+        else:
+            rows.append(
+                rng.integers(-(2**63), 2**63 - 1, size=ln).astype(np.int64)
+            )
+
+    def rowwise(arr):
+        if arr is None or len(arr) == 0:
+            return 0
+        h = np.asarray(arr, dtype=np.uint64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        fp = 0
+        for b in range(64):
+            if votes[b] > 0:
+                fp |= 1 << b
+        return int(np.uint64(fp).astype(np.int64))
+
+    expected = [rowwise(a) for a in rows]
+    # force many chunks so boundary handling is exercised
+    monkeypatch.setattr(d, "_SIMHASH_CHUNK", 64)
+    got = d._simhash_kernel(pd.Series(rows, dtype=object)).tolist()
+    assert got == expected
