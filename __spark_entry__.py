@@ -53,6 +53,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # dedup/LSH queries persist staged intermediates; release the
+            # PREVIOUS query's before building the next plan so a
+            # long-lived session never accumulates executor storage
+            # (releasing after would unpersist before the driver
+            # materializes the returned lazy DataFrame)
+            from nearscan_kafka_streams_spark.functions.dedup import release_cached
+
+            release_cached()
             return fn(_configure(spark), sf_dir)
 
         return run

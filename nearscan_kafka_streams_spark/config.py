@@ -42,6 +42,12 @@ class PipelineConfig:
     # streaming semantics
     # join tolerance: JoinWindows.of(2000ms), TokenBalance.java:118,122
     join_tolerance: str = "2 seconds"
+    # batch join bound on BLOCK time; None (default) = unbounded equi-
+    # join.  The reference's 2s window runs on Kafka ingest time (its
+    # event-time extractors are disabled), so delayed-execution receipts
+    # join there; an event-time bound would silently drop them in batch
+    # (ADVICE r1).  Set e.g. "2 seconds" to mirror the tight window.
+    batch_join_tolerance: str | None = None
     # dedup window: 60 min total (+/-30 min), TokenBalance.java:82
     dedup_watermark: str = "30 minutes"
     # watermark delay for join inputs (bounds join state); the reference

@@ -111,6 +111,103 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+def shingle_strings(text_col: str, n: int = 3) -> F.Column:
+    """Raw (unhashed) distinct character n-grams of normalized text.
+
+    Used where cross-engine value parity matters (exact Jaccard with a
+    SQL oracle); the hashed variant above is the scale default."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(normalized) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT set-similarity self-join via AllPairs prefix filtering.
+
+    Emits EVERY pair with n-gram-set Jaccard >= threshold -- unlike the
+    probabilistic MinHash path, which trades borderline recall for
+    speed -- so a naive all-pairs SQL oracle matches bit-for-bit.
+
+    Candidate generation (the scale story): sort each document's grams
+    by global document frequency (rarest first) and index only the
+    PREFIX of length |A| - ceil(t*|A|) + 1.  Any pair with J >= t must
+    collide on a prefix gram (the AllPairs/PPJoin bound), and length
+    pruning (min_size >= t * max_size) removes cross-size pairs before
+    the exact verify.  Prefix posting lists are short by construction
+    (rarest grams), so the inverted-index join never degenerates to
+    all-pairs.  Exact Jaccard runs only on candidates.  At petabyte
+    scale hash the gram strings first; strings are kept here for
+    cross-engine oracle parity.
+
+    Output: (left_id, right_id, inter_size, union_size) -- integers,
+    so the threshold predicate and the oracle compare exactly.
+    """
+    t = float(threshold)
+    sets = df.select(
+        F.col(id_col), shingle_strings(text_col, shingle_n).alias("grams")
+    ).withColumn("sz", F.size("grams"))
+    if materialize:
+        # read by the df-count pass, the prefix build, and both verify
+        # sides; persisting stops 4x recompute of the gram pipeline
+        sets = _persist_tracked(sets)
+
+    tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
+    gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    prefixes = (
+        tok.join(gdf, "g")
+        .groupBy(id_col, "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ordered"))
+        .select(
+            id_col, "sz", F.explode(F.slice("ordered", 1, plen)).alias("p")
+        )
+        .select(id_col, "sz", F.col("p.g").alias("g"))
+    )
+
+    l, r = prefixes.alias("l"), prefixes.alias("r")
+    lid, rid = f"l.{id_col}", f"r.{id_col}"
+    cands = (
+        l.join(
+            r,
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col(lid) < F.col(rid))
+            & (
+                F.least(F.col("l.sz"), F.col("r.sz"))
+                >= F.lit(t) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+            ),
+        )
+        .select(F.col(lid).alias("left_id"), F.col(rid).alias("right_id"))
+        .distinct()
+    )
+    left_sets = sets.select(
+        F.col(id_col).alias("left_id"),
+        F.col("grams").alias("g_l"),
+        F.col("sz").alias("sz_l"),
+    )
+    right_sets = sets.select(
+        F.col(id_col).alias("right_id"),
+        F.col("grams").alias("g_r"),
+        F.col("sz").alias("sz_r"),
+    )
+    return (
+        cands.join(left_sets, "left_id")
+        .join(right_sets, "right_id")
+        .withColumn("inter_size", F.size(F.array_intersect("g_l", "g_r")))
+        .withColumn(
+            "union_size", F.col("sz_l") + F.col("sz_r") - F.col("inter_size")
+        )
+        .where(F.col("inter_size").cast("double") >= F.lit(t) * F.col("union_size"))
+        .select("left_id", "right_id", "inter_size", "union_size")
+    )
+
+
 def minhash_signature(shingle_hashes: F.Column, num_hashes: int = 64) -> F.Column:
     """MinHash signature: per permutation i, min over shingles of
     xxhash64(shingle_hash, i) -- a seeded-rehash family.

@@ -72,28 +72,35 @@ def join_receipts_outcomes_actions(
     receipts: DataFrame,
     outcomes: DataFrame,
     actions: DataFrame,
-    tolerance_seconds: float = 2.0,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Batch 3-way join with the +/-2 s time tolerance.
+    """Batch 3-way join, optionally bounded by a +/- time tolerance.
 
-    Tolerance is evaluated on the block timestamps (ns decimals) --
-    the event time the reference's (disabled) extractors intended
-    (SURVEY (S)7.4.3).  Rows whose outcome executed >2 s after the
-    receipt's block do not join, mirroring JoinWindows.of(2000ms).
+    The reference's JoinWindows.of(2000ms) runs on Kafka INGEST time
+    (its event-time extractors are commented out), so a NEAR delayed
+    receipt whose outcome executes minutes of block time later still
+    joins there.  Batch default here is therefore UNBOUNDED -- a plain
+    equi-join on receipt_id loses no delayed executions.  Pass
+    ``tolerance_seconds`` to bound on BLOCK time (the event time the
+    disabled extractors intended, SURVEY (S)7.4.3); expected row-loss
+    mode: outcomes executing > tolerance after inclusion are dropped.
+    The streaming path keeps a tight bound regardless -- there it
+    prunes join state, which is a resource necessity, not semantics.
     """
-    tol_ns = int(tolerance_seconds * 1_000_000_000)
-
     r = _select(receipts, _RECEIPT_COLS)
     o = _select(outcomes, ["receipt_id", *_OUTCOME_COLS])
     a = _select(actions, ["receipt_id", *_ACTION_COLS])
 
-    ro = r.join(o, "receipt_id", "inner").where(
-        F.abs(
-            F.col("executed_in_block_timestamp")
-            - F.col("included_in_block_timestamp")
+    ro = r.join(o, "receipt_id", "inner")
+    if tolerance_seconds is not None:
+        tol_ns = int(tolerance_seconds * 1_000_000_000)
+        ro = ro.where(
+            F.abs(
+                F.col("executed_in_block_timestamp")
+                - F.col("included_in_block_timestamp")
+            )
+            <= F.lit(tol_ns)
         )
-        <= F.lit(tol_ns)
-    )
     # J2: actions carry the receipt's own block timestamp (denormalized),
     # so the +/-2 s check against the receipt is identically 0 -- but we
     # keep the predicate form for parity with the reference topology.

@@ -46,12 +46,15 @@ def sessionize_batch(
     Output: one row per session with start/end/n_events.
     """
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
-    gap = F.lit(gap_minutes * 60)
+    # microsecond precision on BOTH engines (oracle: epoch_us) -- a
+    # seconds-truncated cast splits sessions differently from the
+    # oracle when a true gap lands within 1s of the boundary
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
     flagged = events.withColumn(
         "_new_session",
         F.when(
-            F.col(ts_col).cast("long")
-            - F.lag(F.col(ts_col).cast("long")).over(w)
+            F.unix_micros(F.col(ts_col))
+            - F.lag(F.unix_micros(F.col(ts_col))).over(w)
             > gap,
             F.lit(1),
         )

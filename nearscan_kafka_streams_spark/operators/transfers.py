@@ -64,7 +64,12 @@ _LEG_FIELDS = [
 
 
 def _leg(
-    account: Column, amount: Column, reason: str, from_: Column, to: Column
+    account: Column,
+    amount: Column,
+    reason: str,
+    from_: Column,
+    to: Column,
+    raw_amount: Column | None = None,
 ) -> Column:
     return F.struct(
         account.alias("affected_account"),
@@ -74,6 +79,11 @@ def _leg(
         F.lit(reason).alias("affected_reason"),
         from_.alias("transfer_from"),
         to.alias("transfer_to"),
+        # raw string kept alongside so the drop filter can OBSERVE (not
+        # silently lose) amounts that only failed the decimal(38) cap
+        (raw_amount if raw_amount is not None else amount)
+        .cast("string")
+        .alias("_raw_amount"),
     )
 
 
@@ -122,6 +132,7 @@ def transfer_legs_expr(
                     "withdraw",
                     predecessor,
                     args_json["recipient"],
+                    raw_amount=amount,
                 )
             ),
         )
@@ -134,6 +145,7 @@ def transfer_legs_expr(
                     "ft_transfer_from",
                     predecessor,
                     args_json["receiver_id"],
+                    raw_amount=amount,
                 ),
                 _leg(
                     args_json["receiver_id"],
@@ -153,6 +165,7 @@ def transfer_legs_expr(
                     "ft_resolve_transfer_from",
                     args_json["sender_id"],
                     args_json["receiver_id"],
+                    raw_amount=amount,
                 ),
                 _leg(
                     args_json["receiver_id"],
@@ -171,11 +184,14 @@ def transfer_legs_expr(
 def _leg_ddl() -> str:
     return (
         "struct<affected_account:string,affected_amount:decimal(38,0),"
-        "affected_reason:string,transfer_from:string,transfer_to:string>"
+        "affected_reason:string,transfer_from:string,transfer_to:string,"
+        "_raw_amount:string>"
     )
 
 
-def extract_transfers(joined: DataFrame, token_address: str) -> DataFrame:
+def extract_transfers(
+    joined: DataFrame, token_address: str, observation=None
+) -> DataFrame:
     """Filter P1 + flat-map U1 over the flat joined row.
 
     Input: output of ``join_receipts_outcomes_actions`` (flat row with
@@ -199,13 +215,31 @@ def extract_transfers(joined: DataFrame, token_address: str) -> DataFrame:
         ),
     )
     exploded = legs.select(*_PASSTHROUGH, F.explode("_legs").alias("_leg"))
+    # overflow/loss observability: the drop filter below silently loses
+    # ledger entries otherwise -- count total legs, dropped legs, and
+    # specifically legs whose raw amount string WAS numeric but exceeded
+    # the decimal(38,0) engine cap (the reference holds decimal(45,0))
+    dropped = F.col("_leg.affected_amount").isNull() | F.col(
+        "_leg.affected_account"
+    ).isNull()
+    overflow = F.col("_leg.affected_amount").isNull() & F.col(
+        "_leg._raw_amount"
+    ).rlike(r"^-?[0-9]{39,}$")
+    exploded = exploded.observe(
+        observation if observation is not None else "transfer_legs",
+        F.count(F.lit(1)).alias("emitted_legs"),
+        F.sum(dropped.cast("long")).alias("dropped_legs"),
+        F.sum(overflow.cast("long")).alias("overflow_dropped_legs"),
+    )
     return (
         exploded.select(
             *_PASSTHROUGH, *[F.col(f"_leg.{f}").alias(f) for f in _LEG_FIELDS]
         )
         # malformed-but-parseable args (missing amount/account fields) must
         # not emit legs; the reference NPEs on these -- dropping is the
-        # fault-tolerant equivalent (a null amount would poison sum())
+        # fault-tolerant equivalent (a null amount would poison sum());
+        # the observation above makes the loss visible, incl. >38-digit
+        # overflow (use functions/bigint.py exact mode if those occur)
         .where(
             F.col("affected_amount").isNotNull()
             & F.col("affected_account").isNotNull()

@@ -49,7 +49,11 @@ def run_batch(
     o = dedup_batch(outcomes, ["receipt_id"])
     a = dedup_batch(actions, ["receipt_id", "index_in_action_receipt"])
 
-    tol = _tolerance_seconds(config.join_tolerance)
+    tol = (
+        _tolerance_seconds(config.batch_join_tolerance)
+        if config.batch_join_tolerance is not None
+        else None
+    )
     joined = join_receipts_outcomes_actions(r, o, a, tolerance_seconds=tol)
     transfers = extract_transfers(joined, config.token_address)
     balances = token_balances(transfers)

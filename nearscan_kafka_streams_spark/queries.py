@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nearscan_kafka_streams_spark.functions.dedup import (
+    jaccard_similarity_join,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -448,8 +449,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,
-         CASE WHEN epoch(ts) - lag(epoch(ts))
-                OVER (PARTITION BY user_id ORDER BY ts ASC) > 1800
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts ASC) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), seq AS (
@@ -927,13 +928,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard >= 0.5; the
-    verify stage reuses the candidate stage's persisted shingle sets."""
+    """EXACT trigram-Jaccard near-dup pairs (J >= 0.5) via the
+    prefix-filtered set-similarity self-join (AllPairs) -- exact, so
+    the naive all-pairs DuckDB oracle hash-matches; candidates come
+    from the rarest-gram prefix inverted index, never all pairs.
+    (The probabilistic LSH-then-verify composition stays available as
+    minhash_lsh_candidates + ngram_jaccard_pairs; see dedup_minhash_lsh
+    and tests/test_dedup_family.py.)"""
     d = _t(spark, sf_dir, "documents")
-    cands, sh_df = minhash_lsh_candidates(d, return_shingles=True)
-    return ngram_jaccard_pairs(d, cands, shingle_df=sh_df).select(
-        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
-    )
+    return jaccard_similarity_join(d, threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, greatest(length(t) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         length(list_intersect(a.grams, b.grams)) AS inter_size,
+         length(a.grams) AS la, length(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT left_id, right_id,
+       CAST(inter_size AS INT) AS inter_size,
+       CAST(la + lb - inter_size AS INT) AS union_size
+FROM p WHERE 2 * inter_size >= la + lb - inter_size
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,13 +1085,38 @@ FROM documents
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing (deterministic fake kernel;
-    rows-only check -- the kernel is a stub by design)."""
+    """mapInPandas decode plumbing.  The fake kernel is deterministic
+    byte arithmetic (functions/multimodal._fake_decode), so it IS
+    SQL-expressible and gets a value oracle: width/height from the
+    first/last payload byte, feature = sum(first 32 bytes) / (32*255)."""
     d = _t(spark, sf_dir, "documents")
     media = make_fake_media(d)
     return decode_media(media).select(
         "media_id", "width", "height", "n_bytes", F.round("feature", 6).alias("feature")
     )
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT media_id,
+  CASE WHEN n = 0 THEN 0
+       ELSE 1 + (try_cast(concat('0x', substring(hx, 1, 2)) AS INT) % 64)
+  END AS width,
+  CASE WHEN n = 0 THEN 0
+       ELSE 1 + (try_cast(concat('0x', substring(hx, 2*n - 1, 2)) AS INT) % 64)
+  END AS height,
+  n AS n_bytes,
+  round(CASE WHEN n = 0 THEN 0.0
+             ELSE list_sum([try_cast(concat('0x', substring(hx, 2*i - 1, 2)) AS INT)
+                            for i in range(1, least(n, 32) + 1)]) / (32 * 255.0)
+        END, 6) AS feature
+FROM b
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,10 +1216,11 @@ ORACLES: dict[str, str] = {
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "ann_bruteforce_cosine": ANN_BRUTEFORCE_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
-    # no oracle (rows-only, by design): dedup_minhash_lsh,
-    # dedup_ngram_jaccard, dedup_simhash, dedup_embedding_cosine,
-    # ann_lsh_cosine, multimodal_decode
+    # no oracle (rows-only, by design): dedup_minhash_lsh (xxhash64
+    # signatures), dedup_simhash, dedup_embedding_cosine, ann_lsh_cosine
 }

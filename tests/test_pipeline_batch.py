@@ -4,14 +4,37 @@ from __future__ import annotations
 
 from decimal import Decimal
 
+from nearscan_kafka_streams_spark.config import PipelineConfig
 from nearscan_kafka_streams_spark.pipeline import run_batch
 from tests.fixtures_near import to_dataframes
+
+# the fixtures' expected values encode the reference's tight +/-2s
+# window semantics (and match the streaming path, which keeps the tight
+# bound for state pruning); batch default is UNBOUNDED -- covered by
+# test_default_batch_join_keeps_delayed_execution below
+TIGHT = PipelineConfig(batch_join_tolerance="2 seconds")
 
 
 def _run(spark):
     r, o, a, expected = to_dataframes(spark)
-    out = run_batch(r, o, a)
+    out = run_batch(r, o, a, config=TIGHT)
     return out, expected
+
+
+def test_default_batch_join_keeps_delayed_execution(spark):
+    """ADVICE r1: the reference joins on Kafka ingest time (event-time
+    extractors disabled), so a delayed execution still joins there; the
+    unbounded batch default must not drop it."""
+    r, o, a, _ = to_dataframes(spark)
+    out = run_batch(r, o, a)  # default config: unbounded batch join
+    ids = {x["receipt_id"] for x in out.transfers.select("receipt_id").collect()}
+    assert "r8" in ids  # outcome executed 10s after inclusion
+    # and the tight configuration reproduces the windowed miss
+    out_tight = run_batch(r, o, a, config=TIGHT)
+    tight_ids = {
+        x["receipt_id"] for x in out_tight.transfers.select("receipt_id").collect()
+    }
+    assert "r8" not in tight_ids
 
 
 def test_transfer_row_count(spark):
@@ -57,7 +80,7 @@ def test_duplicates_do_not_change_output(spark):
     # fixture already contains duplicated r3 rows; doubling them again
     # must still not change anything
     r, o, a, expected = to_dataframes(spark)
-    out = run_batch(r.union(r), o.union(o), a.union(a))
+    out = run_batch(r.union(r), o.union(o), a.union(a), config=TIGHT)
     got = {row["account"]: row["balance"] for row in out.balances.collect()}
     assert got == expected["balances"]
     assert out.transfers.count() == expected["transfer_rows"]

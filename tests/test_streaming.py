@@ -69,8 +69,14 @@ def test_streaming_equals_batch_pipeline(spark, fixture_dir, tmp_path):
     out_dir = str(tmp_path / "out2")
     streaming_balances = run_fixture_pipeline(spark, str(root), out_dir)
 
+    from nearscan_kafka_streams_spark.config import PipelineConfig
+
     r, o, a, _ = to_dataframes(spark)
-    batch_balances = run_batch(r, o, a).balances
+    # streaming keeps the tight 2s window (join-state pruning); compare
+    # against the batch run configured identically
+    batch_balances = run_batch(
+        r, o, a, config=PipelineConfig(batch_join_tolerance="2 seconds")
+    ).balances
 
     s_rows = {tuple(r) for r in streaming_balances.collect()}
     b_rows = {tuple(r) for r in batch_balances.collect()}

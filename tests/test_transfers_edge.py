@@ -53,3 +53,38 @@ def test_non_numeric_amount_emits_nothing(spark):
     out = run_batch(r, o, a2)
     # cast('not-a-number' as decimal) -> null -> leg dropped
     assert out.transfers.where("receipt_id = 'r2'").count() == 0
+
+
+def test_overflow_amount_dropped_but_observed(spark):
+    """ADVICE r1: a numeric amount wider than decimal(38,0) (reference
+    declares 45,0) is dropped by the cast -- the observation must count
+    it so the loss is detectable, distinct from malformed-args drops."""
+    from pyspark.sql import Observation
+
+    from nearscan_kafka_streams_spark.operators.dedup import dedup_batch
+    from nearscan_kafka_streams_spark.operators.joins import (
+        join_receipts_outcomes_actions,
+    )
+    from nearscan_kafka_streams_spark.operators.transfers import extract_transfers
+
+    r, o, a, _ = to_dataframes(spark)
+    a2 = _with_args(
+        spark, a, "r2",
+        json.dumps({"method_name": "mint",
+                    "args_json": {"account_id": "x.near",
+                                  "amount": "9" * 45}}),  # 45 digits
+    )
+    joined = join_receipts_outcomes_actions(
+        dedup_batch(r, ["receipt_id"]),
+        dedup_batch(o, ["receipt_id"]),
+        dedup_batch(a2, ["receipt_id", "index_in_action_receipt"]),
+    )
+    obs = Observation("transfer_legs")
+    transfers = extract_transfers(
+        joined, "oct.beta_oct_relay.testnet", observation=obs
+    )
+    assert transfers.where("receipt_id = 'r2'").count() == 0  # dropped
+    m = obs.get
+    assert m["overflow_dropped_legs"] == 1
+    assert m["dropped_legs"] >= 1
+    assert m["emitted_legs"] > 0
