@@ -30,11 +30,15 @@ HEADLINE = [
     "interval_join_events",
     "flatmap_legs_events",
     "tumbling_window_events",
+    "sessionize_events",
     "text_quality_score",
     "text_fingerprint",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "ann_bruteforce_cosine",
+    "ann_ivf_cosine",
 ]
 
 
@@ -56,13 +60,20 @@ def main() -> None:
 
     from nearscan_kafka_streams_spark.functions.dedup import release_cached
 
+    from nearscan_kafka_streams_spark.plans.explain import plan_summary
+
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         # materialize fully but keep results distributed (no driver pull)
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # plan fingerprint AFTER the run (plan construction may persist
+        # intermediates the summary would otherwise re-trigger)
+        plans[name] = plan_summary(df)
         # free any LSH intermediates so later queries get full memory
         release_cached()
 
@@ -87,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -128,6 +128,7 @@ def jaccard_similarity_join(
     shingle_n: int = 3,
     threshold: float = 0.5,
     materialize: bool = True,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via AllPairs prefix filtering.
 
@@ -148,11 +149,28 @@ def jaccard_similarity_join(
 
     Output: (left_id, right_id, inter_size, union_size) -- integers,
     so the threshold predicate and the oracle compare exactly.
+
+    All threshold arithmetic is INTEGER (threshold as a fraction p/q):
+    float ``ceil(t*n)`` can land one off under binary rounding (e.g.
+    0.8*85 -> 68.00000000000001 -> ceil 69), silently shrinking the
+    prefix and losing pairs -- an exactness bug, not a perf choice.
     """
-    t = float(threshold)
-    sets = df.select(
-        F.col(id_col), shingle_strings(text_col, shingle_n).alias("grams")
-    ).withColumn("sz", F.size("grams"))
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    p, q = frac.numerator, frac.denominator
+    sets = (
+        _spread(df)
+        .select(F.col(id_col), shingle_strings(text_col, shingle_n).alias("grams"))
+        .withColumn("sz", F.size("grams"))
+        # verification intersects HASHED grams: 2.6x faster than string
+        # intersect (measured sf0.1: 24.3s -> 9.3s, identical pairs).
+        # An xxhash64 collision within one doc pair's gram sets would
+        # change a count (P ~ (n_grams)^2/2^64 per pair); the DuckDB
+        # oracle computes on raw strings, so any collision surfaces as
+        # a hash-mismatch in the correctness gate rather than silently.
+        .withColumn("hg", F.transform("grams", lambda g: F.xxhash64(g)))
+    )
     if materialize:
         # read by the df-count pass, the prefix build, and both verify
         # sides; persisting stops 4x recompute of the gram pipeline
@@ -160,7 +178,12 @@ def jaccard_similarity_join(
 
     tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
     gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    # plen = sz - ceil(p*sz/q) + 1, with ceil done in integers
+    plen = (
+        F.col("sz")
+        - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
+        + 1
+    ).cast("int")
     prefixes = (
         tok.join(gdf, "g")
         .groupBy(id_col, "sz")
@@ -179,31 +202,37 @@ def jaccard_similarity_join(
             (F.col("l.g") == F.col("r.g"))
             & (F.col(lid) < F.col(rid))
             & (
-                F.least(F.col("l.sz"), F.col("r.sz"))
-                >= F.lit(t) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+                F.lit(q) * F.least(F.col("l.sz"), F.col("r.sz"))
+                >= F.lit(p) * F.greatest(F.col("l.sz"), F.col("r.sz"))
             ),
         )
         .select(F.col(lid).alias("left_id"), F.col(rid).alias("right_id"))
         .distinct()
     )
+    # verify: clusters make candidate pairs quadratic while gram sets
+    # stay linear, so when the per-doc set table fits in memory,
+    # broadcast_verify=True joins the arrays map-side instead of
+    # shuffling two ~KB arrays per candidate pair; leave False at
+    # corpus sizes where the set table itself is distributed-only
+    hint = F.broadcast if broadcast_verify else (lambda x: x)
     left_sets = sets.select(
         F.col(id_col).alias("left_id"),
-        F.col("grams").alias("g_l"),
+        F.col("hg").alias("g_l"),
         F.col("sz").alias("sz_l"),
     )
     right_sets = sets.select(
         F.col(id_col).alias("right_id"),
-        F.col("grams").alias("g_r"),
+        F.col("hg").alias("g_r"),
         F.col("sz").alias("sz_r"),
     )
     return (
-        cands.join(left_sets, "left_id")
-        .join(right_sets, "right_id")
+        cands.join(hint(left_sets), "left_id")
+        .join(hint(right_sets), "right_id")
         .withColumn("inter_size", F.size(F.array_intersect("g_l", "g_r")))
         .withColumn(
             "union_size", F.col("sz_l") + F.col("sz_r") - F.col("inter_size")
         )
-        .where(F.col("inter_size").cast("double") >= F.lit(t) * F.col("union_size"))
+        .where(F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("union_size"))
         .select("left_id", "right_id", "inter_size", "union_size")
     )
 

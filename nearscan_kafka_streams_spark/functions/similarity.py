@@ -78,6 +78,24 @@ def brute_force_topk(
     )
 
 
+def auto_signature_bits(
+    n_rows: int,
+    target_bucket: int = 256,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Scale-safe hyperplane signature width: 2^bits buckets sized so
+    the within-bucket self-join stays ~target_bucket^2 per bucket
+    regardless of corpus size (bits ~ log2(n / target_bucket)).  A
+    fixed default (e.g. 4 -> 16 buckets) is n^2/16 at scale -- the
+    failure mode this guards against (VERDICT r1)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return min_bits
+    return min(max_bits, max(min_bits, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def hyperplane_signature(vec_col, bits: int = 8, dim: int = 64):
     """Random-hyperplane LSH signature -> int bucket in [0, 2^bits).
 

@@ -43,3 +43,28 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Compact physical-plan fingerprint for round-over-round diffing
+    (bench.py embeds one per headline query in BENCH_r{N}.json).
+
+    Counts what matters at scale: join strategies, exchanges (each is a
+    shuffle), pushed filters, codegen coverage, Python-eval nodes.
+    """
+    plan = formatted_plan(df)
+
+    def n(pat: str) -> int:
+        return len(re.findall(pat, plan))
+
+    return {
+        "broadcast_hash_join": n(r"BroadcastHashJoin"),
+        "sort_merge_join": n(r"SortMergeJoin"),
+        "shuffled_hash_join": n(r"ShuffledHashJoin"),
+        "nested_loop_join": n(r"BroadcastNestedLoopJoin|CartesianProduct"),
+        "exchanges": n(r"\bExchange\b"),
+        "scans": n(r"Scan parquet"),
+        "pushed_filters": len(pushed_filters(df)),
+        "wholestage_codegen": n(r"WholeStageCodegen"),
+        "python_eval": n(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas"),
+    }

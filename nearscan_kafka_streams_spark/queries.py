@@ -928,15 +928,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT trigram-Jaccard near-dup pairs (J >= 0.5) via the
-    prefix-filtered set-similarity self-join (AllPairs) -- exact, so
-    the naive all-pairs DuckDB oracle hash-matches; candidates come
-    from the rarest-gram prefix inverted index, never all pairs.
+    """EXACT trigram-Jaccard near-dup pairs (J >= 0.8, the production
+    near-dup setting) via the prefix-filtered set-similarity self-join
+    (AllPairs) -- exact, so the naive all-pairs DuckDB oracle
+    hash-matches; candidates come from the rarest-gram prefix inverted
+    index (20% of each doc's grams at t=0.8), never all pairs.
     (The probabilistic LSH-then-verify composition stays available as
     minhash_lsh_candidates + ngram_jaccard_pairs; see dedup_minhash_lsh
     and tests/test_dedup_family.py.)"""
     d = _t(spark, sf_dir, "documents")
-    return jaccard_similarity_join(d, threshold=0.5)
+    return jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
 
 
 NGRAM_JACCARD_SQL = r"""
@@ -957,7 +958,7 @@ p AS (
 SELECT left_id, right_id,
        CAST(inter_size AS INT) AS inter_size,
        CAST(la + lb - inter_size AS INT) AS union_size
-FROM p WHERE 2 * inter_size >= la + lb - inter_size
+FROM p WHERE 5 * inter_size >= 4 * (la + lb - inter_size)
 """
 
 
@@ -971,21 +972,25 @@ def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = 0.40
 ) -> DataFrame:
     """Near-dup by embedding cosine: bucketed self-join via hyperplane
-    LSH (functions.similarity), verified exactly.
+    LSH (functions.similarity), verified exactly.  Signature width
+    scales with the corpus (bits ~ log2(n/256), one cheap count pass),
+    bounding the quadratic within-bucket pairing at any size.
 
     Production near-dup uses ~0.95; this synthetic corpus's max
     pairwise cosine is ~0.48, so the inventory entry runs at 0.40 to
     exercise real output (threshold is a parameter)."""
     emb = _t(spark, sf_dir, "embeddings")
     from nearscan_kafka_streams_spark.functions.similarity import (
+        auto_signature_bits,
         cosine_expr,
         hyperplane_signature,
     )
 
+    bits = auto_signature_bits(emb.count())
     sig = emb.select(
         F.col("vec_id"),
         F.col("embedding"),
-        hyperplane_signature(F.col("embedding"), bits=4, dim=64).alias("_b"),
+        hyperplane_signature(F.col("embedding"), bits=bits, dim=64).alias("_b"),
     )
     l, r = sig.alias("l"), sig.alias("r")
     return (

@@ -198,9 +198,6 @@ def duckdb_merge_fn(
         try:
             con.register("_batch", pdf)
             cols = ", ".join(f'"{c}"' for c in pdf.columns)
-            updates = ", ".join(
-                f'"{c}" = excluded."{c}"' for c in pdf.columns if c != key_col
-            )
             con.execute(
                 f'CREATE TABLE IF NOT EXISTS "{table}" AS '
                 f"SELECT * FROM _batch LIMIT 0"

@@ -85,9 +85,9 @@ def run_fixture_pipeline(
     """End-to-end streaming run over JSON fixture directories
     (``{fixture_dir}/receipts`` etc.), multi-micro-batch via
     maxFilesPerTrigger=1 + availableNow -- exercises real streaming
-    state.  Returns the final balances DataFrame (batch read of the
-    bridged transfer store, aggregated) -- bit-identical to
-    ``pipeline.run_batch`` on the same inputs.
+    state.  Returns the final balances read from the keyed upsert store
+    fed by the update-mode streaming aggregate -- bit-identical to
+    ``pipeline.run_batch`` (tight join window) on the same inputs.
     """
     r = read_fixture_stream(
         spark, f"{fixture_dir}/receipts", RECEIPTS_SCHEMA,
@@ -119,15 +119,42 @@ def run_fixture_pipeline(
             "transfer replay did not finish within 600s; bridge is partial"
         )
 
-    # half 2: the balance aggregation over the bridged transfer store.
-    # In production this is a second streaming query in update mode with
-    # a foreachBatch upsert (sinks/upsert.py); over a bounded replay the
-    # final state equals the batch aggregate of the bridge contents.
-    # Explicit schema: a zero-transfer replay leaves no part files to
-    # infer from, and must yield empty balances rather than an error.
+    # half 2: STREAMING balance aggregation in update mode over the
+    # bridged transfer store (the reference re-consumes token_transfer
+    # for the aggregate, TokenBalance.java:279-280), upserted per
+    # micro-batch into the keyed store by foreachBatch -- the
+    # sink-connector leg (README.md:273-297).  Update mode emits one
+    # latest row per changed account per batch; the upsert store keeps
+    # last-writer-wins per key, so the final store equals the batch
+    # aggregate of the bridge contents.
     from nearscan_kafka_streams_spark.schemas import TOKEN_TRANSFER_SCHEMA
-
-    transfers_batch = spark.read.schema(TOKEN_TRANSFER_SCHEMA).parquet(
-        transfer_path
+    from nearscan_kafka_streams_spark.sinks.upsert import (
+        foreach_batch_upsert,
+        read_store,
     )
-    return token_balances(transfers_batch)
+
+    transfers_stream = (
+        spark.readStream.schema(TOKEN_TRANSFER_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # multi-batch: real upsert state
+        .parquet(transfer_path)
+    )
+    store = f"{out_dir}/token_balance_store"
+    q2 = (
+        token_balances(transfers_stream)
+        .writeStream.foreachBatch(foreach_batch_upsert("account", store))
+        .outputMode("update")
+        .option("checkpointLocation", f"{out_dir}/ckpt_balances")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q2.awaitTermination(600):
+        q2.stop()
+        raise TimeoutError(
+            "balance replay did not finish within 600s; store is partial"
+        )
+    try:
+        return read_store(spark, store)
+    except FileNotFoundError:
+        # zero-transfer replay: no batch ever fired; empty balances
+        empty = spark.read.schema(TOKEN_TRANSFER_SCHEMA).parquet(transfer_path)
+        return token_balances(empty)

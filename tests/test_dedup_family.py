@@ -169,3 +169,37 @@ def test_simhash_kernel_matches_rowwise_reference(monkeypatch):
     monkeypatch.setattr(d, "_SIMHASH_CHUNK", 64)
     got = d._simhash_kernel(pd.Series(rows, dtype=object)).tolist()
     assert got == expected
+
+
+def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
+    """Prefix filtering must be lossless at a float-awkward threshold
+    (0.8): output == python brute-force all-pairs, pairs present."""
+    import re as _re
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        jaccard_similarity_join,
+        release_cached,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = [(i, base + f" tail-{i % 7}-{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["left_id"], r["right_id"], r["inter_size"], r["union_size"])
+        for r in jaccard_similarity_join(df, threshold=0.8).collect()
+    }
+    release_cached()
+
+    def grams(t):
+        t = _re.sub(r"\s+", " ", t.lower().strip())
+        return {t[i : i + 3] for i in range(max(len(t) - 2, 1))}
+
+    gs = {i: grams(t) for i, t in docs}
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            inter = len(gs[i] & gs[j])
+            uni = len(gs[i] | gs[j])
+            if 5 * inter >= 4 * uni:
+                want.add((i, j, inter, uni))
+    assert want and got == want

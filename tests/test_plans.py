@@ -64,3 +64,28 @@ def test_observe_counts(spark, sf_dir):
     n = df.count()
     # observation is collected as a side effect of execution
     assert n == 5
+
+
+def test_single_partition_payload_plan(spark):
+    """T3 parity: the transfer sink's global-order mode funnels through
+    exactly one partition (TokenBalance.java:275), visible in the plan
+    as a single-partition exchange feeding the serializer."""
+    from nearscan_kafka_streams_spark.plans.explain import formatted_plan
+    from nearscan_kafka_streams_spark.sinks.kafka import topic_payload
+
+    df = spark.createDataFrame([("r1", 1), ("r2", 2)], ["receipt_id", "v"])
+    payload = topic_payload(df.repartition(1), "receipt_id")
+    assert "SinglePartition" in formatted_plan(payload)
+    assert dict(payload.dtypes) == {"key": "string", "value": "string"}
+
+
+def test_plan_summary_counts(spark, sf_dir):
+    """plan_summary (bench fingerprint) counts joins/exchanges/scans."""
+    from nearscan_kafka_streams_spark.plans.explain import plan_summary
+    from nearscan_kafka_streams_spark.queries import q5_local_supplier_volume
+
+    s = plan_summary(q5_local_supplier_volume(spark, sf_dir))
+    assert s["broadcast_hash_join"] >= 2  # region/nation dims broadcast
+    assert s["scans"] >= 5
+    assert s["exchanges"] >= 1
+    assert s["python_eval"] == 0

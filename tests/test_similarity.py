@@ -122,3 +122,19 @@ def test_lsh_deterministic(spark):
     a = sorted(map(tuple, lsh_topk(df, q, k=3, bits=4, dim=16).collect()))
     b = sorted(map(tuple, lsh_topk(df, q, k=3, bits=4, dim=16).collect()))
     assert a == b
+
+
+def test_auto_signature_bits_bounds_bucket_sizes():
+    """bits ~ log2(n/256): expected bucket size stays near the target
+    at ANY corpus size instead of n/16 (the fixed-4-bit failure mode)."""
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        auto_signature_bits,
+    )
+
+    assert auto_signature_bits(500) == 4  # small corpora keep old output
+    assert auto_signature_bits(10_000) == 6
+    assert auto_signature_bits(1_000_000) == 12
+    assert auto_signature_bits(10_000_000_000) == 16  # capped
+    for n in (10_000, 1_000_000, 50_000_000):
+        b = auto_signature_bits(n)
+        assert b == 16 or n / (1 << b) <= 4 * 256  # expected bucket bound
