@@ -129,6 +129,37 @@ def hyperplane_signature(vec_col, bits: int = 8, dim: int = 64):
     return bucket
 
 
+def _kmeans_numpy(sample: list, k: int, seed: int, iters: int = 25):
+    """Lloyd's k-means with k-means++ init over the (bounded) sample.
+
+    Runs in driver memory -- the sample is capped upstream (~256*k
+    rows), so this is milliseconds where a distributed fit pays tens of
+    scheduler round-trips.  Deterministic for a fixed seed."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    k = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    centroids = [X[rng.integers(len(X))]]
+    for _ in range(1, k):
+        d2 = ((X[:, None, :] - np.asarray(centroids)[None, :, :]) ** 2).sum(-1)
+        nearest = d2.min(axis=1)
+        s = nearest.sum()
+        probs = nearest / s if s > 0 else None
+        centroids.append(X[rng.choice(len(X), p=probs)])
+    C = np.asarray(centroids)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(axis=1)
+        new_c = np.stack(
+            [X[a == j].mean(axis=0) if (a == j).any() else C[j] for j in range(k)]
+        )
+        if np.allclose(new_c, C):
+            break
+        C = new_c
+    return [list(map(float, c)) for c in C]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,41 +179,60 @@ def ivf_topk(
     adapt to the data distribution, so clustered corpora get much
     better recall per candidate than data-oblivious hyperplanes.
 
-    Plan shape: KMeans fit on a bounded SAMPLE (centroid quality needs
-    ~100x n_clusters points, not the corpus -- a full-corpus fit would
-    be several complete passes at 100 TB; default cap 256 x n_clusters),
-    a narrow centroid-assignment pass over the FULL corpus, a tiny
-    query x centroid cross join (centroids are n_clusters x dim --
-    broadcast), then an equi-join corpus.cell == probe.cell.
+    Plan shape (the faiss train/assign split): centroids are trained on
+    a bounded SAMPLE in driver memory (centroid quality needs ~100x
+    n_clusters points, not the corpus; cap defaults to 256 x n_clusters
+    ~ 1 MB collected -- a full-corpus distributed fit would be dozens
+    of complete passes at 100 TB), then assignment is ONE narrow pass
+    of pure Catalyst expressions over the full corpus (centroids are
+    literals inside codegen -- no MLlib, no shuffle), a tiny query x
+    centroid cross join (n_clusters x dim -- broadcast), and an
+    equi-join corpus.cell == probe.cell.
     Candidates ~ corpus * n_probe / n_clusters.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus_vec = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
     cap = fit_sample_cap if fit_sample_cap is not None else 256 * n_clusters
-    fit_input = corpus_vec.select("features")
-    # one cheap count pass to size the sample fraction; KMeans itself is
-    # many passes, so this is strictly cheaper than fitting the corpus
+    fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # one cheap count pass to size the sample fraction -- strictly
+    # cheaper than any iterative distributed fit
     total = fit_input.count()
     if total > cap:
         fit_input = fit_input.sample(
             withReplacement=False, fraction=min(1.0, 1.2 * cap / total), seed=seed
         ).limit(cap)
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
-                predictionCol="_cell")
-    model = km.fit(fit_input)
-    assigned = model.transform(corpus_vec).select("neighbor_id", "_cvec", "_cell")
+    sample = [r["v"] for r in fit_input.collect()]  # bounded by cap
+    centers = _kmeans_numpy(sample, n_clusters, seed)
 
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    def _center_lit(c) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    def _sqdist(vec, c) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                vec, _center_lit(c), lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # nearest-centroid assignment as one codegen'd expression: argmin
+    # via array_min over (dist, cell) structs -- the distance array is
+    # referenced ONCE, so CollapseProject cannot double-evaluate the
+    # n_clusters constant-vector distances
+    dists = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col("_cvec"), c).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("_cell", F.array_min(dists)["i"])
+
     centers_df = corpus.sparkSession.createDataFrame(
-        centers, ["_cell", "_center"]
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        ["_cell", "_center"],
     )
 
     q = queries.select(
