@@ -87,6 +87,7 @@ def read_topic_stream(
     use_spark_avro_jar: bool = False,
     registry=None,
     subject: str | None = None,
+    envelope: str = "flat",
     kafka_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of decoded topic records + ``event_time``.
@@ -98,6 +99,11 @@ def read_topic_stream(
     Pass ``registry`` (serde/registry.py) to resolve the value schema
     from ``subject`` (default ``{topic}-value``) at startup instead of
     supplying ``avro_schema_json`` directly.
+
+    ``envelope="debezium"`` unwraps raw Debezium CDC envelopes
+    in-engine (S5; sources/debezium.py) for deployments without the
+    ExtractNewRecordState SMT the reference assumes upstream --
+    JSON envelopes only (Connect's JSON converter).
     """
     if registry is not None and avro_schema_json is None:
         _, avro_schema_json = registry.latest(subject or f"{topic}-value")
@@ -112,7 +118,18 @@ def read_topic_stream(
         reader = reader.option(k, v)
     raw = reader.load()
 
-    flat = decode_topic_values(
-        raw, schema, wire_format, avro_schema_json, use_spark_avro_jar
-    )
+    if envelope == "debezium":
+        if wire_format != "json":
+            raise ValueError("debezium envelope decoding supports json values")
+        from nearscan_kafka_streams_spark.sources.debezium import (
+            decode_debezium_values,
+        )
+
+        flat = decode_debezium_values(raw, schema)
+    elif envelope == "flat":
+        flat = decode_topic_values(
+            raw, schema, wire_format, avro_schema_json, use_spark_avro_jar
+        )
+    else:
+        raise ValueError(f"unknown envelope: {envelope}")
     return with_event_time(flat, event_time_source)
