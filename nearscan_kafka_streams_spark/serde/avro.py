@@ -30,7 +30,6 @@ import struct as _struct
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution
 
-from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -257,8 +256,14 @@ def schema_get(schema, key, default=None):
     return schema.get(key, default) if isinstance(schema, dict) else default
 
 
+# scaleb rounds at the ambient context precision (default 28 digits) --
+# silently corrupting 29+-digit yocto amounts; always scale at a
+# precision wider than the 45-digit wire decimals
+_DEC_CTX = decimal.Context(prec=99)
+
+
 def _decimal_to_bytes(value, scale: int) -> bytes:
-    unscaled = int(decimal.Decimal(value).scaleb(scale))
+    unscaled = int(decimal.Decimal(value).scaleb(scale, context=_DEC_CTX))
     # minimal two's complement, byte-identical to Java
     # BigInteger.toByteArray (what Connect's Decimal serializer emits)
     bl = unscaled.bit_length() if unscaled >= 0 else (-unscaled - 1).bit_length()
@@ -267,7 +272,7 @@ def _decimal_to_bytes(value, scale: int) -> bytes:
 
 def _bytes_to_decimal(raw: bytes, scale: int) -> decimal.Decimal:
     unscaled = int.from_bytes(raw, "big", signed=True)
-    return decimal.Decimal(unscaled).scaleb(-scale)
+    return decimal.Decimal(unscaled).scaleb(-scale, context=_DEC_CTX)
 
 
 # ------------------------------------------------- Confluent wire format
@@ -281,16 +286,6 @@ def confluent_unframe(data: bytes) -> tuple[int, bytes]:
     if not data or data[0:1] != CONFLUENT_MAGIC:
         raise ValueError("not Confluent wire format (bad magic byte)")
     return int.from_bytes(data[1:5], "big"), data[5:]
-
-
-def strip_confluent_header(col: Column) -> Column:
-    """JVM-side header strip (visible in the plan as a substring)."""
-    return F.expr(f"substring({_col_sql(col)}, 6, length({_col_sql(col)}) - 5)")
-
-
-def _col_sql(col: Column) -> str:
-    # Column -> SQL identifier; callers pass simple named columns
-    return col._jc.toString() if hasattr(col, "_jc") else str(col)
 
 
 # -------------------------------------- StructType -> Avro value schema
@@ -385,7 +380,8 @@ def decode_confluent_udf(
             rows.append([rec.get(n) for n in names])
         pdf = pd.DataFrame(rows, columns=names)
         for c in int_cols:
-            pdf[c] = pdf[c].astype("int32")
+            # nullable Int32: plain int32 raises on None (null unions)
+            pdf[c] = pdf[c].astype("Int32")
         return pdf
 
     # pandas_udf needs a live session to resolve the return type; built

@@ -327,3 +327,45 @@ def test_static_registry_resolves_subjects():
     sid, sch = reg.latest("t-value")
     assert sid == 5 and reg.by_id(5) == sch
     assert json.loads(sch)["fields"][0]["name"] == "receipt_id"
+
+
+def test_codec_property_roundtrip():
+    """Property-based: arbitrary values of the receipts value schema
+    (unicode strings, full int range, 45-digit signed decimals,
+    null/present unions) survive encode->decode bit-exactly."""
+    import decimal as _dec
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    codec = AvroCodec(avro_value_schema("execution_outcomes"))
+    dec45 = st.integers(
+        min_value=-(10**45) + 1, max_value=10**45 - 1
+    ).map(lambda n: _dec.Decimal(n))
+    dec20 = st.integers(min_value=0, max_value=10**20 - 1).map(
+        lambda n: _dec.Decimal(n)
+    )
+    text = st.text(max_size=50)
+    rows = st.fixed_dictionaries(
+        {
+            "receipt_id": text,
+            "executed_in_block_hash": text,
+            "executed_in_block_timestamp": dec20,
+            "index_in_chunk": st.integers(-(2**31), 2**31 - 1),
+            "gas_burnt": dec20,
+            "tokens_burnt": dec45,
+            "executor_account_id": text,
+            "status": st.sampled_from(
+                ["UNKNOWN", "FAILURE", "SUCCESS_VALUE", "SUCCESS_RECEIPT_ID"]
+            ),
+            "shard_id": dec20,
+            "__deleted": st.one_of(st.none(), text),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows)
+    def check(row):
+        assert codec.decode(codec.encode(row)) == row
+
+    check()
