@@ -237,6 +237,67 @@ def jaccard_similarity_join(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the (undirected) near-dup pair graph:
+    (node, component) where component = min node id in the component.
+
+    The step AFTER pair generation in a dedup pipeline -- clusters pick
+    one canonical document (min id) and drop the rest.
+
+    Algorithm: min-label propagation.  Each iteration joins the current
+    labels across edges and keeps the per-node min of (own label,
+    neighbor labels); converges in O(graph diameter) iterations --
+    near-dup clusters are dense, so diameter is small.  Each iteration
+    is one equi-join + one aggregation, both hash-partitioned on the
+    node id; the driver only checks a changed-row COUNT per iteration
+    (no data is collected).  For adversarially long chains at huge
+    scale, switch to the large-star/small-star variant (same join
+    shape, provably O(log n) rounds).
+    """
+    und = edges.select(
+        F.col(left_col).alias("a"), F.col(right_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
+    )
+    und = _persist_tracked(und)
+    labels = _persist_tracked(
+        und.select(F.col("a").alias("node")).distinct().withColumn(
+            "component", F.col("node")
+        )
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = _persist_tracked(
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")
+
+
 def minhash_signature(shingle_hashes: F.Column, num_hashes: int = 64) -> F.Column:
     """MinHash signature: per permutation i, min over shingles of
     xxhash64(shingle_hash, i) -- a seeded-rehash family.

@@ -962,6 +962,52 @@ FROM p WHERE 5 * inter_size >= 4 * (la + lb - inter_size)
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (min-label propagation)
+    over the exact Jaccard>=0.8 pair graph -- the step that picks one
+    canonical doc per duplicate group.  Oracle: DuckDB recursive CTE
+    computing reachability min-labels over the identical edge set."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    edges = jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, greatest(length(t) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         length(list_intersect(a.grams, b.grams)) AS i,
+         length(a.grams) AS la, length(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+e AS (
+  SELECT left_id AS a, right_id AS b FROM p WHERE 5 * i >= 4 * (la + lb - i)
+  UNION ALL
+  SELECT right_id, left_id FROM p WHERE 5 * i >= 4 * (la + lb - i)
+),
+reach(node, label) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label) AS component
+FROM reach GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3."""
     d = _t(spark, sf_dir, "documents")
@@ -1178,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_bruteforce_cosine": ann_bruteforce_cosine,
@@ -1222,6 +1269,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": FINGERPRINT_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "ann_bruteforce_cosine": ANN_BRUTEFORCE_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,

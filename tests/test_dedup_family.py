@@ -203,3 +203,24 @@ def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
             if 5 * inter >= 4 * uni:
                 want.add((i, j, inter, uni))
     assert want and got == want
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, and isolated pair resolve to min-id labels
+    regardless of edge order/partitioning."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+        release_cached,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+        ["left_id", "right_id"],
+    ).repartition(7)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    release_cached()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
