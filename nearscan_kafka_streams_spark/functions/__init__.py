@@ -8,8 +8,9 @@ training-data-pipeline operators the north star asks for:
 - ``text``       -- language id, quality scoring, token counting,
                     document fingerprinting
 - ``dedup``      -- exact, MinHash+LSH, SimHash, n-gram Jaccard,
-                    embedding-cosine near-dup
-- ``similarity`` -- brute-force and LSH-bucketed cosine top-k ANN
+                    embedding-cosine near-dup, exact AllPairs
+                    set-similarity join, connected-components clustering
+- ``similarity`` -- brute-force, LSH-bucketed and IVF cosine top-k ANN
 - ``multimodal`` -- opaque binary columns + typed metadata plumbing
 
 All hot paths are built-in column expressions (JVM-side, whole-stage

@@ -292,6 +292,14 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # the count above materialized new_labels; the superseded
+        # iteration's labels can release executor storage immediately
+        # (otherwise a deep graph holds O(iterations x nodes) cached)
+        try:
+            labels.unpersist()
+            _CACHED.remove(labels)
+        except ValueError:
+            pass
         labels = new_labels
         if changed == 0:
             break

@@ -7,10 +7,22 @@ and driver use (the reference has no file sources -- SURVEY (S)2.1
 "Absent" row -- they are free in Spark).
 """
 
+from nearscan_kafka_streams_spark.sources.debezium import (
+    decode_debezium_values,
+)
 from nearscan_kafka_streams_spark.sources.files import (
     read_fixture_stream,
     read_table,
 )
-from nearscan_kafka_streams_spark.sources.kafka import read_topic_stream
+from nearscan_kafka_streams_spark.sources.kafka import (
+    decode_topic_values,
+    read_topic_stream,
+)
 
-__all__ = ["read_fixture_stream", "read_table", "read_topic_stream"]
+__all__ = [
+    "decode_debezium_values",
+    "decode_topic_values",
+    "read_fixture_stream",
+    "read_table",
+    "read_topic_stream",
+]

@@ -1,6 +1,7 @@
+from nearscan_kafka_streams_spark.streaming.metrics import ProgressCapture
 from nearscan_kafka_streams_spark.streaming.pipeline import (
     build_streaming_transfers,
     run_fixture_pipeline,
 )
 
-__all__ = ["build_streaming_transfers", "run_fixture_pipeline"]
+__all__ = ["ProgressCapture", "build_streaming_transfers", "run_fixture_pipeline"]
