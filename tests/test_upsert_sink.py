@@ -143,3 +143,33 @@ def test_dedupe_latest_deterministic(spark):
     out = dedupe_latest(df, "k", ["ord", "v"]).collect()
     assert len(out) == 1
     assert out[0]["v"] == 3
+
+
+def test_upsert_randomized_batches_match_dict_semantics(spark, tmp_path):
+    """Many seeded random micro-batches: the bucketed store must equal
+    plain last-writer-wins dict semantics (order_cols tie-break)."""
+    import random
+
+    rng = random.Random(11)
+    target = str(tmp_path / "balances_rand")
+    upsert = foreach_batch_upsert(
+        "account", target, order_cols=["ts"], num_buckets=8
+    )
+    expect: dict[str, tuple] = {}
+    for batch_id in range(12):
+        rows = [
+            (f"k{rng.randrange(30)}", rng.randrange(1000), batch_id * 100 + i)
+            for i in range(rng.randrange(1, 12))
+        ]
+        for acct, bal, ts in rows:
+            # within-batch and cross-batch: highest ts wins per key
+            if acct not in expect or ts >= expect[acct][1]:
+                expect[acct] = (bal, ts)
+        upsert(
+            spark.createDataFrame(rows, ["account", "balance", "ts"]), batch_id
+        )
+    got = {
+        r["account"]: (r["balance"], r["ts"])
+        for r in read_store(spark, target).collect()
+    }
+    assert got == expect
