@@ -892,6 +892,26 @@ FROM documents
 """
 
 
+def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling -- the reproducible train/val
+    split a training pipeline needs (TABLESAMPLE is nondeterministic
+    across engines/runs; hashing the key is the standard fix).  Keeps
+    rows whose md5(event_id) first hex nibble is 0-3 (~25%); the
+    predicate is a narrow scan-side filter, no shuffle."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select("event_id", "user_id", "event_type")
+
+
+HASH_SAMPLE_SQL = """
+SELECT event_id, user_id, event_type FROM events
+WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: deduplication family
 # --------------------------------------------------------------------------
@@ -1221,6 +1241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "hash_sample_events": hash_sample_events,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1267,6 +1288,7 @@ ORACLES: dict[str, str] = {
     "text_quality_score": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "hash_sample_events": HASH_SAMPLE_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
