@@ -912,6 +912,145 @@ WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
 """
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition -- the actual 100 TB training-data job:
+
+      lang-id filter (en) -> quality filter (rounded score >= 0.5)
+      -> exact dedup (min doc_id per normalized content)
+      -> near-dup collapse (exact Jaccard >= 0.8 edges -> connected
+         components -> keep each cluster's min-id representative)
+      -> deterministic train/val split (md5 nibble of doc_id)
+
+    One declarative plan; every stage is individually oracle-checked
+    elsewhere, and the composition itself hash-matches a single DuckDB
+    query.  Filters stay scan-side; shuffles touch only (hash, id)
+    columns and the survivor subset's shingles."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+    )
+    from nearscan_kafka_streams_spark.functions.text import (
+        lang_id,
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("lang"),
+        # same epsilon-then-round as text_quality_score: the FILTER
+        # compares rounded values, identical in both engines
+        F.round(quality_score(F.col("text")) + F.lit(1e-9), 6).alias("quality"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    exact_reps = (
+        kept.select(F.md5(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = kept.join(exact_reps, "doc_id")
+
+    edges = jaccard_similarity_join(
+        survivors.select("doc_id", "text"), threshold=0.8, broadcast_verify=True
+    )
+    comps = connected_components(edges)
+    non_reps = comps.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = survivors.join(non_reps, "doc_id", "left_anti")
+
+    split = (
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            ),
+            F.lit("val"),
+        ).otherwise(F.lit("train"))
+    )
+    return final.select("doc_id", "lang", "quality", split.alias("split"))
+
+
+CORPUS_CLEAN_SQL = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) END AS punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, n_tok, punct,
+         CASE WHEN n_tok = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x IN {_SW_EN}))
+                   / CAST(n_tok AS DOUBLE) END AS swr
+  FROM t
+), scored AS (
+  SELECT doc_id, text,
+         round(0.4 * least(1.0, length(text) / 500.0)
+             + 0.3 * (1.0 - punct)
+             + 0.3 * least(1.0, swr * 5.0) + 0.000000001, 6) AS quality
+  FROM s
+), hits AS (
+  SELECT doc_id,
+         {_lang_hits_sql('en')} AS en, {_lang_hits_sql('de')} AS de,
+         {_lang_hits_sql('fr')} AS fr, {_lang_hits_sql('es')} AS es
+  FROM documents
+), langs AS (
+  SELECT doc_id,
+         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS lang
+  FROM hits
+), kept AS (
+  SELECT sc.doc_id, sc.text, sc.quality, l.lang
+  FROM scored sc JOIN langs l USING (doc_id)
+  WHERE l.lang = 'en' AND sc.quality >= 0.5
+), exact_rep AS (
+  SELECT min(doc_id) AS doc_id FROM kept
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), survivors AS (
+  SELECT k.* FROM kept k JOIN exact_rep USING (doc_id)
+), g AS (
+  SELECT doc_id,
+         list_distinct([substring(nt, i, 3)
+                        for i in range(1, greatest(length(nt) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM survivors)
+), p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         length(list_intersect(a.grams, b.grams)) AS i,
+         length(a.grams) AS la, length(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+), e AS (
+  SELECT left_id AS a, right_id AS b FROM p WHERE 5 * i >= 4 * (la + lb - i)
+  UNION ALL
+  SELECT right_id, left_id FROM p WHERE 5 * i >= 4 * (la + lb - i)
+), reach(node, label) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+), drop_ids AS (
+  SELECT node AS doc_id FROM comp WHERE component <> node
+)
+SELECT sv.doc_id, sv.lang, sv.quality,
+       CASE WHEN substring(md5(CAST(sv.doc_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3')
+            THEN 'val' ELSE 'train' END AS split
+FROM survivors sv LEFT JOIN drop_ids di ON sv.doc_id = di.doc_id
+WHERE di.doc_id IS NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: deduplication family
 # --------------------------------------------------------------------------
@@ -1242,6 +1381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "hash_sample_events": hash_sample_events,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1289,6 +1429,7 @@ ORACLES: dict[str, str] = {
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
+    "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
