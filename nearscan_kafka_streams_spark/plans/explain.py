@@ -51,6 +51,14 @@ def plan_summary(df: DataFrame) -> dict:
 
     Counts what matters at scale: join strategies, exchanges (each is a
     shuffle), pushed filters, codegen coverage, Python-eval nodes.
+
+    NB: under AQE the pre-execution formatted plan reports
+    ``AdaptiveSparkPlan isFinalPlan=false`` -- codegen spans only
+    appear in the post-execution final plan, so ``wholestage_codegen``
+    is 0 for adaptive plans here; it is kept because it is stable
+    round-over-round (the diff signal), not an absolute coverage
+    metric.  ``python_eval`` and join/exchange/scan counts ARE visible
+    pre-execution.
     """
     plan = formatted_plan(df)
 
