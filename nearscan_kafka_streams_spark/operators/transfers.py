@@ -227,7 +227,9 @@ def extract_transfers(
     ).rlike(r"^-?[0-9]{39,}$")
     exploded = exploded.observe(
         observation if observation is not None else "transfer_legs",
-        F.count(F.lit(1)).alias("emitted_legs"),
+        # exploded = every flat-mapped leg BEFORE the drop filter;
+        # legs actually emitted downstream = exploded - dropped
+        F.count(F.lit(1)).alias("exploded_legs"),
         F.sum(dropped.cast("long")).alias("dropped_legs"),
         F.sum(overflow.cast("long")).alias("overflow_dropped_legs"),
     )

@@ -65,6 +65,12 @@ def plan_summary(df: DataFrame) -> dict:
     def n(pat: str) -> int:
         return len(re.findall(pat, plan))
 
+    pushed = [
+        s.strip()
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
+        for s in m.group(1).split(",")
+        if s.strip()
+    ]
     return {
         "broadcast_hash_join": n(r"BroadcastHashJoin"),
         "sort_merge_join": n(r"SortMergeJoin"),
@@ -72,7 +78,7 @@ def plan_summary(df: DataFrame) -> dict:
         "nested_loop_join": n(r"BroadcastNestedLoopJoin|CartesianProduct"),
         "exchanges": n(r"\bExchange\b"),
         "scans": n(r"Scan parquet"),
-        "pushed_filters": len(pushed_filters(df)),
+        "pushed_filters": len(pushed),
         "wholestage_codegen": n(r"WholeStageCodegen"),
         "python_eval": n(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas"),
     }

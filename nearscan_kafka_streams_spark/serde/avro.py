@@ -132,6 +132,10 @@ class AvroCodec:
         t = schema if isinstance(schema, str) else schema["type"]
         if t == "null":
             return
+        if value is None:
+            # a None reaching a non-null branch would serialize as the
+            # string "None" / false -- corrupt frames; fail encode-time
+            raise ValueError(f"cannot encode None as avro type {t!r}")
         if t == "boolean":
             out.append(1 if value else 0)
         elif t in ("int", "long"):
@@ -357,7 +361,7 @@ def decode_confluent_udf(
     """
     codec = AvroCodec(avro_schema)
     caps = {
-        f_.name: f_.dataType.precision
+        f_.name: (f_.dataType.precision, f_.dataType.scale)
         for f_ in spark_schema.fields
         if isinstance(f_.dataType, DecimalType)
     }
@@ -373,9 +377,14 @@ def decode_confluent_udf(
         for blob in s:
             body = confluent_unframe(bytes(blob))[1] if framed else bytes(blob)
             rec = codec.decode(body)
-            for col, cap in caps.items():
+            for col, (prec, scale) in caps.items():
                 v = rec.get(col)
-                if v is not None and len(str(abs(int(v)))) > cap:
+                if v is None:
+                    continue
+                # precision = digits of the UNSCALED value (int digits
+                # alone would under-reject fractional decimals)
+                unscaled = abs(int(decimal.Decimal(v).scaleb(scale, _DEC_CTX)))
+                if len(str(unscaled)) > prec:
                     rec[col] = None
             rows.append([rec.get(n) for n in names])
         pdf = pd.DataFrame(rows, columns=names)

@@ -369,3 +369,13 @@ def test_codec_property_roundtrip():
         assert codec.decode(codec.encode(row)) == row
 
     check()
+
+
+def test_encode_none_for_non_nullable_field_raises():
+    """None reaching a non-null schema branch must fail encode-time,
+    not serialize the string "None" into the frame."""
+    codec = AvroCodec(avro_value_schema("receipts"))
+    row = dict(SAMPLE_ROWS["receipts"])
+    row["receipt_id"] = None  # non-nullable string field
+    with pytest.raises(ValueError, match="None"):
+        codec.encode(row)

@@ -87,4 +87,4 @@ def test_overflow_amount_dropped_but_observed(spark):
     m = obs.get
     assert m["overflow_dropped_legs"] == 1
     assert m["dropped_legs"] >= 1
-    assert m["emitted_legs"] > 0
+    assert m["exploded_legs"] > m["dropped_legs"]
