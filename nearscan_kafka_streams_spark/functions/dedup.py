@@ -68,13 +68,17 @@ def _spread(df: DataFrame) -> DataFrame:
     this is a no-op -- no shuffle is added."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        splits = len(df.inputFiles())  # no RDD conversion for file scans
+        files = len(df.inputFiles())
     except Exception:
-        splits = 0
-    if splits == 0:
-        # in-memory inputs (tests): fall back to the RDD partition count
-        splits = df.rdd.getNumPartitions()
-    if splits < target:
+        files = 0
+    if files >= target:
+        # file count lower-bounds scan splits: enough parallelism, and
+        # no RDD conversion needed for the common big-corpus case
+        return df
+    # few/zero files: the scan may still split large files into many
+    # partitions -- ask the RDD for the real count before shuffling
+    # (a plan conversion, not a job; only reached for small inputs)
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -258,6 +262,16 @@ def connected_components(
     (no data is collected).  For adversarially long chains at huge
     scale, switch to the large-star/small-star variant (same join
     shape, provably O(log n) rounds).
+
+    Each iteration's labels are cut off from their lineage with an
+    eager ``localCheckpoint`` -- ``persist`` alone keeps the full
+    logical plan, which references the previous labels TWICE per
+    iteration (neighbor join + change count) and therefore doubles in
+    size every round; a 10-iteration run builds a gigabyte-scale plan
+    string and OOMs the driver long before any data problem.  This is
+    the standard Spark pattern for iterative algorithms (GraphX and
+    MLlib checkpoint the same way).  Superseded checkpoint blocks are
+    released by the ContextCleaner when the old DataFrame is GC'd.
     """
     und = edges.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
@@ -265,10 +279,13 @@ def connected_components(
         edges.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
     )
     und = _persist_tracked(und)
-    labels = _persist_tracked(
-        und.select(F.col("a").alias("node")).distinct().withColumn(
-            "component", F.col("node")
-        )
+    # eager localCheckpoint: materializes AND truncates lineage (persist
+    # does not -- see docstring)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -277,7 +294,7 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("_nbr"))
         )
-        new_labels = _persist_tracked(
+        new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -285,6 +302,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -292,18 +310,112 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        # the count above materialized new_labels; the superseded
-        # iteration's labels can release executor storage immediately
-        # (otherwise a deep graph holds O(iterations x nodes) cached)
-        try:
-            labels.unpersist()
-            _CACHED.remove(labels)
-        except ValueError:
-            pass
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently-wrong labels would split true components and poison
+        # downstream dedup; surface non-convergence instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter); raise "
+            "max_iter or switch to the large-star/small-star variant"
+        )
     return labels.select("node", "component")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds: (node, component) with component = min node id, same
+    contract as :func:`connected_components`.
+
+    The scale path for adversarial graphs: min-label propagation needs
+    O(diameter) rounds (a 1M-long chain needs 1M joins), while the
+    alternating-star algorithm provably converges in O(log n) rounds
+    regardless of shape (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 -- public algorithm, re-expressed
+    here as DataFrame joins).  Per round:
+
+    * large-star: for every node u, link each neighbor v > u to
+      m(u) = min(neighbors(u) + [u]) -- one groupBy + one equi-join.
+    * small-star: orient edges large->small, link each smaller
+      neighbor (and u itself) to the minimum -- same shape.
+
+    Both phases only shuffle on the node id; no phase ever materializes
+    a neighborhood larger than the input degree.  Rounds are cut from
+    their lineage with eager ``localCheckpoint`` (see
+    :func:`connected_components`).  Convergence = two consecutive
+    rounds with identical (edge count, xxhash64 bit_xor) signature --
+    one tiny aggregate per round instead of a full set-difference join;
+    a 64-bit signature collision masking a real change is ~2^-64.
+
+    Ref parity note: the reference engine has no graph step at all
+    (dedup is the repo's north-star extension); cited for scale design
+    only.
+    """
+    e = (
+        edges.select(F.col(left_col).alias("u"), F.col(right_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .localCheckpoint()
+    )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("_mn", "u").alias("m"))
+        large = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # bit_xor, not sum: order-insensitive over the distinct edge
+        # set and cannot overflow under ANSI mode
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        sig = (row["n"], row["h"])
+        e = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; the alternating-star algorithm needs O(log n) -- "
+            "this indicates a bug or an absurd max_iter"
+        )
+    # converged: e is a star forest -- every non-root points at its
+    # component min.  Anchor on the ORIGINAL endpoints so self-loop-only
+    # nodes still appear (as their own singleton component), matching
+    # connected_components' node coverage exactly.
+    nodes = (
+        edges.select(F.col(left_col).alias("node"))
+        .unionByName(edges.select(F.col(right_col).alias("node")))
+        .distinct()
+    )
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
 
 
 def minhash_signature(shingle_hashes: F.Column, num_hashes: int = 64) -> F.Column:

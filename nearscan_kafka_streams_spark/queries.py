@@ -35,7 +35,6 @@ from pyspark.sql.window import Window
 from nearscan_kafka_streams_spark.functions.dedup import (
     jaccard_similarity_join,
     minhash_lsh_candidates,
-    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from nearscan_kafka_streams_spark.functions.multimodal import (
@@ -1137,6 +1136,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as ``dedup_clusters`` via the alternating
+    large-star/small-star algorithm -- O(log n) rounds instead of
+    O(diameter), the variant that survives adversarial chain-shaped
+    duplicate graphs at 100 TB.  Shares the recursive-CTE oracle with
+    ``dedup_clusters``: both must produce identical (doc_id, component)
+    labels."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components_star,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    edges = jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+    return connected_components_star(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 DEDUP_CLUSTERS_SQL = r"""
 WITH RECURSIVE g AS (
   SELECT doc_id,
@@ -1386,6 +1403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_bruteforce_cosine": ann_bruteforce_cosine,
@@ -1433,6 +1451,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "ann_bruteforce_cosine": ANN_BRUTEFORCE_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,

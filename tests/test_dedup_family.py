@@ -224,3 +224,96 @@ def test_connected_components_known_graph(spark):
     }
     release_cached()
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter must raise, never return split
+    (silently wrong) components."""
+    import pytest as _pytest
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+        release_cached,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["left_id", "right_id"]
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    release_cached()
+    # and with enough iterations the same chain is one component
+    got = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    release_cached()
+    assert set(got.values()) == {0} and len(got) == 9
+
+
+def test_connected_components_star_known_graph(spark):
+    """Alternating-star CC must produce the identical min-labels as
+    label propagation on the shared known graph."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components_star,
+        release_cached,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        ["left_id", "right_id"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    release_cached()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_star_logarithmic_rounds(spark):
+    """A 65-node chain: label propagation needs ~64 rounds (raises at
+    max_iter=10); the star variant converges within 10 -- the O(log n)
+    guarantee this variant exists for."""
+    import pytest as _pytest
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+        release_cached,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["left_id", "right_id"]
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=10)
+    release_cached()
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain, max_iter=10).collect()
+    }
+    release_cached()
+    assert set(got.values()) == {0} and len(got) == 65
+
+
+def test_connected_components_star_matches_propagation_random(spark):
+    """Star and propagation must agree label-for-label on a seeded
+    random graph (includes singleton self-loop nodes)."""
+    import random
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+        release_cached,
+    )
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    pairs.append((99, 99))  # self-loop-only node: singleton component
+    edges = spark.createDataFrame(pairs, ["left_id", "right_id"])
+    a = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    release_cached()
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    release_cached()
+    assert a == b
