@@ -12,12 +12,14 @@ has a DuckDB oracle (driver t2 gate):
 - ``quality_score``   -- length / punctuation / stopword-ratio heuristic
 - ``lang_id``         -- stopword-hit heuristic over a small language table
 - ``fingerprint``     -- 64-bit content fingerprint of normalized text
+- ``repetition_profile`` -- Gopher-style word/bigram repetition counters
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny per-language stopword inventories for the heuristic language id;
 # chosen to be disjoint enough for headline languages
@@ -109,6 +111,83 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(is_better, hits).otherwise(best_hits)
     return best_lang
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition counters: the quality signals behind the
+    Gopher/MassiveText repetition filters (Rae et al. 2021, public) --
+    heavily repeated content is the single strongest boilerplate/spam
+    indicator in web-scale training corpora.
+
+    Returns one row per input row:
+
+    - ``n_words``          total whitespace words
+    - ``n_distinct_words`` distinct words (dup-word fraction =
+      1 - distinct/total, left to the caller)
+    - ``max_run_len``      longest run of consecutive identical words
+    - ``top_bigram_count`` occurrences of the most frequent word bigram
+      (0 when fewer than 2 words)
+
+    All counters are INTEGERS so the DuckDB oracle matches exactly (no
+    float-division rounding hazards).  Scale shape: the distinct/total
+    counters are per-row array expressions (codegen, no shuffle); runs
+    and bigrams explode words once and aggregate keyed on the doc id --
+    map-side partial aggregation collapses each doc's bigrams before
+    the exchange, so the shuffle carries ~distinct-bigrams-per-doc, not
+    words.  No driver data pulls.
+    """
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "), " "
+    )
+    base = df.select(F.col(id_col), words.alias("_w")).select(
+        id_col,
+        F.size("_w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("_w")).cast("long").alias("n_distinct_words"),
+    )
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(words).alias("_pos", "_word")
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    seq = exploded.select(
+        id_col,
+        "_pos",
+        "_word",
+        F.lead("_word").over(win).alias("_nxt"),
+        # run boundary: first word of the doc or a word change
+        F.coalesce(
+            (F.col("_word") != F.lag("_word").over(win)).cast("int"), F.lit(1)
+        ).alias("_chg"),
+    ).withColumn("_run_id", F.sum("_chg").over(win))
+
+    runs = (
+        seq.groupBy(id_col, "_run_id")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy(id_col)
+        .agg(F.max("_len").alias("max_run_len"))
+    )
+    bigrams = (
+        seq.where(F.col("_nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "_word", "_nxt").alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top_bigram_count"))
+    )
+
+    return (
+        base.join(runs, id_col, "left")
+        .join(bigrams, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            F.coalesce("max_run_len", F.lit(0)).alias("max_run_len"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+    )
 
 
 def fingerprint(text: Column) -> Column:

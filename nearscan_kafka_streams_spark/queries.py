@@ -891,6 +891,129 @@ FROM documents
 """
 
 
+def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status x priority, one column per
+    priority.  Explicit pivot values -- Spark then skips the extra
+    distinct-values job AND the output schema is deterministic (an
+    inferred pivot is a full scan + nondeterministic column order, both
+    wrong at scale).  Plan: single hash aggregate keyed on
+    o_orderstatus; pivot cells are map-side partial counts."""
+    o = _t(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = o.groupBy("o_orderstatus").pivot("o_orderpriority", pri).count()
+    renames = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    return out.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{src}`"), F.lit(0)).cast("long").alias(dst)
+            for src, dst in renames.items()
+        ],
+    )
+
+
+PIVOT_ORDERS_SQL = r"""
+SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles (p25/p50/p75 of customer
+    balance per nation) -- complements the approx sketches entry.
+    ``F.percentile`` is the exact JVM aggregate: per-group sort of the
+    group's values only (not a global sort), partial-aggregated before
+    the exchange.  Exactness costs memory proportional to the largest
+    group; at 100 TB prefer ``approx_percentile`` unless the gate needs
+    bit-exact quantiles."""
+    c = _t(spark, sf_dir, "customer")
+    v = F.col("c_acctbal").cast("double")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.percentile(v, 0.25).alias("p25"),
+        F.percentile(v, 0.5).alias("p50"),
+        F.percentile(v, 0.75).alias("p75"),
+    )
+
+
+PERCENTILE_SQL = r"""
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75) AS p75
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition counters per document (dup words,
+    longest identical-word run, top bigram count) -- the boilerplate/
+    spam quality signals of web-scale corpus cleaning.  All-integer
+    output so the oracle matches exactly."""
+    from nearscan_kafka_streams_spark.functions.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+TEXT_REPETITION_SQL = r"""
+WITH ws AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct_words
+  FROM ws
+), words AS (
+  SELECT doc_id,
+         unnest(w) AS word,
+         generate_subscripts(w, 1) AS pos
+  FROM ws
+), seq AS (
+  SELECT doc_id, pos, word,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+         coalesce(CAST(word != lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS INT), 1) AS chg
+  FROM words
+), runs0 AS (
+  SELECT doc_id, word,
+         sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM seq
+), runs AS (
+  SELECT doc_id, max(run_len) AS max_run_len
+  FROM (SELECT doc_id, run_id, count(*) AS run_len
+        FROM runs0 GROUP BY doc_id, run_id)
+  GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, max(c) AS top_bigram_count
+  FROM (SELECT doc_id, word || ' ' || nxt AS bg, count(*) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_words,
+       b.n_distinct_words,
+       coalesce(r.max_run_len, 0) AS max_run_len,
+       coalesce(g.top_bigram_count, 0) AS top_bigram_count
+FROM base b
+LEFT JOIN runs r ON b.doc_id = r.doc_id
+LEFT JOIN bigrams g ON b.doc_id = g.doc_id
+"""
+
+
 def hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based sampling -- the reproducible train/val
     split a training pipeline needs (TABLESAMPLE is nondeterministic
@@ -1377,6 +1500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lag_events": window_lag_events,
     "set_ops_customers": set_ops_customers,
     "rollup_region_nation": rollup_region_nation,
+    "pivot_orders": pivot_orders,
+    "percentile_acctbal": percentile_acctbal,
     "having_big_customers": having_big_customers,
     "semi_anti_join_customers": semi_anti_join_customers,
     "exists_subquery_suppliers": exists_subquery_suppliers,
@@ -1397,6 +1522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
     "hash_sample_events": hash_sample_events,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1425,6 +1551,8 @@ ORACLES: dict[str, str] = {
     "window_lag_events": WINDOW_LAG_SQL,
     "set_ops_customers": SET_OPS_SQL,
     "rollup_region_nation": ROLLUP_SQL,
+    "pivot_orders": PIVOT_ORDERS_SQL,
+    "percentile_acctbal": PERCENTILE_SQL,
     "having_big_customers": HAVING_SQL,
     "semi_anti_join_customers": SEMI_ANTI_SQL,
     "exists_subquery_suppliers": EXISTS_SQL,
@@ -1446,6 +1574,7 @@ ORACLES: dict[str, str] = {
     "text_quality_score": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

@@ -133,3 +133,29 @@ def test_media_metadata_sha(spark):
     docs = spark.createDataFrame([(0, "hello")], ["doc_id", "text"])
     row = make_fake_media(docs).select("meta.sha_hex").collect()[0]
     assert row["sha_hex"] == hashlib.sha256(b"hello").hexdigest()
+
+
+def test_repetition_profile_known_answers(spark):
+    """Hand-computed Gopher-style repetition counters; blank text is a
+    single empty word in BOTH engines (split of '' is ['']), so no
+    special case -- upstream quality filters drop blanks first."""
+    from nearscan_kafka_streams_spark.functions.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b a b x"),  # run of 3 a's; 'a a' and 'a b' twice
+            (2, "one"),            # single word: no bigrams, run of 1
+            (3, "Tick  tock TICK tock"),  # case-fold + multi-space
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_distinct_words"],
+            r["max_run_len"], r["top_bigram_count"],
+        )
+        for r in repetition_profile(docs).collect()
+    }
+    assert got[1] == (7, 3, 3, 2)
+    assert got[2] == (1, 1, 1, 0)
+    assert got[3] == (4, 2, 1, 2)  # 'tick tock' twice
