@@ -113,6 +113,43 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+# C4/MassiveText-style scrub patterns: written to the common subset of
+# Java regex (Spark) and RE2 (DuckDB oracle) -- no backrefs, no
+# lookaround -- so both engines redact identically
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_text(
+    text: Column,
+    patterns: dict[str, str] | None = None,
+    replacement: str = "<REDACTED>",
+) -> Column:
+    """Redact every match of every pattern (applied in dict order).
+
+    The corpus-cleaning PII/deny-list scrub (C4 and MassiveText both
+    ship this step): pure ``regexp_replace`` chain, whole-stage
+    codegen, no Python.  Counts are a separate column
+    (:func:`redaction_count`) computed on the ORIGINAL text so pattern
+    order cannot hide overlapping matches from the count.
+    """
+    out = text
+    for pat in (patterns or PII_PATTERNS).values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def redaction_count(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Total matches across patterns, each counted on the original text."""
+    total = F.lit(0)
+    for pat in (patterns or PII_PATTERNS).values():
+        total = total + F.regexp_count(text, F.lit(pat))
+    return total
+
+
 def repetition_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

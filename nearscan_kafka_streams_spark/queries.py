@@ -929,6 +929,45 @@ GROUP BY o_orderstatus
 """
 
 
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII + deny-list scrub (C4/MassiveText cleaning step): redact
+    emails/phones/IPs plus deny-listed terms, count redactions on the
+    original text, fingerprint the scrubbed text.  The PII patterns
+    have no hits in the synthetic corpus (verified non-vacuously by
+    crafted-input unit tests); the deny-list terms do, so the oracle
+    exercises real redactions end-to-end."""
+    from nearscan_kafka_streams_spark.functions.text import (
+        PII_PATTERNS,
+        redaction_count,
+        scrub_text,
+    )
+
+    patterns = dict(PII_PATTERNS)
+    patterns["denylist"] = r"\b(?:customer|vector)\b"
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        redaction_count(t, patterns).cast("long").alias("n_redactions"),
+        F.md5(scrub_text(t, patterns)).alias("scrubbed_fp"),
+    )
+
+
+TEXT_SCRUB_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+     + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+     + len(regexp_extract_all(text, '\b(?:customer|vector)\b')) AS n_redactions,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<REDACTED>', 'g'),
+           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<REDACTED>', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<REDACTED>', 'g'),
+           '\b(?:customer|vector)\b', '<REDACTED>', 'g')) AS scrubbed_fp
+FROM documents
+"""
+
+
 def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT linear-interpolated percentiles (p25/p50/p75 of customer
     balance per nation) -- complements the approx sketches entry.
@@ -955,6 +994,31 @@ SELECT c_nationkey,
        quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75) AS p75
 FROM customer
 GROUP BY c_nationkey
+"""
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide metric columns -> long (metric, amount)
+    rows, the inverse of ``pivot_orders``.  ``DataFrame.unpivot`` is a
+    pure narrow projection (Expand node, no shuffle, 3x row fan-out
+    inside codegen) -- the right shape for metric-table normalization
+    at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+
+
+UNPIVOT_SQL = r"""
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+       l_extendedprice AS amount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
@@ -1502,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_region_nation": rollup_region_nation,
     "pivot_orders": pivot_orders,
     "percentile_acctbal": percentile_acctbal,
+    "unpivot_lineitem": unpivot_lineitem,
     "having_big_customers": having_big_customers,
     "semi_anti_join_customers": semi_anti_join_customers,
     "exists_subquery_suppliers": exists_subquery_suppliers,
@@ -1523,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
+    "text_scrub": text_scrub,
     "hash_sample_events": hash_sample_events,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1553,6 +1619,7 @@ ORACLES: dict[str, str] = {
     "rollup_region_nation": ROLLUP_SQL,
     "pivot_orders": PIVOT_ORDERS_SQL,
     "percentile_acctbal": PERCENTILE_SQL,
+    "unpivot_lineitem": UNPIVOT_SQL,
     "having_big_customers": HAVING_SQL,
     "semi_anti_join_customers": SEMI_ANTI_SQL,
     "exists_subquery_suppliers": EXISTS_SQL,
@@ -1575,6 +1642,7 @@ ORACLES: dict[str, str] = {
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
+    "text_scrub": TEXT_SCRUB_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

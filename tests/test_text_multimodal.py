@@ -159,3 +159,31 @@ def test_repetition_profile_known_answers(spark):
     assert got[1] == (7, 3, 3, 2)
     assert got[2] == (1, 1, 1, 0)
     assert got[3] == (4, 2, 1, 2)  # 'tick tock' twice
+
+
+def test_scrub_pii_crafted(spark):
+    """PII patterns must hit crafted emails/phones/IPs (the synthetic
+    corpus has none -- this is the non-vacuous check) and the scrub
+    must redact exactly those spans."""
+    from nearscan_kafka_streams_spark.functions.text import (
+        redaction_count,
+        scrub_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user@example.com or call 555-123-4567"),
+            (2, "server at 10.0.255.7 is fine"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = docs.select(
+        "doc_id",
+        redaction_count(F.col("text")).alias("n"),
+        scrub_text(F.col("text")).alias("s"),
+    ).collect()
+    got = {r["doc_id"]: (r["n"], r["s"]) for r in rows}
+    assert got[1] == (2, "mail <REDACTED> or call <REDACTED>")
+    assert got[2] == (1, "server at <REDACTED> is fine")
+    assert got[3] == (0, "nothing sensitive here")
