@@ -1022,6 +1022,58 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 words by frequency (deterministic
+    tie-break count desc, word asc) -- the seeding step of BPE/vocab
+    construction.  Explode -> count is ONE shuffle whose width is the
+    vocabulary (words combine map-side), then a 50-row global sort of
+    the vocab only: the corpus itself is never globally sorted."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.explode(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    ).alias("word")
+    return (
+        d.select(words)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+VOCAB_TOPK_SQL = r"""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      FROM documents)
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 50
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (128-char bins): the length-
+    distribution profile every corpus-cleaning config (min/max length
+    cutoffs) is tuned against.  Single hash aggregate on the bin id;
+    integer output."""
+    d = _t(spark, sf_dir, "documents")
+    bin_id = (F.length("text") / F.lit(128)).cast("long").alias("bin_id")
+    return (
+        d.select(bin_id)
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("bin_id", "n_docs")
+    )
+
+
+DOC_LENGTH_HIST_SQL = r"""
+SELECT CAST(floor(length(text) / 128) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY bin_id
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters per document (dup words,
     longest identical-word run, top bigram count) -- the boilerplate/
@@ -1589,6 +1641,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
     "text_scrub": text_scrub,
+    "vocab_topk": vocab_topk,
+    "doc_length_histogram": doc_length_histogram,
     "hash_sample_events": hash_sample_events,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1643,6 +1697,8 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": FINGERPRINT_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_scrub": TEXT_SCRUB_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
+    "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
