@@ -25,6 +25,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "broadcast_dim_join",
+    "pivot_orders",
+    "unpivot_lineitem",
+    "percentile_acctbal",
     "window_rank_orders",
     "running_balance_events",
     "interval_join_events",
@@ -33,6 +36,9 @@ HEADLINE = [
     "sessionize_events",
     "text_quality_score",
     "text_fingerprint",
+    "text_repetition",
+    "text_scrub",
+    "vocab_topk",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -67,3 +67,59 @@ def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
     assert got, "no windows emitted"
     for w, (n, total) in got.items():
         assert expect[w] == (n, total)
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a micro-batch stream enriched against a
+    broadcast dimension table -- the standard streaming lookup-join
+    (no state, no watermark; the dim is re-broadcast per micro-batch).
+    Every streamed row must carry the same enrichment as the batch
+    join."""
+    rows = [
+        (i, T0 + dt.timedelta(minutes=i), i % 4, "click", float(i))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    pdf = df.toPandas()
+    pdf.iloc[:12].to_json(src / "a.json", orient="records", lines=True,
+                          date_format="iso")
+    pdf.iloc[12:].to_json(src / "b.json", orient="records", lines=True,
+                          date_format="iso")
+
+    tiers = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold"), (3, "none")],
+        ["user_id", "tier"],
+    )
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    enriched = stream.join(F.broadcast(tiers), "user_id", "left").select(
+        "event_id", "user_id", "tier"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["event_id"]: (r["user_id"], r["tier"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    expect = {
+        r["event_id"]: (r["user_id"], r["tier"])
+        for r in df.join(tiers, "user_id", "left")
+        .select("event_id", "user_id", "tier")
+        .collect()
+    }
+    assert got == expect and len(got) == 24
