@@ -1022,6 +1022,50 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of orders (row/null/exact-
+    distinct counts, min/max) -- long-form, one row per column.  One
+    aggregation pass; see functions/profiling.py for the 100 TB notes
+    (approx_count_distinct switch)."""
+    from nearscan_kafka_streams_spark.functions.profiling import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
+PROFILE_ORDERS_SQL = r"""
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+       count(o_orderkey) AS n_nonnull,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(o_orderdate),
+       count(DISTINCT o_orderdate),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR),
+       CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 words by frequency (deterministic
     tie-break count desc, word asc) -- the seeding step of BPE/vocab
@@ -1643,6 +1687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_scrub": text_scrub,
     "vocab_topk": vocab_topk,
     "doc_length_histogram": doc_length_histogram,
+    "profile_orders": profile_orders,
     "hash_sample_events": hash_sample_events,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1699,6 +1744,7 @@ ORACLES: dict[str, str] = {
     "text_scrub": TEXT_SCRUB_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
+    "profile_orders": PROFILE_ORDERS_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

@@ -59,3 +59,30 @@ def test_kafka_source_reports_missing_connector(spark):
             RECEIPTS_SCHEMA,
             "included_in_block_timestamp",
         )
+
+
+def test_profile_table_nulls_and_distinct(spark):
+    """Profile counters on a crafted table with nulls (testdata has
+    none): count(col) skips nulls, countDistinct skips nulls, min/max
+    cast AFTER aggregation (numeric order, not lexicographic)."""
+    from nearscan_kafka_streams_spark.functions.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(100, "a"), (99, None), (100, "b"), (None, "b")],
+        ["k", "s"],
+    )
+    got = {
+        r["column_name"]: (
+            r["n_rows"], r["n_nonnull"], r["n_distinct"],
+            r["min_value"], r["max_value"],
+        )
+        for r in profile_table(df).collect()
+    }
+    # min 99 < 100 numerically (lexicographic would give "100" < "99")
+    assert got["k"] == (4, 3, 2, "99", "100")
+    assert got["s"] == (4, 3, 2, "a", "b")
+    approx = {
+        r["column_name"]: r["n_distinct"]
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    assert approx["k"] == 2 and approx["s"] == 2  # HLL exact at tiny n
