@@ -1,0 +1,93 @@
+"""Streaming corpus ingest: the training-data cleaning pipeline as a
+continuously-running Structured Streaming job.
+
+Batch cleaning (the ``corpus_clean_pipeline`` query) reprocesses the
+whole corpus per run; a production ingest instead watches a landing
+directory (or Kafka topic) and cleans each arriving batch exactly
+once, deduplicating ACROSS batches via streaming state:
+
+  file-stream(json docs) -> scrub -> lang/quality gate
+    -> fingerprint -> dropDuplicates(fp) -> append parquet
+
+State: one fingerprint per kept document, the streaming analog of the
+batch exact-dedup groupBy.  Unbounded by design for a corpus (identity
+set IS the product); for time-bounded retention add an ingest-time
+column and ``dropDuplicatesWithinWatermark`` exactly as the event
+pipeline does (operators/dedup.py).  At 100 TB the fingerprint state
+is 8 bytes + key overhead per doc in the state store (RocksDB-backed),
+NOT the documents themselves -- text flows through.
+
+The whole topology is stateless column expressions except the dedup,
+so throughput scales with executors; the parquet sink appends
+per-micro-batch files (compact with sinks/layout.py off-line).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from nearscan_kafka_streams_spark.functions.text import (
+    lang_id,
+    quality_score,
+    scrub_text,
+    token_count,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def clean_documents(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The cleaning column pipeline, shared verbatim between the batch
+    and streaming paths (one definition, two execution modes -- the
+    Structured Streaming contract)."""
+    t = scrub_text(F.col("text"))
+    return (
+        docs.withColumn("clean_text", t)
+        .withColumn("lang", lang_id(F.col("clean_text")))
+        .withColumn("quality", quality_score(F.col("clean_text")))
+        .withColumn("n_tokens", token_count(F.col("clean_text")))
+        .where(F.col("quality") >= F.lit(min_quality))
+        .withColumn("fp", F.xxhash64(F.col("clean_text")))
+        .select("doc_id", "clean_text", "lang", "quality", "n_tokens", "fp")
+    )
+
+
+def run_corpus_ingest(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.5,
+) -> None:
+    """Drain ``src_dir`` (JSON-lines docs) through the cleaning
+    topology into ``out_dir`` parquet, deduplicating by content
+    fingerprint across micro-batches; blocks until the available
+    input is processed (``availableNow``)."""
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    cleaned = clean_documents(stream, min_quality).dropDuplicates(["fp"])
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)

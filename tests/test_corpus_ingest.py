@@ -1,0 +1,60 @@
+"""Streaming corpus ingest: cleaning parity with the batch path and
+cross-micro-batch fingerprint dedup (the streaming training-data
+pipeline, streaming/corpus.py)."""
+
+from __future__ import annotations
+
+import json
+
+from nearscan_kafka_streams_spark.streaming.corpus import (
+    clean_documents,
+    run_corpus_ingest,
+)
+
+DOCS_A = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again", "source": "a"},
+    {"doc_id": 2, "text": "x", "source": "a"},  # low quality: dropped
+    {"doc_id": 3, "text": "the rain in spain stays mainly on the plain today", "source": "a"},
+]
+DOCS_B = [
+    # exact duplicate of doc 1 arriving in a LATER micro-batch
+    {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog again", "source": "b"},
+    {"doc_id": 5, "text": "the cat and the dog of the house is in the garden", "source": "b"},
+]
+
+
+def _write(dirpath, name, rows):
+    with open(dirpath / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    _write(src, "a.json", DOCS_A)
+    _write(src, "b.json", DOCS_B)
+
+    out = tmp_path / "corpus"
+    run_corpus_ingest(
+        spark, str(src), str(out), str(tmp_path / "ckpt"), min_quality=0.5
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+
+    # low-quality doc 2 dropped; duplicate content kept exactly once
+    assert 2 not in got
+    assert len({1, 4} & got) == 1
+    assert {3, 5} <= got
+
+    # streamed survivors == batch pipeline survivors (modulo which
+    # duplicate representative wins; compare by fingerprint set)
+    batch = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in DOCS_A + DOCS_B],
+        ["doc_id", "text", "source"],
+    )
+    batch_fps = {
+        r["fp"]
+        for r in clean_documents(batch, 0.5).dropDuplicates(["fp"]).collect()
+    }
+    stream_fps = {r["fp"] for r in spark.read.parquet(str(out)).collect()}
+    assert stream_fps == batch_fps
