@@ -1022,6 +1022,45 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into training shards of <=5000 tokens by running
+    token count -- the shard-assignment step before writing tokenized
+    data.  Uses the DISTRIBUTED prefix scan (functions/scan.py): a
+    bare ``SUM OVER (ORDER BY)`` would serialize the corpus into one
+    task; the two-pass form keeps the big table parallel (oracle: the
+    single-task SQL window, identical result)."""
+    from nearscan_kafka_streams_spark.functions.scan import global_running_sum
+    from nearscan_kafka_streams_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    run = global_running_sum(toks, "doc_id", "n_tokens", out_col="running")
+    return run.select(
+        "doc_id",
+        "n_tokens",
+        "running",
+        F.expr("(running - n_tokens) div 5000").alias("shard_id"),
+    )
+
+
+TOKEN_SHARDS_SQL = r"""
+SELECT doc_id, n_tokens, running,
+       CAST((running - n_tokens) // 5000 AS BIGINT) AS shard_id
+FROM (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+    FROM documents
+  )
+)
+"""
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style per-column profile of orders (row/null/exact-
     distinct counts, min/max) -- long-form, one row per column.  One
@@ -1688,6 +1727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": vocab_topk,
     "doc_length_histogram": doc_length_histogram,
     "profile_orders": profile_orders,
+    "token_budget_shards": token_budget_shards,
     "hash_sample_events": hash_sample_events,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1745,6 +1785,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": VOCAB_TOPK_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
+    "token_budget_shards": TOKEN_SHARDS_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

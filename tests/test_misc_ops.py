@@ -125,3 +125,28 @@ def test_write_range_clustered_prunes(spark, tmp_path):
 
     back = spark.read.parquet(out).where("k = 42")
     assert back.count() == df.where("k = 42").count()
+
+
+def test_global_running_sum_matches_window(spark):
+    """Distributed two-pass prefix scan == single-task global window,
+    and the BIG table never passes through a SinglePartition exchange
+    (only the per-partition-totals side, ~num_partitions rows, does)."""
+    from pyspark.sql.window import Window
+
+    from nearscan_kafka_streams_spark.functions.scan import global_running_sum
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id as k", "cast(pmod(id * 2654435761, 97) as long) as v"
+    )
+    got = global_running_sum(df, "k", "v", num_partitions=16)
+    expect = df.withColumn(
+        "running", F.sum("v").over(Window.orderBy("k"))
+    )
+    assert (
+        got.join(expect.withColumnRenamed("running", "r2"), "k")
+        .where("running != r2")
+        .count()
+        == 0
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
