@@ -241,6 +241,125 @@ def jaccard_similarity_join(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    stride: int = 1,
+) -> DataFrame:
+    """Substring-level duplication: every k-char span appearing in
+    MORE THAN ONE document (stride 1 = exact detection of any shared
+    run >= k chars).
+
+    Document-level dedup (exact/MinHash/SimHash) misses partial
+    overlap -- boilerplate headers, license blocks, quoted passages
+    shared across otherwise-distinct documents.  Substring dedup (the
+    suffix-array approach of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", 2021 -- public) catches it; this is
+    the shingle-table form: one row per position, hash-grouped.
+
+    ``stride > 1`` shrinks the index 1/stride but is only sound for
+    WITHIN-corpus runs that happen to be position-aligned modulo the
+    stride: two documents sample a shared run at the same relative
+    offsets only if the run starts congruent mod stride in both --
+    generic cross-doc duplicates are silently missed.  For a smaller
+    index with a real guarantee use :func:`winnowed_spans`
+    (content-defined sampling: selected positions depend on the text
+    itself, so they self-synchronize across documents).
+
+    Plan shape: explode is linear (~length rows per doc), groupBy(gram)
+    combines map-side, and only grams seen twice survive the HAVING --
+    output is the duplicated-content vocabulary, usually tiny next to
+    the corpus.  Returns (gram, n_docs, n_occurrences).
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1),"
+                f" {stride}), p -> substring({text_col}, p, {k}))"
+            )
+        ).alias("gram"),
+    ).where(F.length("gram") == k)
+    return (
+        spans.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def winnowed_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    window: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate k-char spans via WINNOWING
+    fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 -- the MOSS
+    algorithm; public).  The scale path for substring dedup: indexes
+    ~1/window of the positions :func:`duplicate_spans` does, with a
+    real guarantee naive stride sampling lacks.
+
+    Per document: hash every k-gram, then in every sliding window of
+    ``window`` consecutive hashes select the RIGHTMOST minimum --
+    selected positions are a function of the text content alone, so
+    two documents sharing a run pick the SAME spans regardless of
+    where the run sits in each (stride sampling only matches when runs
+    align modulo the stride).  Guarantee: any shared run of length
+    >= k + window - 1 contains a full hash-window, whose minimum is
+    fingerprinted identically in both documents.
+
+    All selection is IN-ROW (transform/slice/array_position higher-
+    order expressions over the gram-hash array, whole-stage codegen,
+    O(len x window) per doc); only the ~len/window selected spans
+    explode into the corpus-wide groupBy.  md5 (not xxhash64) orders
+    the minima so the DuckDB oracle selects identical positions.
+    Returns (gram, n_docs, n_occurrences) for spans in >= 2 docs.
+    """
+    n_grams = f"greatest(length({text_col}) - {k - 1}, 1)"
+    df = df.withColumn(
+        "_h",
+        F.expr(
+            f"transform(sequence(1, {n_grams}),"
+            f" p -> md5(substring({text_col}, p, {k})))"
+        ),
+    )
+    # rightmost-min per window: i + m - position_of_min_in_reversed_slice
+    # (m = actual slice size; the tail windows are shorter than `window`)
+    sel = (
+        f"array_distinct(transform("
+        f" sequence(1, greatest(size(_h) - {window - 1}, 1)),"
+        f" i -> i + size(slice(_h, i, {window}))"
+        f"        - array_position(reverse(slice(_h, i, {window})),"
+        f"                         array_min(slice(_h, i, {window})))))"
+    )
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.expr(sel)).alias("_pos"),
+        )
+        .select(
+            id_col,
+            F.expr(f"substring({text_col}, _pos, {k})").alias("gram"),
+        )
+        .where(F.length("gram") == k)
+    )
+    return (
+        spans.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     left_col: str = "left_id",

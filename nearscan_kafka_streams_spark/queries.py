@@ -1022,6 +1022,69 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: every 32-char span shared by >= 2
+    documents -- catches boilerplate/partial overlap that document-
+    level dedup misses (Lee et al. 2021 substring dedup, shingle-table
+    form; exact >= 32-char run detection)."""
+    from nearscan_kafka_streams_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+SUBSTRING_SPANS_SQL = r"""
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT doc_id, unnest([substring(text, p, 32)
+                         for p in range(1, greatest(length(text) - 31, 1) + 1)]) AS gram
+  FROM documents
+)
+WHERE length(gram) = 32
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def dedup_winnowed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprinted duplicate spans (MOSS algorithm): the
+    1/window-sized index with the self-synchronizing guarantee --
+    detects any cross-doc shared run >= k + window - 1 chars.  The
+    oracle replicates the rightmost-min selection with DuckDB list
+    expressions over the same md5 hash sequence."""
+    from nearscan_kafka_streams_spark.functions.dedup import winnowed_spans
+
+    return winnowed_spans(_t(spark, sf_dir, "documents"))
+
+
+WINNOWED_SPANS_SQL = r"""
+WITH g AS (
+  SELECT doc_id, text,
+         [md5(substring(text, p, 32))
+          for p in range(1, greatest(length(text) - 31, 1) + 1)] AS h
+  FROM documents
+), sel AS (
+  SELECT doc_id, text,
+         list_distinct([
+           i + len(h[i:i+7])
+             - list_position(list_reverse(h[i:i+7]), list_min(h[i:i+7]))
+           for i in range(1, greatest(len(h) - 7, 1) + 1)]) AS pos_list
+  FROM g
+), spans AS (
+  SELECT doc_id, substring(text, pos, 32) AS gram
+  FROM (SELECT doc_id, text, unnest(pos_list) AS pos FROM sel)
+)
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM spans
+WHERE length(gram) = 32
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into training shards of <=5000 tokens by running
     token count -- the shard-assignment step before writing tokenized
@@ -1728,6 +1791,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_histogram": doc_length_histogram,
     "profile_orders": profile_orders,
     "token_budget_shards": token_budget_shards,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_winnowed_spans": dedup_winnowed_spans,
     "hash_sample_events": hash_sample_events,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1786,6 +1851,8 @@ ORACLES: dict[str, str] = {
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
     "token_budget_shards": TOKEN_SHARDS_SQL,
+    "dedup_substring_spans": SUBSTRING_SPANS_SQL,
+    "dedup_winnowed_spans": WINNOWED_SPANS_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

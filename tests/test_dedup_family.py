@@ -317,3 +317,39 @@ def test_connected_components_star_matches_propagation_random(spark):
     }
     release_cached()
     assert a == b
+
+
+def test_winnowing_detects_misaligned_shared_run(spark):
+    """A shared run of k + window - 1 chars planted at offsets that
+    differ mod the stride: winnowing (content-defined positions) must
+    find it; naive stride-8 sampling must MISS it -- the reason
+    winnowed_spans exists."""
+    import random
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        duplicate_spans,
+        winnowed_spans,
+    )
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shared = "".join(rng.choice(alpha) for _ in range(39))  # k=32, w=8
+    pre_a = "".join(rng.choice(alpha) for _ in range(50))   # offset 50
+    pre_b = "".join(rng.choice(alpha) for _ in range(53))   # offset 53 (≠ mod 8)
+    docs = spark.createDataFrame(
+        [
+            (1, pre_a + shared + "".join(rng.choice(alpha) for _ in range(40))),
+            (2, pre_b + shared + "".join(rng.choice(alpha) for _ in range(44))),
+        ],
+        ["doc_id", "text"],
+    )
+
+    winnowed = winnowed_spans(docs).collect()
+    assert winnowed, "winnowing missed the shared run"
+    assert all(r["gram"] in shared for r in winnowed)
+
+    strided = duplicate_spans(docs, stride=8).collect()
+    assert not strided, "stride sampling unexpectedly aligned"
+
+    exact = duplicate_spans(docs).collect()  # stride 1: all 8 windows
+    assert len(exact) == 8
