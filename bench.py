@@ -39,7 +39,10 @@ HEADLINE = [
     "text_repetition",
     "text_scrub",
     "vocab_topk",
+    "token_budget_shards",
+    "profile_orders",
     "dedup_exact_documents",
+    "dedup_winnowed_spans",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
