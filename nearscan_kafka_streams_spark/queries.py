@@ -1124,6 +1124,34 @@ FROM (
 """
 
 
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling: per-language keep rates
+    (downsample the majority language, keep the rest) -- the corpus
+    rebalancing step before training.  Like hash_sample_events, the
+    keep decision is a pure function of the row key (md5 nibble vs a
+    per-stratum threshold), so the sample is reproducible across
+    engines, runs, and partitionings -- ``sampleBy`` is not.  The
+    predicate is scan-side: no shuffle, no state."""
+    d = _t(spark, sf_dir, "documents")
+    nibble = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit(4))   # keep ~4/16 of English
+        .when(F.col("lang") == "zh", F.lit(8))    # ~8/16
+        .otherwise(F.lit(16))                     # keep all the rest
+    )
+    return d.where(nibble.cast("int") < threshold).select(
+        "doc_id", "lang", "source"
+    )
+
+
+STRATIFIED_SAMPLE_SQL = r"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INT)
+      < CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 8 ELSE 16 END
+"""
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style per-column profile of orders (row/null/exact-
     distinct counts, min/max) -- long-form, one row per column.  One
@@ -1790,6 +1818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": vocab_topk,
     "doc_length_histogram": doc_length_histogram,
     "profile_orders": profile_orders,
+    "stratified_sample_documents": stratified_sample_documents,
     "token_budget_shards": token_budget_shards,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_winnowed_spans": dedup_winnowed_spans,
@@ -1850,6 +1879,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": VOCAB_TOPK_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
+    "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
     "token_budget_shards": TOKEN_SHARDS_SQL,
     "dedup_substring_spans": SUBSTRING_SPANS_SQL,
     "dedup_winnowed_spans": WINNOWED_SPANS_SQL,
