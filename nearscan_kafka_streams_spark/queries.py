@@ -1385,6 +1385,133 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("doc_id", "lang", "quality", split.alias("split"))
 
 
+def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND flagship composition -- the curation half of the
+    training-data job (corpus_clean_pipeline covers lang/quality/
+    near-dup; this one covers redaction, repetition, and packing):
+
+      PII + deny-list scrub -> repetition gates (>=5 words,
+      distinct/total >= 0.3, max identical-word run <= 5)
+      -> exact dedup of scrubbed content (min doc_id per md5)
+      -> deterministic md5-nibble train/val split
+      -> token-budget shard packing via the DISTRIBUTED prefix scan
+
+    One declarative plan over all stages; integer gates and counters
+    throughout, so the single DuckDB oracle hash-matches exactly."""
+    from nearscan_kafka_streams_spark.functions.scan import global_running_sum
+    from nearscan_kafka_streams_spark.functions.text import (
+        PII_PATTERNS,
+        repetition_profile,
+        scrub_text,
+        token_count,
+    )
+
+    patterns = dict(PII_PATTERNS)
+    patterns["denylist"] = r"\b(?:customer|vector)\b"
+    d = _t(spark, sf_dir, "documents")
+    scrubbed = d.select(
+        "doc_id", scrub_text(F.col("text"), patterns).alias("text")
+    )
+
+    rep = repetition_profile(scrubbed)
+    gated = rep.where(
+        (F.col("n_words") >= 5)
+        & (F.lit(10) * F.col("n_distinct_words") >= F.lit(3) * F.col("n_words"))
+        & (F.col("max_run_len") <= 5)
+    )
+    docs = scrubbed.join(gated.select("doc_id"), "doc_id")
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    reps = (
+        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = docs.join(reps, "doc_id")
+
+    toks = surv.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    run = global_running_sum(toks, "doc_id", "n_tokens", out_col="running")
+    split = (
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            ),
+            F.lit("val"),
+        ).otherwise(F.lit("train"))
+    )
+    return run.select(
+        "doc_id",
+        "n_tokens",
+        "running",
+        F.expr("(running - n_tokens) div 5000").alias("shard_id"),
+        split.alias("split"),
+    )
+
+
+_SCRUB_SQL_EXPR = r"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<REDACTED>', 'g'),
+    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<REDACTED>', 'g'),
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<REDACTED>', 'g'),
+    '\b(?:customer|vector)\b', '<REDACTED>', 'g')"""
+
+CORPUS_CURATE_SQL = rf"""
+WITH scrubbed AS (
+  SELECT doc_id, {_SCRUB_SQL_EXPR} AS text FROM documents
+), ws AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM scrubbed
+), base AS (
+  SELECT doc_id, text, len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct_words
+  FROM ws
+), words AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+  FROM ws
+), seq AS (
+  SELECT doc_id, pos,
+         coalesce(CAST(word != lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS INT), 1) AS chg
+  FROM words
+), runs0 AS (
+  SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM seq
+), runs AS (
+  SELECT doc_id, max(c) AS max_run_len
+  FROM (SELECT doc_id, run_id, count(*) AS c FROM runs0 GROUP BY doc_id, run_id)
+  GROUP BY doc_id
+), gated AS (
+  SELECT b.doc_id, b.text
+  FROM base b JOIN runs r USING (doc_id)
+  WHERE b.n_words >= 5
+    AND 10 * b.n_distinct_words >= 3 * b.n_words
+    AND r.max_run_len <= 5
+), reps AS (
+  SELECT min(doc_id) AS doc_id FROM gated
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), surv AS (
+  SELECT g.* FROM gated g JOIN reps USING (doc_id)
+), toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM surv
+), run AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running
+  FROM toks
+)
+SELECT doc_id, n_tokens, running,
+       CAST((running - n_tokens) // 5000 AS BIGINT) AS shard_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3')
+            THEN 'val' ELSE 'train' END AS split
+FROM run
+"""
+
+
 CORPUS_CLEAN_SQL = rf"""
 WITH RECURSIVE t AS (
   SELECT doc_id, text,
@@ -1824,6 +1951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnowed_spans": dedup_winnowed_spans,
     "hash_sample_events": hash_sample_events,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "corpus_curate_pipeline": corpus_curate_pipeline,
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1885,6 +2013,7 @@ ORACLES: dict[str, str] = {
     "dedup_winnowed_spans": WINNOWED_SPANS_SQL,
     "hash_sample_events": HASH_SAMPLE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
+    "corpus_curate_pipeline": CORPUS_CURATE_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
