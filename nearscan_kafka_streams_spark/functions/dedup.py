@@ -67,17 +67,10 @@ def _spread(df: DataFrame) -> DataFrame:
     CPU-heavy stage).  At scale the scan already yields many splits and
     this is a no-op -- no shuffle is added."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = len(df.inputFiles())
-    except Exception:
-        files = 0
-    if files >= target:
-        # file count lower-bounds scan splits: enough parallelism, and
-        # no RDD conversion needed for the common big-corpus case
-        return df
-    # few/zero files: the scan may still split large files into many
-    # partitions -- ask the RDD for the real count before shuffling
-    # (a plan conversion, not a job; only reached for small inputs)
+    # df.rdd is a driver-side plan conversion (no job); file COUNT is
+    # not a usable proxy -- Spark bin-packs small files into few scan
+    # partitions (maxPartitionBytes/openCostInBytes), so many tiny
+    # files can still mean 1-2 partitions
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -241,6 +234,29 @@ def jaccard_similarity_join(
     )
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` AND truncate its logical plan (persist does
+    neither of the latter -- iterative algorithms double their plan per
+    round without this).
+
+    Uses the RELIABLE checkpoint when the SparkContext has a
+    checkpoint dir configured: ``localCheckpoint`` blocks live
+    unreplicated on executors with their lineage gone, so one executor
+    loss (spot reclaim, dynamic deallocation) mid-iteration makes them
+    unrecomputable and fails the job.  On a real cluster call
+    ``sc.setCheckpointDir(...)`` first; local/test mode falls back to
+    ``localCheckpoint`` (single JVM -- executor loss means the app died
+    anyway)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -382,15 +398,17 @@ def connected_components(
     scale, switch to the large-star/small-star variant (same join
     shape, provably O(log n) rounds).
 
-    Each iteration's labels are cut off from their lineage with an
-    eager ``localCheckpoint`` -- ``persist`` alone keeps the full
-    logical plan, which references the previous labels TWICE per
-    iteration (neighbor join + change count) and therefore doubles in
-    size every round; a 10-iteration run builds a gigabyte-scale plan
-    string and OOMs the driver long before any data problem.  This is
-    the standard Spark pattern for iterative algorithms (GraphX and
-    MLlib checkpoint the same way).  Superseded checkpoint blocks are
-    released by the ContextCleaner when the old DataFrame is GC'd.
+    Each iteration's labels are cut off from their lineage via
+    :func:`_cut_lineage` -- ``persist`` alone keeps the full logical
+    plan, which references the previous labels TWICE per iteration
+    (neighbor join + change count) and therefore doubles in size every
+    round; a 10-iteration run builds a gigabyte-scale plan string and
+    OOMs the driver long before any data problem.  Iterative
+    algorithms must checkpoint (GraphX/MLlib use the reliable form;
+    set a checkpoint dir to get it here -- see _cut_lineage for the
+    localCheckpoint executor-loss caveat).  Superseded checkpoint
+    blocks are released by the ContextCleaner when the old DataFrame
+    is GC'd.
     """
     und = edges.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
@@ -398,13 +416,12 @@ def connected_components(
         edges.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
     )
     und = _persist_tracked(und)
-    # eager localCheckpoint: materializes AND truncates lineage (persist
+    # eager checkpoint: materializes AND truncates lineage (persist
     # does not -- see docstring)
-    labels = (
+    labels = _cut_lineage(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -413,7 +430,7 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("_nbr"))
         )
-        new_labels = (
+        new_labels = _cut_lineage(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -421,7 +438,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -467,7 +483,7 @@ def connected_components_star(
 
     Both phases only shuffle on the node id; no phase ever materializes
     a neighborhood larger than the input degree.  Rounds are cut from
-    their lineage with eager ``localCheckpoint`` (see
+    their lineage via :func:`_cut_lineage` (see
     :func:`connected_components`).  Convergence = two consecutive
     rounds with identical (edge count, xxhash64 bit_xor) signature --
     one tiny aggregate per round instead of a full set-difference join;
@@ -477,10 +493,9 @@ def connected_components_star(
     (dedup is the repo's north-star extension); cited for scale design
     only.
     """
-    e = (
+    e = _cut_lineage(
         edges.select(F.col(left_col).alias("u"), F.col(right_col).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .localCheckpoint()
     )
 
     prev_sig = None
@@ -504,8 +519,8 @@ def connected_components_star(
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        small = _cut_lineage(small)
         # bit_xor, not sum: order-insensitive over the distinct edge
         # set and cannot overflow under ANSI mode
         row = small.agg(

@@ -20,15 +20,18 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries of every parquet scan in the plan."""
-    plan = formatted_plan(df)
+def _parse_pushed(plan: str) -> list[str]:
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         body = m.group(1).strip()
         if body:
             out.extend(s.strip() for s in body.split(","))
     return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    return _parse_pushed(formatted_plan(df))
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
@@ -65,12 +68,6 @@ def plan_summary(df: DataFrame) -> dict:
     def n(pat: str) -> int:
         return len(re.findall(pat, plan))
 
-    pushed = [
-        s.strip()
-        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
-        for s in m.group(1).split(",")
-        if s.strip()
-    ]
     return {
         "broadcast_hash_join": n(r"BroadcastHashJoin"),
         "sort_merge_join": n(r"SortMergeJoin"),
@@ -78,7 +75,7 @@ def plan_summary(df: DataFrame) -> dict:
         "nested_loop_join": n(r"BroadcastNestedLoopJoin|CartesianProduct"),
         "exchanges": n(r"\bExchange\b"),
         "scans": n(r"Scan parquet"),
-        "pushed_filters": len(pushed),
+        "pushed_filters": len(_parse_pushed(plan)),
         "wholestage_codegen": n(r"WholeStageCodegen"),
         "python_eval": n(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas"),
     }

@@ -71,11 +71,15 @@ def run_corpus_ingest(
     out_dir: str,
     checkpoint_dir: str,
     min_quality: float = 0.5,
+    timeout_seconds: float = 600,
 ) -> None:
     """Drain ``src_dir`` (JSON-lines docs) through the cleaning
     topology into ``out_dir`` parquet, deduplicating by content
     fingerprint across micro-batches; blocks until the available
-    input is processed (``availableNow``)."""
+    input is processed (``availableNow``).  Raises ``TimeoutError``
+    (after stopping the query) if the backlog is not drained within
+    ``timeout_seconds`` -- returning silently would hand the caller a
+    partial corpus with a query still writing behind their back."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -90,4 +94,9 @@ def run_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(timeout_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"corpus ingest did not drain {src_dir} within "
+            f"{timeout_seconds}s; output at {out_dir} is partial"
+        )
