@@ -1196,6 +1196,50 @@ FROM orders
 """
 
 
+def term_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term/document statistics -- the TF-IDF precursor every sparse
+    feature-extraction pipeline starts from: per (doc, term) frequency
+    joined with the term's document frequency.  All-integer so the
+    oracle is exact (idf = ln(N/df) is a downstream float transform).
+    Plan: one explode, tf agg keyed on (doc_id, term) with map-side
+    combine, df agg keyed on term, broadcast-joined back (the term
+    table is vocabulary-sized, tiny next to the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", "tf", "df"
+    )
+
+
+TERM_DOC_STATS_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df
+FROM tf JOIN df USING (term)
+"""
+
+
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 words by frequency (deterministic
     tie-break count desc, word asc) -- the seeding step of BPE/vocab
@@ -1943,6 +1987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "text_scrub": text_scrub,
     "vocab_topk": vocab_topk,
+    "term_doc_stats": term_doc_stats,
     "doc_length_histogram": doc_length_histogram,
     "profile_orders": profile_orders,
     "stratified_sample_documents": stratified_sample_documents,
@@ -2005,6 +2050,7 @@ ORACLES: dict[str, str] = {
     "text_repetition": TEXT_REPETITION_SQL,
     "text_scrub": TEXT_SCRUB_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "term_doc_stats": TERM_DOC_STATS_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
