@@ -187,3 +187,48 @@ def test_scrub_pii_crafted(spark):
     assert got[1] == (2, "mail <REDACTED> or call <REDACTED>")
     assert got[2] == (1, "server at <REDACTED> is fine")
     assert got[3] == (0, "nothing sensitive here")
+
+
+def test_repetition_profile_randomized_vs_reference(spark):
+    """100 seeded-random word-soup docs: Spark counters must equal a
+    pure-Python reference implementation exactly (single Spark call)."""
+    import random
+    from collections import Counter
+
+    from nearscan_kafka_streams_spark.functions.text import repetition_profile
+
+    rng = random.Random(11)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = []
+    for i in range(100):
+        n = rng.randrange(1, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # inject runs sometimes
+        if rng.random() < 0.5:
+            w = rng.choice(vocab)
+            pos = rng.randrange(len(words))
+            words[pos:pos] = [w] * rng.randrange(2, 6)
+        docs.append((i, " ".join(words)))
+
+    def ref(text):
+        ws = text.split(" ")
+        runs, cur = [], 1
+        for a, b in zip(ws, ws[1:]):
+            cur = cur + 1 if a == b else 1
+            runs.append(cur)
+        max_run = max(runs, default=1)
+        bigrams = Counter(" ".join(p) for p in zip(ws, ws[1:]))
+        top_bg = max(bigrams.values(), default=0)
+        return (len(ws), len(set(ws)), max_run, top_bg)
+
+    expect = {i: ref(t) for i, t in docs}
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_distinct_words"],
+            r["max_run_len"], r["top_bigram_count"],
+        )
+        for r in repetition_profile(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got == expect
