@@ -30,6 +30,10 @@ def _configure(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # tz-less parquet timestamps must read as TIMESTAMP (not NTZ):
+        # DuckDB oracles treat them as naive-UTC, and functions like
+        # unix_micros reject NTZ input
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }.items():
         try:
             spark.conf.set(k, v)

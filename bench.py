@@ -73,18 +73,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     plans: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        # materialize fully but keep results distributed (no driver pull)
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # plan fingerprint AFTER the run (plan construction may persist
-        # intermediates the summary would otherwise re-trigger)
-        plans[name] = plan_summary(df)
-        # free any LSH intermediates so later queries get full memory
-        release_cached()
+        # one failing query must not sink the suite: record the error,
+        # keep benching, still emit the JSON line (round-2 lesson: a
+        # single AnalysisException cost the whole round's numbers)
+        try:
+            # materialize fully but keep results distributed (no driver pull)
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # plan fingerprint AFTER the run (plan construction may persist
+            # intermediates the summary would otherwise re-trigger)
+            plans[name] = plan_summary(df)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # free any LSH intermediates so later queries get full memory
+            release_cached()
 
     # flagship: the reference's own topology end-to-end (dedup -> 3-way
     # join -> JSON flat-map -> balance agg) over generated NEAR-shaped
@@ -92,30 +100,32 @@ def main() -> None:
     from nearscan_kafka_streams_spark.pipeline import run_batch
     from nearscan_kafka_streams_spark.testgen import generate_near_tables
 
-    n_receipts = max(int(2_000_000 * float(sf)), 1000)
-    r, o, a = generate_near_tables(spark, n_receipts)
-    # one untimed run first: the timed number is steady-state topology
-    # latency, not whole-stage-codegen compilation for this plan (which
-    # otherwise varies with suite ordering run-to-run)
-    run_batch(r, o, a).balances.write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    out = run_batch(r, o, a)
-    out.balances.write.format("noop").mode("overwrite").save()
-    timings["token_pipeline"] = round(time.perf_counter() - t0, 3)
+    try:
+        n_receipts = max(int(2_000_000 * float(sf)), 1000)
+        r, o, a = generate_near_tables(spark, n_receipts)
+        # one untimed run first: the timed number is steady-state topology
+        # latency, not whole-stage-codegen compilation for this plan (which
+        # otherwise varies with suite ordering run-to-run)
+        run_batch(r, o, a).balances.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        out = run_batch(r, o, a)
+        out.balances.write.format("noop").mode("overwrite").save()
+        timings["token_pipeline"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["token_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "plans": plans,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "plans": plans,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -50,12 +50,17 @@ def sessionize_batch(
     # seconds-truncated cast splits sessions differently from the
     # oracle when a true gap lands within 1s of the boundary
     gap = F.lit(gap_minutes * 60 * 1_000_000)
+    # unix_micros rejects TIMESTAMP_NTZ (tz-less parquet under
+    # inferTimestampNTZ); only gap DIFFERENCES matter here, so a cast
+    # through the session zone is offset-invariant
+    ts = F.col(ts_col)
+    if events.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    micros = F.unix_micros(ts)
     flagged = events.withColumn(
         "_new_session",
         F.when(
-            F.unix_micros(F.col(ts_col))
-            - F.lag(F.unix_micros(F.col(ts_col))).over(w)
-            > gap,
+            micros - F.lag(micros).over(w) > gap,
             F.lit(1),
         )
         .otherwise(F.lit(0))

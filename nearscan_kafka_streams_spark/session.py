@@ -43,6 +43,11 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
         # default; read as long ns and convert explicitly (queries._t)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are tz-less timestamp[us]; Spark 4 would
+        # infer TIMESTAMP_NTZ, which half the timestamp functions
+        # (unix_micros, to_utc_timestamp, ...) reject -- read them as
+        # plain TIMESTAMP under the pinned UTC session zone instead
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # RocksDB state store: the reference's dedup/join/KTable state is
         # RocksDB-backed (TokenBalance.java:87-89); Spark's provider
         # keeps large streaming state off-heap and incremental-checkpoints
