@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nearscan_kafka_streams_spark.functions.text import fingerprint
 
@@ -126,6 +127,7 @@ def jaccard_similarity_join(
     threshold: float = 0.5,
     materialize: bool = True,
     broadcast_verify: bool = False,
+    bitmap_max_vocab: int = 4096,
 ) -> DataFrame:
     """EXACT set-similarity self-join via AllPairs prefix filtering.
 
@@ -151,6 +153,21 @@ def jaccard_similarity_join(
     float ``ceil(t*n)`` can land one off under binary rounding (e.g.
     0.8*85 -> 68.00000000000001 -> ceil 69), silently shrinking the
     prefix and losing pairs -- an exactness bug, not a perf choice.
+
+    Two candidate prunes beyond the prefix bound, both standard:
+
+    * positional filter (PPJoin): a prefix collision at 1-based sorted
+      positions (i, j) caps the achievable overlap at
+      ``1 + min(|x|-i, |y|-j)``; pairs whose cap is below the required
+      overlap ``ceil(t/(1+t) * (|x|+|y|))`` are dropped pre-shuffle.
+    * bitmap verification: when the measured gram vocabulary is small
+      (``<= bitmap_max_vocab`` -- dense/short-alphabet corpora, where
+      prefix filtering is weakest and candidates approach all-pairs),
+      each doc's gram set becomes a fixed ``vocab/64``-word bitmap and
+      the exact intersection is ``sum(bit_count(a & b))`` -- a few long
+      ANDs per pair instead of a per-pair hash set, and collision-free
+      (no gram hashing at all).  Large vocabularies keep the
+      hashed-array intersect path.
     """
     from fractions import Fraction
 
@@ -175,43 +192,139 @@ def jaccard_similarity_join(
 
     tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
     gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # the gram vocabulary is bounded (char n-grams over natural text);
+    # one cheap count decides the verify representation
+    vocab_size = gdf.count()
+    use_bitmap = vocab_size <= bitmap_max_vocab
     # plen = sz - ceil(p*sz/q) + 1, with ceil done in integers
     plen = (
         F.col("sz")
         - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
         + 1
     ).cast("int")
+    # the document-frequency table is one row per distinct gram --
+    # bounded vocabulary -> broadcast it so attaching df to every token
+    # is map-side (gate generously; 4M rows of (gram, count) ~ 100 MB)
+    gdf_b = F.broadcast(gdf) if vocab_size <= 4_000_000 else gdf
     prefixes = (
-        tok.join(gdf, "g")
+        tok.join(gdf_b, "g")
         .groupBy(id_col, "sz")
         .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ordered"))
         .select(
-            id_col, "sz", F.explode(F.slice("ordered", 1, plen)).alias("p")
+            id_col,
+            "sz",
+            F.posexplode(F.slice("ordered", 1, plen)).alias("pos0", "p"),
         )
-        .select(id_col, "sz", F.col("p.g").alias("g"))
+        # posexplode is 0-based; positions here are 1-based within the
+        # FULL df-sorted gram list (the prefix is its first plen entries)
+        .select(
+            id_col,
+            "sz",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("p.g").alias("g"),
+        )
     )
 
     l, r = prefixes.alias("l"), prefixes.alias("r")
     lid, rid = f"l.{id_col}", f"r.{id_col}"
-    cands = (
-        l.join(
-            r,
-            (F.col("l.g") == F.col("r.g"))
-            & (F.col(lid) < F.col(rid))
-            & (
-                F.lit(q) * F.least(F.col("l.sz"), F.col("r.sz"))
-                >= F.lit(p) * F.greatest(F.col("l.sz"), F.col("r.sz"))
-            ),
-        )
-        .select(F.col(lid).alias("left_id"), F.col(rid).alias("right_id"))
-        .distinct()
+    # required overlap for J >= p/q: alpha = ceil(p*(sx+sy)/(p+q));
+    # positional cap: 1 + min(sx - i, sy - j) >= alpha, integer form
+    pos_cap = F.lit(1) + F.least(
+        F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
     )
+    raw_cands = l.join(
+        r,
+        (F.col("l.g") == F.col("r.g"))
+        & (F.col(lid) < F.col(rid))
+        & (
+            F.lit(q) * F.least(F.col("l.sz"), F.col("r.sz"))
+            >= F.lit(p) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+        )
+        & (
+            F.lit(p + q) * pos_cap
+            >= F.lit(p) * (F.col("l.sz") + F.col("r.sz"))
+        ),
+    ).select(F.col(lid).alias("left_id"), F.col(rid).alias("right_id"))
+
     # verify: clusters make candidate pairs quadratic while gram sets
     # stay linear, so when the per-doc set table fits in memory,
-    # broadcast_verify=True joins the arrays map-side instead of
-    # shuffling two ~KB arrays per candidate pair; leave False at
-    # corpus sizes where the set table itself is distributed-only
+    # broadcast_verify=True joins the sets map-side instead of
+    # shuffling per candidate pair; leave False at corpus sizes where
+    # the set table itself is distributed-only
     hint = F.broadcast if broadcast_verify else (lambda x: x)
+
+    if use_bitmap:
+        # dense corpus: prefix filtering is weak, so candidates are the
+        # cost center -- dedup them first, then verify each surviving
+        # pair with a few long ANDs instead of a per-pair hash set
+        n_words = (vocab_size + 63) // 64
+        vocab = gdf.select(
+            "g",
+            (F.row_number().over(Window.orderBy("df", "g")) - 1).alias("idx"),
+        )
+        word_bits = (
+            tok.join(F.broadcast(vocab), "g")
+            .select(
+                id_col,
+                (F.col("idx") / 64).cast("int").alias("word"),
+                # pyspark's shiftleft wrapper takes a literal shift only
+                F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)").alias("bit"),
+            )
+            .groupBy(id_col, "word")
+            .agg(F.bit_or("bit").alias("bits"))
+            .groupBy(id_col)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("word", "bits"))
+                ).alias("m")
+            )
+            .select(
+                id_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_words - 1)),
+                    lambda w: F.coalesce(
+                        # map lookup by KEY (the 0-based word index)
+                        F.element_at(F.col("m"), w),
+                        F.lit(0).cast("long"),
+                    ),
+                ).alias("bm"),
+            )
+        )
+        bitmaps = word_bits.join(sets.select(id_col, "sz"), id_col)
+        if materialize:
+            bitmaps = _persist_tracked(bitmaps)
+        left_sets = bitmaps.select(
+            F.col(id_col).alias("left_id"),
+            F.col("bm").alias("bm_l"),
+            F.col("sz").alias("sz_l"),
+        )
+        right_sets = bitmaps.select(
+            F.col(id_col).alias("right_id"),
+            F.col("bm").alias("bm_r"),
+            F.col("sz").alias("sz_r"),
+        )
+        inter = F.aggregate(
+            F.zip_with(
+                "bm_l", "bm_r", lambda a, b: F.bit_count(a.bitwiseAND(b))
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            raw_cands.distinct()
+            .join(hint(left_sets), "left_id")
+            .join(hint(right_sets), "right_id")
+            .withColumn("inter_size", inter)
+            .withColumn(
+                "union_size", F.col("sz_l") + F.col("sz_r") - F.col("inter_size")
+            )
+            .where(F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("union_size"))
+            .select("left_id", "right_id", "inter_size", "union_size")
+        )
+
+    # large vocabulary: per-pair verify is a hash-set intersect, so
+    # dedup candidates BEFORE paying it
+    cands = raw_cands.distinct()
     left_sets = sets.select(
         F.col(id_col).alias("left_id"),
         F.col("hg").alias("g_l"),
