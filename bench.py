@@ -24,6 +24,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q18_large_orders",
     "broadcast_dim_join",
     "pivot_orders",
     "unpivot_lineitem",
