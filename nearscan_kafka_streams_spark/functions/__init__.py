@@ -12,6 +12,8 @@ training-data-pipeline operators the north star asks for:
                     set-similarity join, connected-components clustering
 - ``similarity`` -- brute-force, LSH-bucketed and IVF cosine top-k ANN
 - ``multimodal`` -- opaque binary columns + typed metadata plumbing
+- ``decontam``   -- benchmark decontamination (word n-gram overlap
+                    against a broadcast eval set)
 
 All hot paths are built-in column expressions (JVM-side, whole-stage
 codegen); Pandas UDFs appear only where array-heavy math is genuinely

@@ -1,0 +1,82 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+A training-corpus pipeline must remove (or at least mark) documents
+that contain verbatim benchmark content, or downstream evals are
+meaningless.  The standard detector (GPT-3 appendix C / PaLM / Llama
+practice) is word-level n-gram overlap: any training doc sharing at
+least one n-gram (n ~ 5..13) with the eval set is contaminated.
+
+Absent from the reference (an event-stream engine, SURVEY (S)2.8); a
+first-class north-star operator here.
+
+Scale design (100 TB corpus, MB..GB eval set):
+
+* The eval side collapses to ONE table of distinct n-gram hashes --
+  millions of rows at most for real benchmarks -- broadcast to every
+  executor: the train side then never shuffles; each partition streams
+  its grams past the in-memory hash set (`broadcast_eval=True`).
+* A huge eval side degrades gracefully to a repartition join on the
+  gram hash (`broadcast_eval=False`) -- both sides shuffle once on a
+  uniformly-distributed key.
+* Gram explosion is bounded per doc before the join: ``array_distinct``
+  dedups within-doc repeats, so a doc contributes at most
+  (words - n + 1) join rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def word_ngrams(text: F.Column, n: int = 5) -> F.Column:
+    """Distinct word-level n-grams (space-joined strings) of normalized
+    text; empty array when the doc has fewer than ``n`` words.
+
+    Kept as raw strings (not hashed) so a SQL oracle reproduces values
+    exactly; hash with xxhash64 downstream when only equality matters.
+    """
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), _WS, " "), " ")
+    # sequence(1, k) with k < 1 would yield a DESCENDING sequence --
+    # guard short docs explicitly
+    k = F.size(words) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-train-doc contamination counts against an eval corpus.
+
+    Output: (id_col, n_grams, n_contaminated) for every train doc
+    sharing >= 1 word n-gram with ANY eval doc; clean docs are absent
+    (anti-join against this result to keep the clean corpus).
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    train_sets = train.select(F.col(id_col), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    eval_grams = (
+        eval_df.select(F.explode(grams).alias("gram")).distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        train_sets.select(id_col, "n_grams", F.explode("grams").alias("gram"))
+        .join(eval_grams, "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )

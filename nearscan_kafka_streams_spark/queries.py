@@ -2385,6 +2385,48 @@ FROM documents
 """
 
 
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 1 word
+    5-gram with the held-out eval slice (doc_id % 29 == 0 -- a
+    deterministic stand-in for a benchmark set).
+
+    Scale: eval side collapses to one broadcast table of distinct
+    grams; the 100 TB train side never shuffles (see
+    functions/decontam.py)."""
+    from nearscan_kafka_streams_spark.functions.decontam import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.where(F.col("doc_id") % 29 == 0)
+    train = d.where(F.col("doc_id") % 29 != 0)
+    return contamination_report(train, eval_df, n=5)
+
+
+DECONTAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+4], ' ')
+                        for i in range(1, greatest(len(ws) - 4, 0) + 1)])
+           AS grams
+  FROM w
+),
+t AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      FROM g WHERE doc_id % 29 <> 0),
+e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 29 = 0)
+SELECT t.doc_id, CAST(t.n_grams AS INT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_contaminated
+FROM t JOIN e USING (gram)
+GROUP BY t.doc_id, t.n_grams
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2415,6 +2457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
+    "decontaminate_documents": decontaminate_documents,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -2487,6 +2530,7 @@ ORACLES: dict[str, str] = {
     "q18_large_orders": Q18_SQL,
     "q19_discounted_revenue": Q19_SQL,
     "q22_dormant_customers": Q22_SQL,
+    "decontaminate_documents": DECONTAM_SQL,
     "broadcast_dim_join": BROADCAST_DIM_SQL,
     "filter_project_scan": FILTER_PROJECT_SQL,
     "topk_orders": TOPK_SQL,
