@@ -10,7 +10,8 @@ training-data-pipeline operators the north star asks for:
 - ``dedup``      -- exact, MinHash+LSH, SimHash, n-gram Jaccard,
                     embedding-cosine near-dup, exact AllPairs
                     set-similarity join, connected-components clustering
-- ``similarity`` -- brute-force, LSH-bucketed and IVF cosine top-k ANN
+- ``similarity`` -- brute-force, LSH-bucketed, IVF, and PQ/ADC
+                    (+exact refine) cosine top-k ANN
 - ``multimodal`` -- opaque binary columns + typed metadata plumbing
 - ``decontam``   -- benchmark decontamination (word n-gram overlap
                     against a broadcast eval set)

@@ -267,6 +267,187 @@ def ivf_topk(
     return out
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    fit_sample_cap: int | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN (ADC): the billion-scale memory path.
+
+    Each L2-normalized vector is split into ``m`` subvectors; each
+    subvector is replaced by the id of its nearest codebook centroid
+    (``n_codes`` per subspace, trained per subspace on a bounded driver
+    sample like IVF's coarse quantizer).  A 64-dim float vector becomes
+    ``m`` small ints -- 8 bytes instead of 256 -- so the scan side at
+    100 TB touches ~3% of the raw bytes and the uncompressed vectors
+    are only ever read to (re)encode.
+
+    Scoring is asymmetric distance computation (ADC): per query, one
+    ``m x n_codes`` table of subspace inner products against the
+    codebooks; a candidate's approximate cosine is ``m`` table lookups
+    summed -- pure JVM (zip_with + element_at + aggregate), no UDF, no
+    shuffle of the corpus (queries+tables broadcast).
+
+    Output: (query_id, neighbor_id, adc_score, rank) -- approximate;
+    recall is pinned by tests against ``brute_force_topk``.
+
+    ``rerank=R > 0`` adds the standard refine stage (faiss IVFPQ+R):
+    ADC selects an R-deep shortlist per query, then the TRUE vectors of
+    only those R candidates are fetched (broadcast semi-join against
+    the corpus -- the corpus still never shuffles) and scored exactly.
+    ADC score quantization cannot separate near-tie neighbors; the
+    refine stage restores top-k quality at R exact scorings per query
+    instead of |corpus|.
+    """
+    import numpy as np
+
+    sub = dim // m
+    cap = fit_sample_cap if fit_sample_cap is not None else 256 * n_codes
+    fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    total = fit_input.count()
+    if total > cap:
+        fit_input = fit_input.sample(
+            withReplacement=False, fraction=min(1.0, 1.2 * cap / total), seed=seed
+        ).limit(cap)
+    sample = np.asarray([r["v"] for r in fit_input.collect()], dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    # independent codebook per subspace (classic PQ): seed varies per
+    # subspace so identical subspace distributions still get distinct
+    # k-means++ draws
+    books = [
+        _kmeans_numpy(sample[:, s * sub : (s + 1) * sub].tolist(), n_codes, seed + s)
+        for s in range(m)
+    ]
+
+    def _normed(vec) -> F.Column:
+        nrm = F.sqrt(
+            F.aggregate(
+                vec,
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+        return F.transform(
+            vec, lambda v: v.cast("double") / F.when(nrm == 0, 1.0).otherwise(nrm)
+        )
+
+    def _center_lit(c) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    def _sub_sqdist(vec, s: int, c) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec, s * sub + 1, sub), _center_lit(c), lambda x, y: (x - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _sub_dot(vec, s: int, c) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec, s * sub + 1, sub), _center_lit(c), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # encode: per subspace, argmin over codebook distances via
+    # array_min on (dist, code) structs -- one codegen'd expression,
+    # each distance referenced once
+    codes = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sub_sqdist(F.col("_nvec"), s, c).alias("d"),
+                            F.lit(j).alias("j"),
+                        )
+                        for j, c in enumerate(books[s])
+                    ]
+                )
+            )["j"]
+            for s in range(m)
+        ]
+    )
+    encoded = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_nvec", _normed(F.col("_v")))
+        .select("neighbor_id", codes.alias("_codes"))
+    )
+
+    # per-query ADC tables: tables[s][j] = <q_sub[s], codebook[s][j]>
+    tables = F.array(
+        *[
+            F.array(*[_sub_dot(F.col("_nqvec"), s, c) for c in books[s]])
+            for s in range(m)
+        ]
+    )
+    q = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"))
+        .withColumn("_nqvec", _normed(F.col("_qv")))
+        .select(query_id_col, tables.alias("_tables"))
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            "_codes", "_tables", lambda c, t: F.element_at(t, c.cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        encoded.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("adc_score", adc)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist_depth = max(rerank, k) if rerank else k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist_depth)
+        .select(query_id_col, "neighbor_id", "adc_score", "rank")
+    )
+    if not rerank:
+        return shortlist
+
+    # refine: exact cosine over the R-deep shortlist only
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    cand = shortlist.select(query_id_col, "neighbor_id").join(
+        F.broadcast(qv), query_id_col
+    )
+    exact = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .withColumn("adc_score", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_score", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

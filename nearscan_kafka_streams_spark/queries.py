@@ -45,6 +45,7 @@ from nearscan_kafka_streams_spark.functions.multimodal import (
 from nearscan_kafka_streams_spark.functions.similarity import (
     brute_force_topk,
     lsh_topk,
+    pq_topk,
 )
 from nearscan_kafka_streams_spark.functions.text import (
     LANG_STOPWORDS,
@@ -2299,6 +2300,22 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization + ADC shortlist +
+    exact refine (8 subspaces x 16 codes over L2-normalized vectors,
+    25-deep rerank; rows-only check -- recall vs brute force pinned in
+    tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = pq_topk(emb, queries, k=5, m=8, n_codes=16, rerank=25)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_score", 6).alias("adc_score"),
+        "rank",
+    )
+
+
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via hyperplane-LSH bucketing (rows-only check;
     recall vs brute force is pinned in tests/)."""
@@ -2464,6 +2481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_cosine": ann_bruteforce_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_cosine": ann_ivf_cosine,
+    "ann_pq_cosine": ann_pq_cosine,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters_star": dedup_clusters_star,
@@ -2584,5 +2602,6 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     # no oracle (rows-only, by design): dedup_minhash_lsh (xxhash64
-    # signatures), dedup_simhash, dedup_embedding_cosine, ann_lsh_cosine
+    # signatures), dedup_simhash, dedup_embedding_cosine, ann_lsh_cosine,
+    # ann_pq_cosine (codebook/ADC quantization is algorithm-specific)
 }

@@ -138,3 +138,49 @@ def test_auto_signature_bits_bounds_bucket_sizes():
     for n in (10_000, 1_000_000, 50_000_000):
         b = auto_signature_bits(n)
         assert b == 16 or n / (1 << b) <= 4 * 256  # expected bucket bound
+
+
+def test_pq_recall_on_clustered_data(spark):
+    """PQ/ADC with 8 subspaces x 16 codes over 16-dim clustered vectors:
+    the ADC shortlist must land in the right cluster, and the refine
+    stage (exact cosine over a 25-deep shortlist) must recover most of
+    the true top-k."""
+    from nearscan_kafka_streams_spark.functions.similarity import pq_topk
+
+    rows = _vectors(n=200, dim=16, clusters=5)
+    df = _df(spark, rows)
+    queries = df.where("vec_id < 10")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(df, queries, k=5, m=8, n_codes=16, dim=16).collect()
+    }
+    recall = len(truth & pq) / len(truth)
+    # ADC alone cannot separate near-tie in-cluster neighbors -- it
+    # only needs to land the shortlist in the right region
+    assert recall >= 0.15, f"ADC-only recall {recall}"
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            df, queries, k=5, m=8, n_codes=16, dim=16, rerank=25
+        ).collect()
+    }
+    recall_r = len(truth & refined) / len(truth)
+    assert recall_r >= 0.8, f"PQ+refine recall {recall_r}"
+
+
+def test_pq_deterministic_and_score_bounded(spark):
+    """Same seed -> identical output; ADC approximates cosine of unit
+    vectors, so scores stay within a loose [-1.5, 1.5] envelope."""
+    from nearscan_kafka_streams_spark.functions.similarity import pq_topk
+
+    rows = _vectors(n=100, dim=16)
+    df = _df(spark, rows)
+    q = df.where("vec_id < 5")
+    a = sorted(map(tuple, pq_topk(df, q, k=3, m=4, n_codes=8, dim=16).collect()))
+    b = sorted(map(tuple, pq_topk(df, q, k=3, m=4, n_codes=8, dim=16).collect()))
+    assert a == b
+    assert all(-1.5 <= r[2] <= 1.5 for r in a)
