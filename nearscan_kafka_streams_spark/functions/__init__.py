@@ -15,6 +15,9 @@ training-data-pipeline operators the north star asks for:
 - ``multimodal`` -- opaque binary columns + typed metadata plumbing
 - ``decontam``   -- benchmark decontamination (word n-gram overlap
                     against a broadcast eval set)
+- ``bpe``        -- distributed BPE tokenizer training (word-count
+                    reduce -> bounded driver merge loop) + broadcast
+                    tokenization
 
 All hot paths are built-in column expressions (JVM-side, whole-stage
 codegen); Pandas UDFs appear only where array-heavy math is genuinely

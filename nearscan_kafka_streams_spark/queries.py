@@ -2402,6 +2402,25 @@ FROM documents
 """
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus (distributed word counts ->
+    bounded driver merge loop), tokenize every document with the
+    broadcast merges, and report per-doc BPE vs whitespace token
+    counts.  Rows-only check (iterative merge learning is not
+    SQL-expressible); semantics pinned in tests/test_bpe.py."""
+    from nearscan_kafka_streams_spark.functions.bpe import bpe_tokenize, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=50)
+    toks = bpe_tokenize(d, merges)
+    ws = d.select("doc_id", token_count(F.col("text")).alias("ws_tokens"))
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(ws, "doc_id")
+        .select("doc_id", "n_tokens", "ws_tokens")
+    )
+
+
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing >= 1 word
     5-gram with the held-out eval slice (doc_id % 29 == 0 -- a
@@ -2475,6 +2494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
     "decontaminate_documents": decontaminate_documents,
+    "bpe_token_stats": bpe_token_stats,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,

@@ -1,0 +1,103 @@
+"""BPE trainer/tokenizer (functions/bpe.py) semantics."""
+
+from __future__ import annotations
+
+import random
+
+from nearscan_kafka_streams_spark.functions.bpe import (
+    _encode_word,
+    bpe_tokenize,
+    train_bpe,
+    train_bpe_merges,
+    word_frequencies,
+)
+
+
+def test_merge_learning_canonical_example():
+    """The Sennrich et al. (2016) worked example: with 'es' dominant,
+    the first merges build up 'est' from the frequent suffixes."""
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_merges(wf, n_merges=4)
+    assert merges[0] == ("e", "s")  # 9 occurrences, the clear max
+    assert merges[1] == ("es", "t")  # 9 again after the first merge
+    assert len(merges) == 4
+
+
+def test_merge_determinism_on_ties():
+    # both pairs occur exactly twice -> lexicographic tie-break
+    wf = [("ab", 2), ("cd", 2)]
+    merges = train_bpe_merges(wf, n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_encode_word_applies_merges_in_rank_order():
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_word("newest", ranks) == ["n", "e", "w", "est"]
+    assert _encode_word("low", ranks) == ["low"]
+    assert _encode_word("x", ranks) == ["x"]
+    assert _encode_word("", ranks) == []
+
+
+def test_encode_matches_naive_reference_on_random_words():
+    """Rank-order encoding == the naive apply-merges-one-by-one loop."""
+    rng = random.Random(11)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    wf = [(w, 1) for w in sorted(set(words))]
+    merges = train_bpe_merges(wf, n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def naive(word: str) -> list[str]:
+        sym = list(word)
+        for a, b in merges:  # merges are learned in application order
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for w in words:
+        assert _encode_word(w, ranks) == naive(w), w
+
+
+def test_distributed_pipeline_end_to_end(spark):
+    rows = [
+        (1, "the newest widest lowest"),
+        (2, "the lowest newest"),
+        (3, "  The   NEWEST  "),  # normalization folds into doc 1/2's words
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {
+        r["word"]: r["freq"] for r in word_frequencies(df).collect()
+    }
+    assert wf["the"] == 3 and wf["newest"] == 3 and wf["lowest"] == 2
+
+    merges = train_bpe(df, n_merges=20)
+    out = {r["doc_id"]: r for r in bpe_tokenize(df, merges).collect()}
+    assert out[4]["n_tokens"] == 0 and out[4]["tokens"] == []
+    # same word -> same segmentation everywhere; doc 3 is doc's "the newest"
+    t1, t3 = out[1]["tokens"], out[3]["tokens"]
+    assert t3 == t1[: len(t3)] or set(t3) <= set(t1)
+    assert out[1]["n_tokens"] == len(t1)
+    # enough merges: frequent words collapse to single tokens
+    assert "the" in t1
+
+
+def test_max_words_truncation_is_deterministic(spark):
+    rows = [(i, "alpha beta gamma " * (i + 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top2 = sorted(
+        r["word"] for r in word_frequencies(df, max_words=2).collect()
+    )
+    assert top2 == ["alpha", "beta"]  # equal freqs -> lexicographic
