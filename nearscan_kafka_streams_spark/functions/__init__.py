@@ -18,6 +18,8 @@ training-data-pipeline operators the north star asks for:
 - ``bpe``        -- distributed BPE tokenizer training (word-count
                     reduce -> bounded driver merge loop) + broadcast
                     tokenization
+- ``quality_model`` -- hashed bag-of-words linear classifier scoring
+                    (feature hashing, codegen'd dot product)
 
 All hot paths are built-in column expressions (JVM-side, whole-stage
 codegen); Pandas UDFs appear only where array-heavy math is genuinely

@@ -2421,6 +2421,35 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier over every document
+    (fastText-style scoring path with deterministic stand-in weights;
+    integer-millionth quantization makes the margin engine-exact)."""
+    from nearscan_kafka_streams_spark.functions.quality_model import (
+        make_weights,
+        quality_margin_cols,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cols = quality_margin_cols(F.col("text"), make_weights())
+    return d.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["weight_sum_x1e6"].alias("weight_sum_x1e6"),
+        cols["margin"].alias("margin"),
+        cols["kept"].alias("kept"),
+    )
+
+
+def _quality_model_sql() -> str:
+    from nearscan_kafka_streams_spark.functions.quality_model import (
+        make_weights,
+        quality_model_sql,
+    )
+
+    return quality_model_sql(make_weights())
+
+
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing >= 1 word
     5-gram with the held-out eval slice (doc_id % 29 == 0 -- a
@@ -2494,6 +2523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
     "decontaminate_documents": decontaminate_documents,
+    "quality_model_score": quality_model_score,
     "bpe_token_stats": bpe_token_stats,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
@@ -2569,6 +2599,7 @@ ORACLES: dict[str, str] = {
     "q19_discounted_revenue": Q19_SQL,
     "q22_dormant_customers": Q22_SQL,
     "decontaminate_documents": DECONTAM_SQL,
+    "quality_model_score": _quality_model_sql(),
     "broadcast_dim_join": BROADCAST_DIM_SQL,
     "filter_project_scan": FILTER_PROJECT_SQL,
     "topk_orders": TOPK_SQL,
