@@ -44,6 +44,10 @@ HEADLINE = [
     "vocab_topk",
     "token_budget_shards",
     "profile_orders",
+    "quality_model_score",
+    "decontaminate_documents",
+    "bpe_token_stats",
+    "ann_pq_cosine",
     "dedup_exact_documents",
     "dedup_winnowed_spans",
     "dedup_minhash_lsh",
