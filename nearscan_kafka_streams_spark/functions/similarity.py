@@ -202,33 +202,32 @@ def ivf_topk(
     sample = [r["v"] for r in fit_input.collect()]  # bounded by cap
     centers = _kmeans_numpy(sample, n_clusters, seed)
 
-    def _center_lit(c) -> F.Column:
-        return F.array(*[F.lit(float(x)) for x in c])
-
-    def _sqdist(vec, c) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                vec, _center_lit(c), lambda x, y: (x.cast("double") - y) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     # nearest-centroid assignment as one codegen'd expression: argmin
     # via array_min over (dist, cell) structs -- the distance array is
     # referenced ONCE, so CollapseProject cannot double-evaluate the
-    # n_clusters constant-vector distances
-    dists = F.array(
-        *[
-            F.struct(
-                _sqdist(F.col("_cvec"), c).alias("d"), F.lit(i).alias("i")
-            )
+    # n_clusters constant-vector distances.  Generated as ONE SQL
+    # string: building it Column-by-Column costs a py4j round trip per
+    # node (seconds of driver time for n_clusters x dim literals).
+    def _center_arr(c) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+    def _sqdist_sql(c) -> str:
+        return (
+            f"aggregate(zip_with(CAST(_cvec AS array<double>), {_center_arr(c)},"
+            f" (x,y) -> (x-y)*(x-y)), 0.0D, (a,b) -> a+b)"
+        )
+
+    dists_sql = (
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {_sqdist_sql(c)}, 'i', {i})"
             for i, c in enumerate(centers)
-        ]
+        )
+        + ")).i"
     )
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    ).withColumn("_cell", F.array_min(dists)["i"])
+    ).withColumn("_cell", F.expr(dists_sql))
 
     centers_df = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -330,75 +329,68 @@ def pq_topk(
         for s in range(m)
     ]
 
-    def _normed(vec) -> F.Column:
-        nrm = F.sqrt(
-            F.aggregate(
-                vec,
-                F.lit(0.0),
-                lambda acc, v: acc + v.cast("double") * v.cast("double"),
-            )
-        )
-        return F.transform(
-            vec, lambda v: v.cast("double") / F.when(nrm == 0, 1.0).otherwise(nrm)
-        )
+    # The codebook expressions reference m x n_codes constant vectors.
+    # Built Column-by-Column that is thousands of py4j round trips
+    # (~9 s of DRIVER time at m=8, n_codes=16 -- measured); generating
+    # ONE SQL string and parsing it with a single F.expr call is ~free.
+    def _arr(c) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
 
-    def _center_lit(c) -> F.Column:
-        return F.array(*[F.lit(float(x)) for x in c])
+    norm_sql = (
+        "transform(CAST({v} AS array<double>), x -> x / "
+        "IF(sqrt(aggregate(CAST({v} AS array<double>), 0.0D,"
+        " (a,b) -> a + b*b)) = 0.0D, 1.0D,"
+        " sqrt(aggregate(CAST({v} AS array<double>), 0.0D,"
+        " (a,b) -> a + b*b))))"
+    )
 
-    def _sub_sqdist(vec, s: int, c) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                F.slice(vec, s * sub + 1, sub), _center_lit(c), lambda x, y: (x - y) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def _sub_sqdist(s: int, c) -> str:
+        return (
+            f"aggregate(zip_with(slice(_nvec, {s * sub + 1}, {sub}), {_arr(c)},"
+            f" (x,y) -> (x-y)*(x-y)), 0.0D, (a,b) -> a+b)"
         )
 
-    def _sub_dot(vec, s: int, c) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                F.slice(vec, s * sub + 1, sub), _center_lit(c), lambda x, y: x * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def _sub_dot(s: int, c) -> str:
+        return (
+            f"aggregate(zip_with(slice(_nvec, {s * sub + 1}, {sub}), {_arr(c)},"
+            f" (x,y) -> x*y), 0.0D, (a,b) -> a+b)"
         )
 
     # encode: per subspace, argmin over codebook distances via
     # array_min on (dist, code) structs -- one codegen'd expression,
     # each distance referenced once
-    codes = F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _sub_sqdist(F.col("_nvec"), s, c).alias("d"),
-                            F.lit(j).alias("j"),
-                        )
-                        for j, c in enumerate(books[s])
-                    ]
-                )
-            )["j"]
+    codes_sql = (
+        "array("
+        + ",".join(
+            "array_min(array("
+            + ",".join(
+                f"named_struct('d', {_sub_sqdist(s, c)}, 'j', {j})"
+                for j, c in enumerate(books[s])
+            )
+            + ")).j"
             for s in range(m)
-        ]
+        )
+        + ")"
     )
     encoded = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_nvec", _normed(F.col("_v")))
-        .select("neighbor_id", codes.alias("_codes"))
+        .withColumn("_nvec", F.expr(norm_sql.format(v="_v")))
+        .select("neighbor_id", F.expr(codes_sql).alias("_codes"))
     )
 
     # per-query ADC tables: tables[s][j] = <q_sub[s], codebook[s][j]>
-    tables = F.array(
-        *[
-            F.array(*[_sub_dot(F.col("_nqvec"), s, c) for c in books[s]])
+    tables_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sub_dot(s, c) for c in books[s]) + ")"
             for s in range(m)
-        ]
+        )
+        + ")"
     )
     q = (
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"))
-        .withColumn("_nqvec", _normed(F.col("_qv")))
-        .select(query_id_col, tables.alias("_tables"))
+        .withColumn("_nvec", F.expr(norm_sql.format(v="_qv")))
+        .select(query_id_col, F.expr(tables_sql).alias("_tables"))
     )
 
     adc = F.aggregate(
