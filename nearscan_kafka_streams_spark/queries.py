@@ -2492,6 +2492,55 @@ GROUP BY t.doc_id, t.n_grams
 """
 
 
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL-text entry point: the engine's tables registered as
+    views and queried with ANSI SQL via ``spark.sql`` -- the API
+    surface the reference (a hard-coded Java topology, SURVEY (S)2.8
+    'no SQL text') never offers.  The query itself: revenue share of
+    each nation within its region (windowed ratio over a joined
+    aggregate)."""
+    for t in ["region", "nation", "customer", "orders", "lineitem"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH nat AS (
+          SELECT r_name, n_name,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS rev_x10000
+          FROM region JOIN nation   ON r_regionkey = n_regionkey
+                      JOIN customer ON n_nationkey = c_nationkey
+                      JOIN orders   ON c_custkey   = o_custkey
+                      JOIN lineitem ON o_orderkey  = l_orderkey
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name,
+               CAST(rev_x10000 AS DOUBLE) / 10000.0 AS revenue,
+               round(CAST(rev_x10000 AS DOUBLE)
+                     / sum(CAST(rev_x10000 AS DOUBLE)) OVER (PARTITION BY r_name),
+                     6) AS region_share
+        FROM nat
+        """
+    )
+
+
+SQL_TEXT_SQL = """
+WITH nat AS (
+  SELECT r_name, n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+             AS BIGINT)) AS rev_x10000
+  FROM region JOIN nation   ON r_regionkey = n_regionkey
+              JOIN customer ON n_nationkey = c_nationkey
+              JOIN orders   ON c_custkey   = o_custkey
+              JOIN lineitem ON o_orderkey  = l_orderkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name,
+       CAST(rev_x10000 AS DOUBLE) / 10000.0 AS revenue,
+       round(CAST(rev_x10000 AS DOUBLE)
+             / sum(CAST(rev_x10000 AS DOUBLE)) OVER (PARTITION BY r_name),
+             6) AS region_share
+FROM nat
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2522,6 +2571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
+    "sql_text_interface": sql_text_interface,
     "decontaminate_documents": decontaminate_documents,
     "quality_model_score": quality_model_score,
     "bpe_token_stats": bpe_token_stats,
@@ -2598,6 +2648,7 @@ ORACLES: dict[str, str] = {
     "q18_large_orders": Q18_SQL,
     "q19_discounted_revenue": Q19_SQL,
     "q22_dormant_customers": Q22_SQL,
+    "sql_text_interface": SQL_TEXT_SQL,
     "decontaminate_documents": DECONTAM_SQL,
     "quality_model_score": _quality_model_sql(),
     "broadcast_dim_join": BROADCAST_DIM_SQL,
