@@ -89,3 +89,41 @@ def test_plan_summary_counts(spark, sf_dir):
     assert s["scans"] >= 5
     assert s["exchanges"] >= 1
     assert s["python_eval"] == 0
+
+
+def test_new_tpch_queries_plan_shapes(spark, sf_dir):
+    """Round-3 TPC-H batch: dimension joins broadcast, never cartesian,
+    and q6's predicates reach the scan."""
+    from nearscan_kafka_streams_spark.queries import (
+        q6_forecast_revenue,
+        q7_volume_shipping,
+        q10_returned_items,
+        q14_promo_revenue,
+        q17_small_quantity_revenue,
+        q18_large_orders,
+        q19_discounted_revenue,
+    )
+
+    for q in (
+        q7_volume_shipping,
+        q10_returned_items,
+        q14_promo_revenue,
+        q17_small_quantity_revenue,
+        q18_large_orders,
+        q19_discounted_revenue,
+    ):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+    pushed = " ".join(pushed_filters(q6_forecast_revenue(spark, sf_dir)))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_decontamination_broadcast_no_shuffle_of_train_grams(spark, sf_dir):
+    """The eval gram table must broadcast: the train side's exploded
+    grams never enter an exchange before the contamination join."""
+    from nearscan_kafka_streams_spark.queries import decontaminate_documents
+
+    plan = formatted_plan(decontaminate_documents(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
