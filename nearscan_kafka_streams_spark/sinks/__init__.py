@@ -6,7 +6,10 @@ from nearscan_kafka_streams_spark.sinks.kafka import (
     topic_payload,
     write_topic_stream,
 )
-from nearscan_kafka_streams_spark.sinks.layout import write_range_clustered
+from nearscan_kafka_streams_spark.sinks.layout import (
+    write_range_clustered,
+    write_zorder_clustered,
+)
 from nearscan_kafka_streams_spark.sinks.upsert import (
     duckdb_merge_fn,
     foreach_batch_upsert,
@@ -19,5 +22,6 @@ __all__ = [
     "read_store",
     "topic_payload",
     "write_range_clustered",
+    "write_zorder_clustered",
     "write_topic_stream",
 ]

@@ -27,6 +27,7 @@ needs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_range_clustered(
@@ -49,3 +50,81 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_col: int = 8,
+    boundaries: dict[str, list[float]] | None = None,
+) -> tuple[F.Column, dict[str, list[float]]]:
+    """Interleaved-bit Z-value over 2+ numeric columns.
+
+    Lexicographic range clustering prunes only its FIRST column; a
+    Z-order curve interleaves the bit patterns of all cluster columns,
+    so files own hyper-rectangles of the key space and footer min/max
+    prune on EVERY clustered column (Delta/Iceberg OPTIMIZE ZORDER
+    semantics, built from public primitives).
+
+    Per column: quantile-bucket the value into 2^bits ranks
+    (``approxQuantile`` boundaries -- skew-robust where uniform
+    ``width_bucket`` is not; one tiny driver-side list per column),
+    then interleave rank bits.  Bucketing per row is an O(2^bits)
+    codegen'd aggregate over the boundary array literal -- generated as
+    one SQL string, no per-row Python, no shuffle.
+
+    Returns (zvalue column, boundaries used) so incremental writers can
+    reuse boundaries across snapshots.
+    """
+    n_buckets = 1 << bits_per_col
+    if boundaries is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = {
+            c: df.approxQuantile(c, qs, 0.001) for c in cols
+        }
+
+    def _bucket_sql(c: str) -> str:
+        blit = "array(" + ",".join(f"{float(b)!r}D" for b in boundaries[c]) + ")"
+        return (
+            f"aggregate({blit}, 0,"
+            f" (acc, b) -> acc + IF(CAST({c} AS DOUBLE) >= b, 1, 0))"
+        )
+
+    terms = []
+    for ci, c in enumerate(cols):
+        b = _bucket_sql(c)
+        for i in range(bits_per_col):
+            # bit i of this column's bucket lands at interleaved
+            # position i*len(cols)+ci
+            terms.append(
+                f"shiftleft(CAST(shiftright({b}, {i}) & 1 AS BIGINT),"
+                f" {i * len(cols) + ci})"
+            )
+    return F.expr(" + ".join(terms)), boundaries
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 32,
+    bits_per_col: int = 8,
+    mode: str = "overwrite",
+) -> dict[str, list[float]]:
+    """Write parquet Z-order-clustered on ``cluster_cols``.
+
+    One range shuffle on the z-value + in-partition sort, exactly like
+    :func:`write_range_clustered` -- but every clustered column's
+    footer ranges narrow, not just the first.  Returns the quantile
+    boundaries for reuse by incremental writes.
+    """
+    z, bounds = zorder_value(df, cluster_cols, bits_per_col)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return bounds

@@ -150,3 +150,70 @@ def test_global_running_sum_matches_window(spark):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_write_zorder_clusters_both_columns(spark, tmp_path):
+    """Z-order output: EVERY clustered column's per-file footer range
+    must be much narrower than the global domain (lexicographic range
+    clustering narrows only the first column), and content survives."""
+    import pyarrow.parquet as pq
+
+    from nearscan_kafka_streams_spark.sinks import write_zorder_clustered
+
+    n = 100_000
+    df = spark.range(0, n).selectExpr(
+        "id",
+        "cast(id % 1000 as long) as x",
+        "cast(cast(id / 100 as long) as long) as y",
+    )
+    out = str(tmp_path / "zordered")
+    write_zorder_clustered(
+        df.orderBy(F.rand(seed=3)), out, ["x", "y"], num_files=16
+    )
+
+    files = sorted((tmp_path / "zordered").glob("*.parquet"))
+    assert len(files) == 16
+
+    def file_span(col_name):
+        spans = []
+        for f in files:
+            md = pq.read_metadata(str(f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col_name
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    # 16 files over a 2-D grid ~ 4x4 tiles: each file should span
+    # roughly 1/4 of each dimension; assert < 60% of global (random
+    # layout would span ~100% of both)
+    for col_name, domain in (("x", 1000), ("y", n // 100)):
+        spans = file_span(col_name)
+        avg = sum(spans) / len(spans)
+        assert avg < 0.6 * domain, f"{col_name}: avg span {avg} of {domain}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.selectExpr("sum(x)", "sum(y)").collect() == df.selectExpr(
+        "sum(x)", "sum(y)"
+    ).collect()
+
+
+def test_zorder_boundary_reuse_is_deterministic(spark, tmp_path):
+    from nearscan_kafka_streams_spark.sinks.layout import zorder_value
+
+    df = spark.range(0, 5_000).selectExpr(
+        "cast(id % 100 as long) as x", "cast(id % 37 as long) as y"
+    )
+    z1, bounds = zorder_value(df, ["x", "y"], bits_per_col=4)
+    z2, _ = zorder_value(df, ["x", "y"], bits_per_col=4, boundaries=bounds)
+    a = [r[0] for r in df.select(z1).collect()]
+    b = [r[0] for r in df.select(z2).collect()]
+    assert a == b
+    assert max(a) < (1 << 8)  # 2 cols x 4 bits
