@@ -123,3 +123,64 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(got) == 24
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Left-outer stream-stream interval join: matched rows carry the
+    right side; unmatched left rows emit NULL-padded once the
+    watermark passes their join window (the reference topology is
+    inner-only -- this pins the engine capability beyond it)."""
+    import json
+
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    ldir.mkdir(), rdir.mkdir()
+
+    def ts(minutes):
+        return (T0 + dt.timedelta(minutes=minutes)).isoformat()
+
+    # file 1: l1 (will match), l2 (never matches); r1 matches l1
+    (ldir / "a.json").write_text(
+        json.dumps({"lid": "l1", "lts": ts(0)}) + "\n"
+        + json.dumps({"lid": "l2", "lts": ts(1)}) + "\n"
+    )
+    (rdir / "a.json").write_text(json.dumps({"rid": "l1", "rts": ts(0)}) + "\n")
+    # file 2: watermark pushers far in the future flush l2's window
+    (ldir / "b.json").write_text(json.dumps({"lid": "lp", "lts": ts(600)}) + "\n")
+    (rdir / "b.json").write_text(json.dumps({"rid": "rp", "rts": ts(600)}) + "\n")
+
+    left = (
+        spark.readStream.schema("lid string, lts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ldir))
+        .withWatermark("lts", "10 seconds")
+    )
+    right = (
+        spark.readStream.schema("rid string, rts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(rdir))
+        .withWatermark("rts", "10 seconds")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "lid = rid AND rts BETWEEN lts - INTERVAL 5 seconds"
+            " AND lts + INTERVAL 5 seconds"
+        ),
+        "leftOuter",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    rows = {
+        r["lid"]: r["rid"] for r in spark.read.parquet(out).collect()
+    }
+    assert rows["l1"] == "l1"  # matched within +/-5s
+    assert rows["l2"] is None  # emitted null-padded after watermark
