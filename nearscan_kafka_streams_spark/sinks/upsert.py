@@ -170,6 +170,59 @@ def foreach_batch_upsert(
     return _upsert
 
 
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    num_buckets: int | None = None,
+) -> int:
+    """Rewrite the whole store as ONE fresh generation (optionally
+    re-bucketed) and swap the manifest atomically.
+
+    A long-running changelog sink accumulates one file per touched
+    bucket per batch generation; reads stay correct (the manifest
+    always maps each bucket to exactly one generation) but the store
+    trends toward many small files.  Compaction is the standard
+    maintenance pass: read the current consistent view, rewrite it
+    bucket-partitioned in one job, swap, GC.  Crash-safe for the same
+    reason the sink is -- a crash before the swap leaves the old
+    manifest (and all files it references) untouched.
+
+    ``num_buckets`` re-buckets the store (grow it as keys accumulate);
+    default keeps the current bucketing.  Returns the bucket count.
+    """
+    manifest = _load_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no upsert store at {path} (missing {_MANIFEST})")
+    key_col = manifest["key_col"]
+    buckets = num_buckets or manifest["num_buckets"]
+
+    current = read_store(spark, path).withColumn(
+        _BUCKET, _bucket_expr(key_col, buckets)
+    )
+    gen = f"gen-compact-{uuid.uuid4().hex[:8]}"
+    (
+        current.repartition(buckets, _BUCKET)
+        .write.partitionBy(_BUCKET)
+        .mode("errorifexists")
+        .parquet(f"{path}/{gen}")
+    )
+    # only buckets that actually contain rows have directories; map
+    # exactly those (an empty bucket in the manifest would break reads)
+    written = {
+        child.name.split("=", 1)[1]
+        for child in (Path(path) / gen).iterdir()
+        if child.is_dir() and child.name.startswith(f"{_BUCKET}=")
+    }
+    new_manifest = {
+        "num_buckets": buckets,
+        "key_col": key_col,
+        "buckets": {b: gen for b in sorted(written, key=int)},
+    }
+    _swap_manifest(path, new_manifest)
+    _gc_generations(path, new_manifest)
+    return buckets
+
+
 def duckdb_merge_fn(
     db_path: str,
     table: str,

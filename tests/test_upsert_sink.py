@@ -173,3 +173,50 @@ def test_upsert_randomized_batches_match_dict_semantics(spark, tmp_path):
         for r in read_store(spark, target).collect()
     }
     assert got == expect
+
+
+def test_compact_store_collapses_generations(spark, tmp_path):
+    """Many-batch store -> one generation; same content; superseded
+    generation dirs GC'd; re-bucketing preserved across compaction."""
+    from pathlib import Path as P
+
+    from nearscan_kafka_streams_spark.sinks.upsert import compact_store
+
+    target = str(tmp_path / "cstore")
+    upsert = foreach_batch_upsert("account", target, num_buckets=16)
+    # DISJOINT keys per batch: each generation keeps live buckets, so
+    # generations accumulate (touching the same keys would let GC
+    # collapse them immediately)
+    for i in range(6):
+        b = spark.createDataFrame(
+            [(f"k{i}", i * 10)], ["account", "balance"]
+        )
+        upsert(b, i)
+    before = _final(spark, target)
+    gens_before = {
+        d.name for d in P(target).iterdir()
+        if d.is_dir() and d.name.startswith("gen-")
+    }
+    assert len(gens_before) > 1  # multiple live generations pre-compact
+
+    compact_store(spark, target)
+    assert _final(spark, target) == before
+    gens_after = {
+        d.name for d in P(target).iterdir()
+        if d.is_dir() and d.name.startswith("gen-")
+    }
+    assert len(gens_after) == 1 and next(iter(gens_after)).startswith(
+        "gen-compact-"
+    )
+
+    # grow the bucket count; content still identical and writable after
+    compact_store(spark, target, num_buckets=32)
+    assert _final(spark, target) == before
+    upsert2 = foreach_batch_upsert("account", target)
+    upsert2(
+        spark.createDataFrame([("k0", 999)], ["account", "balance"]), 99
+    )
+    after = _final(spark, target)
+    assert after["k0"] == 999 and {k: v for k, v in after.items() if k != "k0"} == {
+        k: v for k, v in before.items() if k != "k0"
+    }
