@@ -2492,6 +2492,92 @@ GROUP BY t.doc_id, t.n_grams
 """
 
 
+def mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a PER-LANGUAGE TOKEN BUDGET: within
+    each language, walk documents in deterministic hash order and keep
+    them while the running token total fits the budget -- 'give me
+    ~2k tokens per language, reproducibly' (the mixture-weighting
+    step of a training-data pipeline; complements the rate-based
+    stratified_sample_documents).
+
+    Scale: the cumulative sum is a window PARTITIONED by language --
+    every partition parallel, no single-task global scan; the hash
+    order is a pure row function (no presort needed beyond the window
+    sort)."""
+    d = _t(spark, sf_dir, "documents")
+    budget = 2_000
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= budget)
+    )
+
+
+MIXTURE_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                       ' ')) END AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM t
+QUALIFY cum_tokens <= 2000
+"""
+
+
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: events have only 5 event_type
+    values (every key is hot at scale), so phase 1 aggregates on
+    (key, salt) -- 8-way fan-out spreads each hot key across
+    reducers -- and phase 2 collapses the 40 partials.  Same result as
+    the direct groupBy (the oracle computes that), different shuffle
+    profile; per-row integer quantization keeps the double sum
+    engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    q = F.round(F.col("value") * 10000).cast("long")
+    partial = (
+        e.select(
+            "event_type",
+            F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("_salt"),
+            q.alias("v"),
+        )
+        .groupBy("event_type", "_salt")
+        .agg(F.sum("v").alias("pv"), F.count(F.lit(1)).alias("pn"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pv").alias("total_x10000"),
+            F.sum("pn").cast("long").alias("n_events"),
+        )
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS total_x10000,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw SQL-text entry point: the engine's tables registered as
     views and queried with ANSI SQL via ``spark.sql`` -- the API
@@ -2572,6 +2658,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
     "sql_text_interface": sql_text_interface,
+    "mixture_budget_sample": mixture_budget_sample,
+    "salted_hot_key_agg": salted_hot_key_agg,
     "decontaminate_documents": decontaminate_documents,
     "quality_model_score": quality_model_score,
     "bpe_token_stats": bpe_token_stats,
@@ -2649,6 +2737,8 @@ ORACLES: dict[str, str] = {
     "q19_discounted_revenue": Q19_SQL,
     "q22_dormant_customers": Q22_SQL,
     "sql_text_interface": SQL_TEXT_SQL,
+    "mixture_budget_sample": MIXTURE_BUDGET_SQL,
+    "salted_hot_key_agg": SALTED_AGG_SQL,
     "decontaminate_documents": DECONTAM_SQL,
     "quality_model_score": _quality_model_sql(),
     "broadcast_dim_join": BROADCAST_DIM_SQL,
