@@ -2492,6 +2492,57 @@ GROUP BY t.doc_id, t.n_grams
 """
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    fixed-size character chunks with overlap, one output row per
+    chunk.  Pure Catalyst -- sequence over chunk starts, substring per
+    start, posexplode -- so chunking 100 TB is a narrow codegen pass
+    with no shuffle at all (rows fan out ~len/stride per doc)."""
+    size, overlap = 200, 50
+    stride = size - overlap
+    d = _t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(
+            F.length("text") - (size - 1), F.lit(1)
+        ),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda s: F.substring(F.col("text"), s, size))
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_index", "chunk"))
+        .where(F.length("chunk") > 0)
+        .select(
+            "doc_id",
+            "chunk_index",
+            F.length("chunk").cast("int").alias("n_chars"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         [substring(text, s, 200)
+          for s in range(1, greatest(length(text) - 199, 1) + 1, 150)]
+           AS chunks
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         unnest(list_transform(chunks, (x, i) -> {'i': i, 'x': x})) AS ch
+  FROM c
+)
+SELECT doc_id,
+       CAST(ch.i - 1 AS INT) AS chunk_index,
+       CAST(length(ch.x) AS INT) AS n_chars,
+       md5(ch.x) AS chunk_md5
+FROM u
+WHERE length(ch.x) > 0
+"""
+
+
 def mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling to a PER-LANGUAGE TOKEN BUDGET: within
     each language, walk documents in deterministic hash order and keep
@@ -2658,6 +2709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
     "sql_text_interface": sql_text_interface,
+    "chunk_documents": chunk_documents,
     "mixture_budget_sample": mixture_budget_sample,
     "salted_hot_key_agg": salted_hot_key_agg,
     "decontaminate_documents": decontaminate_documents,
@@ -2737,6 +2789,7 @@ ORACLES: dict[str, str] = {
     "q19_discounted_revenue": Q19_SQL,
     "q22_dormant_customers": Q22_SQL,
     "sql_text_interface": SQL_TEXT_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "mixture_budget_sample": MIXTURE_BUDGET_SQL,
     "salted_hot_key_agg": SALTED_AGG_SQL,
     "decontaminate_documents": DECONTAM_SQL,
