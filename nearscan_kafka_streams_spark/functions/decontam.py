@@ -65,12 +65,18 @@ def contamination_report(
     sharing >= 1 word n-gram with ANY eval doc; clean docs are absent
     (anti-join against this result to keep the clean corpus).
     """
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
     grams = word_ngrams(F.col(text_col), n)
-    train_sets = train.select(F.col(id_col), grams.alias("grams")).withColumn(
-        "n_grams", F.size("grams")
-    )
+    # gram generation is the CPU-heavy narrow stage; a small corpus
+    # arrives as ONE scan partition (file bin-packing), which would
+    # serialize it -- spread to core count first (no-op at scale,
+    # where the scan already has many splits)
+    train_sets = _spread(train).select(
+        F.col(id_col), grams.alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
     eval_grams = (
-        eval_df.select(F.explode(grams).alias("gram")).distinct()
+        _spread(eval_df).select(F.explode(grams).alias("gram")).distinct()
     )
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
