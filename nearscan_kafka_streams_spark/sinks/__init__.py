@@ -8,6 +8,7 @@ from nearscan_kafka_streams_spark.sinks.kafka import (
 )
 from nearscan_kafka_streams_spark.sinks.layout import (
     write_range_clustered,
+    write_with_bloom_filters,
     write_zorder_clustered,
 )
 from nearscan_kafka_streams_spark.sinks.upsert import (
@@ -22,6 +23,7 @@ __all__ = [
     "read_store",
     "topic_payload",
     "write_range_clustered",
+    "write_with_bloom_filters",
     "write_zorder_clustered",
     "write_topic_stream",
 ]

@@ -52,6 +52,34 @@ def write_range_clustered(
     )
 
 
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with column bloom filters for point-lookup skipping.
+
+    Clustering (range/Z-order) prunes via footer min/max only for the
+    clustered columns; a point filter on any OTHER high-cardinality
+    column (account id, receipt hash) reads everything.  Parquet bloom
+    filters close that gap: a few bits per distinct value per row
+    group, checked before the page data is touched -- `id = X` skips
+    every row group whose filter rejects X, no layout change needed.
+
+    ``expected_ndv`` sizes the filter per row group (~1.2 bytes/value
+    at the default 1% FPP); oversizing wastes footer bytes, undersizing
+    raises the false-positive rate toward useless.
+    """
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    w.parquet(path)
+
+
 def zorder_value(
     df: DataFrame,
     cols: list[str],
