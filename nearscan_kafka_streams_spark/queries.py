@@ -2492,6 +2492,50 @@ GROUP BY t.doc_id, t.n_grams
 """
 
 
+def dedup_canonical_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven canonical selection among exact duplicates: keep
+    ONE doc per normalized-text fingerprint, chosen by source priority
+    (lower numeric suffix = more trusted here), then doc_id.  Real
+    curation keeps the curated-source copy of boilerplate shared with
+    web scrapes -- min-id selection (dedup_exact_documents) cannot
+    express that.
+
+    Scale: same shape as exact dedup -- only (fingerprint, priority,
+    id) shuffle; the window partitions by fingerprint (parallel)."""
+    d = _t(spark, sf_dir, "documents")
+    # md5 (not the engine-internal xxhash64 fingerprint): both engines
+    # implement it identically, so the oracle reproduces the key
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    pri = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    w = Window.partitionBy("fp").orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            fp.alias("fp"),
+            pri.alias("priority"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "source", "fp")
+    )
+
+
+DEDUP_CANONICAL_SQL = r"""
+SELECT doc_id, source, fp FROM (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY CAST(regexp_extract(source, '(\d+)$', 1) AS INT) ASC,
+                    doc_id ASC) AS rn
+  FROM documents)
+WHERE rn = 1
+"""
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (RAG / context-window prep):
     fixed-size character chunks with overlap, one output row per
@@ -2710,6 +2754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_dormant_customers": q22_dormant_customers,
     "sql_text_interface": sql_text_interface,
     "chunk_documents": chunk_documents,
+    "dedup_canonical_by_source": dedup_canonical_by_source,
     "mixture_budget_sample": mixture_budget_sample,
     "salted_hot_key_agg": salted_hot_key_agg,
     "decontaminate_documents": decontaminate_documents,
@@ -2790,6 +2835,7 @@ ORACLES: dict[str, str] = {
     "q22_dormant_customers": Q22_SQL,
     "sql_text_interface": SQL_TEXT_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "dedup_canonical_by_source": DEDUP_CANONICAL_SQL,
     "mixture_budget_sample": MIXTURE_BUDGET_SQL,
     "salted_hot_key_agg": SALTED_AGG_SQL,
     "decontaminate_documents": DECONTAM_SQL,
