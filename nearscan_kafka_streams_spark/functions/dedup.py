@@ -459,13 +459,17 @@ def winnowed_spans(
         ),
     )
     # rightmost-min per window: i + m - position_of_min_in_reversed_slice
-    # (m = actual slice size; the tail windows are shorter than `window`)
+    # (m = actual slice size; the tail windows are shorter than `window`).
+    # Two-level transform so each window's slice materializes ONCE (the
+    # single-level form repeated slice() for min, reverse and size --
+    # 3x the array work in the hot stage); the outer lambda's 0-based
+    # index recovers the window start.
     sel = (
         f"array_distinct(transform("
-        f" sequence(1, greatest(size(_h) - {window - 1}, 1)),"
-        f" i -> i + size(slice(_h, i, {window}))"
-        f"        - array_position(reverse(slice(_h, i, {window})),"
-        f"                         array_min(slice(_h, i, {window})))))"
+        f" transform(sequence(1, greatest(size(_h) - {window - 1}, 1)),"
+        f"           i -> slice(_h, i, {window})),"
+        f" (s, i0) -> i0 + 1 + size(s)"
+        f"            - array_position(reverse(s), array_min(s))))"
     )
     spans = (
         df.select(
