@@ -49,19 +49,55 @@ DOC_SCHEMA = StructType(
 )
 
 
-def clean_documents(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+def clean_documents(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    model_weights: list[int] | None = None,
+    model_bias_millionths: int = 100_000,
+    eval_ngrams: list[str] | None = None,
+    ngram_n: int = 5,
+) -> DataFrame:
     """The cleaning column pipeline, shared verbatim between the batch
     and streaming paths (one definition, two execution modes -- the
-    Structured Streaming contract)."""
+    Structured Streaming contract).
+
+    Optional gates, both stateless column work (streaming-safe, no
+    extra state or joins):
+
+    * ``model_weights`` -- hashed-feature linear classifier gate
+      (functions/quality_model.py): drop docs with negative margin.
+    * ``eval_ngrams`` -- inline decontamination: drop docs sharing any
+      word n-gram with the (bounded) benchmark gram list, shipped as
+      an array literal in the plan.  Real benchmark suites are KBs-MBs
+      of grams; for pathological eval sizes run the batch
+      ``contamination_report`` anti-join instead.
+    """
     t = scrub_text(F.col("text"))
-    return (
+    out = (
         docs.withColumn("clean_text", t)
         .withColumn("lang", lang_id(F.col("clean_text")))
         .withColumn("quality", quality_score(F.col("clean_text")))
         .withColumn("n_tokens", token_count(F.col("clean_text")))
         .where(F.col("quality") >= F.lit(min_quality))
-        .withColumn("fp", F.xxhash64(F.col("clean_text")))
-        .select("doc_id", "clean_text", "lang", "quality", "n_tokens", "fp")
+    )
+    if model_weights is not None:
+        from nearscan_kafka_streams_spark.functions.quality_model import (
+            quality_margin_cols,
+        )
+
+        kept = quality_margin_cols(
+            F.col("clean_text"), model_weights, model_bias_millionths
+        )["kept"]
+        out = out.where(kept)
+    if eval_ngrams is not None:
+        from nearscan_kafka_streams_spark.functions.decontam import word_ngrams
+
+        deny = F.array(*[F.lit(g) for g in eval_ngrams])
+        out = out.where(
+            ~F.arrays_overlap(word_ngrams(F.col("clean_text"), ngram_n), deny)
+        )
+    return out.withColumn("fp", F.xxhash64(F.col("clean_text"))).select(
+        "doc_id", "clean_text", "lang", "quality", "n_tokens", "fp"
     )
 
 
@@ -72,6 +108,8 @@ def run_corpus_ingest(
     checkpoint_dir: str,
     min_quality: float = 0.5,
     timeout_seconds: float = 600,
+    model_weights: list[int] | None = None,
+    eval_ngrams: list[str] | None = None,
 ) -> None:
     """Drain ``src_dir`` (JSON-lines docs) through the cleaning
     topology into ``out_dir`` parquet, deduplicating by content
@@ -85,7 +123,12 @@ def run_corpus_ingest(
         .option("maxFilesPerTrigger", 1)
         .json(src_dir)
     )
-    cleaned = clean_documents(stream, min_quality).dropDuplicates(["fp"])
+    cleaned = clean_documents(
+        stream,
+        min_quality,
+        model_weights=model_weights,
+        eval_ngrams=eval_ngrams,
+    ).dropDuplicates(["fp"])
     q = (
         cleaned.writeStream.format("parquet")
         .option("path", out_dir)

@@ -58,3 +58,45 @@ def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     }
     stream_fps = {r["fp"] for r in spark.read.parquet(str(out)).collect()}
     assert stream_fps == batch_fps
+
+
+def test_streaming_ingest_with_model_and_decontam_gates(spark, tmp_path):
+    """Optional gates: an eval n-gram drops the contaminated doc; the
+    all-zero-weight model with negative bias drops everything it sees;
+    streamed survivors still match the batch pipeline run with the
+    same gates."""
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again", "source": "a"},
+        # contains the eval 5-gram below -> decontaminated
+        {"doc_id": 2, "text": "leaked secret eval answer key is hidden right here today", "source": "a"},
+        {"doc_id": 3, "text": "the rain in spain stays mainly on the plain today", "source": "a"},
+    ]
+    eval_grams = ["secret eval answer key is"]
+
+    src = tmp_path / "landing2"
+    src.mkdir()
+    _write(src, "a.json", docs)
+    out = tmp_path / "corpus2"
+    run_corpus_ingest(
+        spark, str(src), str(out), str(tmp_path / "ckpt2"),
+        min_quality=0.5, eval_ngrams=eval_grams,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1, 3}
+
+    batch = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in docs],
+        ["doc_id", "text", "source"],
+    )
+    batch_ids = {
+        r["doc_id"]
+        for r in clean_documents(batch, 0.5, eval_ngrams=eval_grams)
+        .dropDuplicates(["fp"]).collect()
+    }
+    assert got == batch_ids
+
+    # negative-bias zero-weight model rejects every doc
+    rejected = clean_documents(
+        batch, 0.5, model_weights=[0] * 16, model_bias_millionths=-1
+    ).collect()
+    assert rejected == []
