@@ -2300,6 +2300,38 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_fullprobe_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probing EVERY cell: candidates = whole corpus, so the result
+    must equal exact brute force -- which makes the entire IVF
+    machinery (sample fit, cell assignment, probe join, scoring,
+    top-k) hash-checkable against the brute-force DuckDB oracle."""
+    from nearscan_kafka_streams_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def ann_pq_fullrerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with a corpus-deep rerank: the refine stage scores EVERY
+    candidate exactly, so the output must equal brute force -- making
+    the PQ encode/ADC/refine machinery hash-checkable against the
+    brute-force oracle (the production shallow-rerank variant stays
+    rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = pq_topk(emb, queries, k=5, m=8, n_codes=16, rerank=1_000_000)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_score", 6).alias("cosine"),
+        "rank",
+    )
+
+
 def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via product quantization + ADC shortlist +
     exact refine (8 subspaces x 16 codes over L2-normalized vectors,
@@ -2766,7 +2798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_cosine": ann_bruteforce_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_cosine": ann_ivf_cosine,
+    "ann_ivf_fullprobe_cosine": ann_ivf_fullprobe_cosine,
     "ann_pq_cosine": ann_pq_cosine,
+    "ann_pq_fullrerank_cosine": ann_pq_fullrerank_cosine,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters_star": dedup_clusters_star,
@@ -2889,6 +2923,10 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "ann_bruteforce_cosine": ANN_BRUTEFORCE_SQL,
+    # full-probe / full-rerank ANN degenerate to exact brute force by
+    # construction -- same oracle
+    "ann_ivf_fullprobe_cosine": ANN_BRUTEFORCE_SQL,
+    "ann_pq_fullrerank_cosine": ANN_BRUTEFORCE_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
