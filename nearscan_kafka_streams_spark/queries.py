@@ -2255,6 +2255,52 @@ def dedup_embedding_cosine(
     )
 
 
+def dedup_embedding_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with ZERO signature bits: one bucket, i.e.
+    exact all-pairs -- which makes the bucketed-join + cosine-verify
+    machinery hash-checkable against a DuckDB all-pairs oracle (the
+    production bucketed variant stays rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        cosine_expr,
+        hyperplane_signature,
+    )
+
+    sig = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        hyperplane_signature(F.col("embedding"), bits=0, dim=64).alias("_b"),
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._b") == F.col("r._b"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .withColumn(
+            "cosine", cosine_expr(F.col("l.embedding"), F.col("r.embedding"))
+        )
+        .where(F.col("cosine") >= 0.40)
+        .select(
+            F.col("l.vec_id").alias("left_id"),
+            F.col("r.vec_id").alias("right_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+EMB_ALLPAIRS_SQL = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.40
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: similarity search
 # --------------------------------------------------------------------------
@@ -2345,6 +2391,18 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("adc_score", 6).alias("adc_score"),
         "rank",
+    )
+
+
+def ann_lsh_fullbucket_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH with ZERO bits: every vector lands in the single
+    bucket, so the bucket join + scoring + top-k must equal exact
+    brute force -- hash-checkable against the brute-force oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = lsh_topk(emb, queries, k=5, bits=0, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
 
@@ -2799,8 +2857,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_cosine": ann_ivf_cosine,
     "ann_ivf_fullprobe_cosine": ann_ivf_fullprobe_cosine,
+    "ann_lsh_fullbucket_cosine": ann_lsh_fullbucket_cosine,
     "ann_pq_cosine": ann_pq_cosine,
     "ann_pq_fullrerank_cosine": ann_pq_fullrerank_cosine,
+    "dedup_embedding_allpairs": dedup_embedding_allpairs,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters_star": dedup_clusters_star,
@@ -2926,7 +2986,9 @@ ORACLES: dict[str, str] = {
     # full-probe / full-rerank ANN degenerate to exact brute force by
     # construction -- same oracle
     "ann_ivf_fullprobe_cosine": ANN_BRUTEFORCE_SQL,
+    "ann_lsh_fullbucket_cosine": ANN_BRUTEFORCE_SQL,
     "ann_pq_fullrerank_cosine": ANN_BRUTEFORCE_SQL,
+    "dedup_embedding_allpairs": EMB_ALLPAIRS_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
