@@ -96,6 +96,68 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    batch_id: int = 0,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against a persistent content-identity
+    store: the daily-batch-ingest twin of the streaming cross-batch
+    dedup (streaming/corpus.py).  Returns the batch's never-seen docs
+    and registers their fingerprints so the next batch sees them.
+
+    Scale shape (the reason this reuses the upsert store): the
+    identity store is hash-bucketed on fingerprint, so the seen-check
+    reads ONLY the buckets the batch's fingerprints land in --
+    O(batch) work against an O(corpus) store -- and registration
+    rewrites only those buckets (sinks/upsert.py semantics, atomic
+    manifest swap; a crash leaves the previous consistent store).
+    Re-running the same batch returns zero survivors: content
+    admission is at-most-once.
+    """
+    from nearscan_kafka_streams_spark.sinks.upsert import (
+        _bucket_expr,
+        _load_manifest,
+        bucket_paths,
+        foreach_batch_upsert,
+    )
+
+    spark = df.sparkSession
+    batch = df.withColumn("fp", fingerprint(F.col(text_col)))
+    # within-batch: keep the lowest id per fingerprint
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    batch = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    manifest = _load_manifest(store_path)
+    if manifest is not None:
+        buckets = manifest["num_buckets"]
+        affected = sorted(
+            r[0]
+            for r in batch.select(
+                _bucket_expr("fp", buckets).alias("b")
+            ).distinct().collect()
+        )
+        paths = bucket_paths(store_path, manifest, affected)
+        if paths:
+            seen = spark.read.parquet(*paths).select("fp")
+            batch = batch.join(seen, "fp", "left_anti")
+
+    # materialize survivors BEFORE registration so the returned frame
+    # and the store write agree (both pin the pre-write bucket paths)
+    survivors = _persist_tracked(batch)
+    foreach_batch_upsert("fp", store_path, num_buckets=num_buckets)(
+        survivors.select("fp", F.col(id_col)), batch_id
+    )
+    return survivors
+
+
 def shingles(text_col: str, n: int = 3) -> F.Column:
     """Character n-gram shingle hashes of normalized text -> array<bigint>.
 

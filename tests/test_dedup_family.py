@@ -353,3 +353,33 @@ def test_winnowing_detects_misaligned_shared_run(spark):
 
     exact = duplicate_spans(docs).collect()  # stride 1: all 8 windows
     assert len(exact) == 8
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "identity")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 1: within-batch dup (1 vs 3, min id wins)
+    b1 = batch([(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha  BETA gamma")])
+    s1 = {r["doc_id"] for r in incremental_exact_dedup(b1, store, batch_id=0).collect()}
+    assert s1 == {1, 2}
+
+    # batch 2: cross-batch dup of doc 2's content + genuinely new doc
+    b2 = batch([(10, "Delta  Epsilon"), (11, "zeta eta theta")])
+    s2 = {r["doc_id"] for r in incremental_exact_dedup(b2, store, batch_id=1).collect()}
+    assert s2 == {11}
+
+    # replaying batch 2 admits nothing (at-most-once content admission)
+    s2b = incremental_exact_dedup(b2, store, batch_id=2).collect()
+    assert s2b == []
+
+    # the store holds exactly the three distinct fingerprints
+    from nearscan_kafka_streams_spark.sinks.upsert import read_store
+
+    assert read_store(spark, store).count() == 3
