@@ -110,6 +110,7 @@ def run_corpus_ingest(
     timeout_seconds: float = 600,
     model_weights: list[int] | None = None,
     eval_ngrams: list[str] | None = None,
+    quarantine_dir: str | None = None,
 ) -> None:
     """Drain ``src_dir`` (JSON-lines docs) through the cleaning
     topology into ``out_dir`` parquet, deduplicating by content
@@ -117,14 +118,53 @@ def run_corpus_ingest(
     input is processed (``availableNow``).  Raises ``TimeoutError``
     (after stopping the query) if the backlog is not drained within
     ``timeout_seconds`` -- returning silently would hand the caller a
-    partial corpus with a query still writing behind their back."""
+    partial corpus with a query still writing behind their back.
+
+    ``quarantine_dir`` captures malformed input lines instead of
+    silently nulling them (PERMISSIVE default): a second query writes
+    the raw corrupt records there for inspection/replay -- at ingest
+    scale, dropped-on-the-floor bad lines are an unmeasurable data
+    loss, quarantined ones are a queue."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .json(src_dir)
     )
+    quarantine_q = None
+    if quarantine_dir is not None:
+        # the clean leg drops unparseable lines (PERMISSIVE -> all-null
+        # rows, filtered below); the quarantine leg re-reads the RAW
+        # lines and keeps exactly those from_json cannot parse (Spark
+        # disallows filtering a json source's corrupt-record column in
+        # isolation, so text + from_json is the supported route)
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(src_dir)
+        )
+        parse_schema = StructType(
+            [*DOC_SCHEMA.fields, StructField("_corrupt", StringType())]
+        )
+        parsed = F.from_json(
+            F.col("value"),
+            parse_schema,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        )
+        quarantine_q = (
+            raw.where(F.trim("value") != "")
+            .where(parsed["_corrupt"].isNotNull())
+            .select(F.col("value").alias("raw_line"))
+            .writeStream.format("parquet")
+            .option("path", quarantine_dir)
+            .option("checkpointLocation", f"{checkpoint_dir}_quarantine")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    # unparseable lines surface as all-null rows under PERMISSIVE
+    good = stream.where(F.col("text").isNotNull())
     cleaned = clean_documents(
-        stream,
+        good,
         min_quality,
         model_weights=model_weights,
         eval_ngrams=eval_ngrams,
@@ -139,7 +179,17 @@ def run_corpus_ingest(
     )
     if not q.awaitTermination(timeout_seconds):
         q.stop()
+        if quarantine_q is not None:
+            quarantine_q.stop()
         raise TimeoutError(
             f"corpus ingest did not drain {src_dir} within "
             f"{timeout_seconds}s; output at {out_dir} is partial"
+        )
+    if quarantine_q is not None and not quarantine_q.awaitTermination(
+        timeout_seconds
+    ):
+        quarantine_q.stop()
+        raise TimeoutError(
+            f"quarantine leg did not drain within {timeout_seconds}s; "
+            f"{quarantine_dir} is partial"
         )

@@ -100,3 +100,25 @@ def test_streaming_ingest_with_model_and_decontam_gates(spark, tmp_path):
         batch, 0.5, model_weights=[0] * 16, model_bias_millionths=-1
     ).collect()
     assert rejected == []
+
+
+def test_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
+    src = tmp_path / "landing3"
+    src.mkdir()
+    good = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again", "source": "a"},
+        {"doc_id": 2, "text": "the rain in spain stays mainly on the plain today", "source": "a"},
+    ]
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write('{"doc_id": broken not json!!\n')
+        f.write(json.dumps(good[1]) + "\n")
+
+    out, quar = tmp_path / "corpus3", tmp_path / "quarantine3"
+    run_corpus_ingest(
+        spark, str(src), str(out), str(tmp_path / "ckpt3"),
+        quarantine_dir=str(quar),
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2}
+    bad = spark.read.parquet(str(quar)).collect()
+    assert len(bad) == 1 and "broken" in bad[0]["raw_line"]
