@@ -2582,6 +2582,105 @@ GROUP BY t.doc_id, t.n_grams
 """
 
 
+def dedup_minhash_banded_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash candidate generation with md5 permutations: the
+    SAME signature->band->bucket-join machinery as the production
+    dedup_minhash_lsh (which stays rows-only: xxhash64 is
+    engine-internal), but with cross-engine md5 hashing so the whole
+    LSH construction -- min-hash signatures, banding, candidate
+    self-join -- hash-checks against a DuckDB oracle exactly.
+    8 hashes x 4 bands of 2 (t ~ (1/4)^(1/2) ~ 0.5)."""
+    d = _t(spark, sf_dir, "documents")
+    from nearscan_kafka_streams_spark.functions.dedup import shingle_strings
+
+    n_hashes, rows_per_band = 8, 2
+    sets = d.select(
+        "doc_id", shingle_strings("text", 3).alias("grams")
+    )
+    def _perm(s: int):
+        # closure factory: a 2-param lambda (even with a default) is
+        # interpreted by Spark as an (element, index) lambda
+        pre = F.lit(f"s{s}:")
+        return F.array_min(
+            F.transform("grams", lambda g: F.md5(F.concat(pre, g)))
+        )
+
+    sig = F.array(*[_perm(s) for s in range(n_hashes)])
+    banded = (
+        sets.withColumn("_sig", sig)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.element_at(
+                                            "_sig", b * rows_per_band + i + 1
+                                        )
+                                        for i in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bkey"),
+                        )
+                        for b in range(n_hashes // rows_per_band)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bkey")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("left_id"),
+            F.col("r.doc_id").alias("right_id"),
+        )
+        .distinct()
+    )
+
+
+MINHASH_MD5_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, greatest(length(t) - 2, 1) + 1)])
+           AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         [list_min([md5('s' || CAST(s AS VARCHAR) || ':' || gr)
+                    for gr in grams])
+          for s in range(0, 8)] AS sg
+  FROM g
+),
+bands AS (
+  SELECT doc_id,
+         unnest([{'band': b,
+                  'bkey': md5(sg[2*b + 1] || '|' || sg[2*b + 2])}
+                 for b in range(0, 4)]) AS bb
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+FROM bands a JOIN bands b
+  ON a.bb.band = b.bb.band AND a.bb.bkey = b.bb.bkey
+ AND a.doc_id < b.doc_id
+"""
+
+
 def dedup_canonical_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy-driven canonical selection among exact duplicates: keep
     ONE doc per normalized-text fingerprint, chosen by source priority
@@ -2845,6 +2944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_text_interface": sql_text_interface,
     "chunk_documents": chunk_documents,
     "dedup_canonical_by_source": dedup_canonical_by_source,
+    "dedup_minhash_banded_md5": dedup_minhash_banded_md5,
     "mixture_budget_sample": mixture_budget_sample,
     "salted_hot_key_agg": salted_hot_key_agg,
     "decontaminate_documents": decontaminate_documents,
@@ -2930,6 +3030,7 @@ ORACLES: dict[str, str] = {
     "sql_text_interface": SQL_TEXT_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "dedup_canonical_by_source": DEDUP_CANONICAL_SQL,
+    "dedup_minhash_banded_md5": MINHASH_MD5_SQL,
     "mixture_budget_sample": MIXTURE_BUDGET_SQL,
     "salted_hot_key_agg": SALTED_AGG_SQL,
     "decontaminate_documents": DECONTAM_SQL,
