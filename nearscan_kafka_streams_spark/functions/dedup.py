@@ -239,18 +239,23 @@ def jaccard_similarity_join(
         _spread(df)
         .select(F.col(id_col), shingle_strings(text_col, shingle_n).alias("grams"))
         .withColumn("sz", F.size("grams"))
-        # verification intersects HASHED grams: 2.6x faster than string
-        # intersect (measured sf0.1: 24.3s -> 9.3s, identical pairs).
-        # An xxhash64 collision within one doc pair's gram sets would
-        # change a count (P ~ (n_grams)^2/2^64 per pair); the DuckDB
-        # oracle computes on raw strings, so any collision surfaces as
-        # a hash-mismatch in the correctness gate rather than silently.
-        .withColumn("hg", F.transform("grams", lambda g: F.xxhash64(g)))
     )
     if materialize:
         # read by the df-count pass, the prefix build, and both verify
-        # sides; persisting stops 4x recompute of the gram pipeline
+        # sides; persisting stops 4x recompute of the gram pipeline.
+        # NB: the hashed-gram column for array-path verification is
+        # derived AFTER the persist (below) -- the bitmap path never
+        # pays for it
         sets = _persist_tracked(sets)
+    # array-path verification intersects HASHED grams: 2.6x faster than
+    # string intersect (measured sf0.1: 24.3s -> 9.3s, identical
+    # pairs).  An xxhash64 collision within one doc pair's gram sets
+    # would change a count (P ~ (n_grams)^2/2^64 per pair); the DuckDB
+    # oracle computes on raw strings, so any collision surfaces as a
+    # hash-mismatch in the correctness gate rather than silently.
+    sets_hashed = sets.withColumn(
+        "hg", F.transform("grams", lambda g: F.xxhash64(g))
+    )
 
     tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
     gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -387,12 +392,12 @@ def jaccard_similarity_join(
     # large vocabulary: per-pair verify is a hash-set intersect, so
     # dedup candidates BEFORE paying it
     cands = raw_cands.distinct()
-    left_sets = sets.select(
+    left_sets = sets_hashed.select(
         F.col(id_col).alias("left_id"),
         F.col("hg").alias("g_l"),
         F.col("sz").alias("sz_l"),
     )
-    right_sets = sets.select(
+    right_sets = sets_hashed.select(
         F.col(id_col).alias("right_id"),
         F.col("hg").alias("g_r"),
         F.col("sz").alias("sz_r"),
