@@ -1,9 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL line of stdout:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+
+Per-query plan fingerprints and any per-query errors are written to a
+side file (BENCH_PLANS_r{NN}.json next to this script) instead of the
+stdout line: the driver keeps only a bounded tail of stdout, so the
+summary line must stay small and must come last.
 
 Headline set: the scan/join/agg core + one representative from each
 north-star family (text, dedup, ANN) -- the queries whose plans
@@ -127,13 +132,34 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "plans": plans,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        # keep the stdout line small: error COUNT inline, details in the
+        # side file
+        result["error_count"] = len(errors)
+
+    # plans + full error strings go to a side file so the compact summary
+    # is the only (and last) stdout line
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    round_n = 1 + max(
+        (
+            int(f[len("BENCH_r") : -len(".json")])
+            for f in os.listdir(repo_dir)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r") : -len(".json")].isdigit()
+        ),
+        default=0,
+    )
+    side = {"queries": timings, "plans": plans, "errors": errors, "sf": result["sf"]}
+    side_path = os.path.join(repo_dir, f"BENCH_PLANS_r{round_n:02d}.json")
+    with open(side_path, "w") as fh:
+        json.dump(side, fh, indent=1)
+
     spark.stop()
+    # FINAL stdout line, by itself -- the driver tail-parses stdout
+    sys.stdout.flush()
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

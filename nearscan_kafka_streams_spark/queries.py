@@ -237,15 +237,25 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            # q10 recipe: price*discount has at most 4 exact decimal
+            # digits; summing the exact integer ten-thousandths is
+            # partition-order independent (a double sum can flip a cent
+            # boundary between Spark and the oracle)
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    ).cast("long")
+                )
+                / 10000.0
             ).alias("revenue")
         )
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+         / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -287,8 +297,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # q10 recipe: exact integer ten-thousandths, order-independent
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        * 10000
+                    ).cast("long")
+                )
+                / 10000.0
             ).alias("revenue")
         )
     )
@@ -296,7 +313,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       sum(CAST(round(volume * 10000) AS BIGINT)) / 10000.0 AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
@@ -411,12 +428,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # q10 recipe on BOTH sums: the ratio then divides two exactly-equal
+    # longs on both engines, so the resulting double is bit-identical
+    vol_i = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+    ).cast("long")
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
         F.round(
             100
-            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-            / F.sum(vol),
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol_i).otherwise(0))
+            / F.sum(vol_i),
             4,
         ).alias("promo_revenue_pct")
     )
@@ -424,9 +445,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = """
 SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+                            THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                            * 10000) AS BIGINT)
+                            ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)), 4) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -434,9 +457,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: aggregate view + global-max subquery (the
-    revenue view inlined; max via an unpartitioned window over the
-    25-row aggregate, not a self-join)."""
+    """TPC-H Q15 shape: aggregate view + global-max subquery.
+
+    The max is a scalar ``agg(max)`` broadcast-cross-joined back onto the
+    per-supplier aggregate -- NOT an unpartitioned window, which would
+    drag the whole aggregate through one task (harmless at 10k suppliers,
+    a single-task sort at 100x key cardinality)."""
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -445,13 +471,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # q10 recipe: exact integer ten-thousandths, order-independent
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        * 10000
+                    ).cast("long")
+                )
+                / 10000.0
             ).alias("total_revenue")
         )
     )
-    w = Window.orderBy(F.lit(1))
-    top = rev.withColumn("_max", F.max("total_revenue").over(w)).where(
+    mx = rev.agg(F.max("total_revenue").alias("_max"))
+    top = rev.join(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("_max")
     )
     return (
@@ -464,7 +497,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) / 10000.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -489,13 +523,22 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(per_part), li.l_partkey == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            # q10 recipe (price has 2 exact decimals -> integer cents);
+            # /7.0 of the same exact double is then bit-identical on
+            # both engines
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
         )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0,
+             2) AS avg_yearly
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#13'
   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
@@ -567,15 +610,23 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # q10 recipe: exact integer ten-thousandths, order-independent
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        * 10000
+                    ).cast("long")
+                )
+                / 10000.0
             ).alias("revenue")
         )
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 21)
@@ -2695,7 +2746,14 @@ def dedup_canonical_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 (not the engine-internal xxhash64 fingerprint): both engines
     # implement it identically, so the oracle reproduces the key
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    pri = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    # a source with no trailing digits must rank LEAST trusted: an
+    # unguarded cast would either throw (ANSI: cast('' as int)) or yield
+    # NULL, which an ascending sort ranks MOST trusted; map the empty
+    # match to a max-int sentinel (the oracle's TRY_CAST+COALESCE agrees)
+    pri_str = F.regexp_extract(F.col("source"), r"(\d+)$", 1)
+    pri = F.when(pri_str == "", F.lit(2147483647)).otherwise(
+        pri_str.try_cast("int")
+    )
     w = Window.partitionBy("fp").orderBy(
         F.col("priority").asc(), F.col("doc_id").asc()
     )
@@ -2718,7 +2776,8 @@ SELECT doc_id, source, fp FROM (
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          row_number() OVER (
            PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-           ORDER BY CAST(regexp_extract(source, '(\d+)$', 1) AS INT) ASC,
+           ORDER BY COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$', 1)
+                                      AS INT), 2147483647) ASC,
                     doc_id ASC) AS rn
   FROM documents)
 WHERE rn = 1
@@ -2922,28 +2981,68 @@ FROM nat
 # the heaviest repeatedly-verified pipelines last so a budget cut-off
 # costs re-verification, never first verification.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # cheap core
+    # ORDERING CONTRACT: the driver's correctness gate walks this dict in
+    # order under a ~50-query budget, so entries the driver has NOT yet
+    # hash-verified (or whose implementation changed this round) must come
+    # FIRST; entries green in the immediately-previous round go last.
+    #
+    # --- not driver-verified since round 1/2 (judge-only in r3) ---
+    "dedup_events": dedup_events,
+    "interval_join_events": interval_join_events,
+    "running_balance_events": running_balance_events,
+    "flatmap_legs_events": flatmap_legs_events,
+    "json_extract_events": json_extract_events,
+    "asof_join_events": asof_join_events,
+    "scalar_functions_events": scalar_functions_events,
+    "cube_events": cube_events,
+    "sessionize_events": sessionize_events,
+    "array_agg_events": array_agg_events,
+    "approx_sketches_events": approx_sketches_events,
+    "tumbling_window_events": tumbling_window_events,
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
+    "text_scrub": text_scrub,
+    "vocab_topk": vocab_topk,
+    "doc_length_histogram": doc_length_histogram,
+    "profile_orders": profile_orders,
+    "stratified_sample_documents": stratified_sample_documents,
+    "token_budget_shards": token_budget_shards,
+    "hash_sample_events": hash_sample_events,
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "unpivot_lineitem": unpivot_lineitem,
+    "term_doc_stats": term_doc_stats,
+    "dedup_substring_spans": dedup_substring_spans,
+    "dedup_winnowed_spans": dedup_winnowed_spans,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
+    "corpus_curate_pipeline": corpus_curate_pipeline,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
+    # --- changed this round (must re-verify) ---
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "dedup_canonical_by_source": dedup_canonical_by_source,
+    # --- driver-green in round 3 (CORRECTNESS_r03.json) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "broadcast_dim_join": broadcast_dim_join,
     "filter_project_scan": filter_project_scan,
     "topk_orders": topk_orders,
-    # not yet driver-verified (new this round + round-2 cut-off tail)
     "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
     "q12_priority_lines": q12_priority_lines,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
-    "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
     "sql_text_interface": sql_text_interface,
     "chunk_documents": chunk_documents,
-    "dedup_canonical_by_source": dedup_canonical_by_source,
     "dedup_minhash_banded_md5": dedup_minhash_banded_md5,
     "mixture_budget_sample": mixture_budget_sample,
     "salted_hot_key_agg": salted_hot_key_agg,
@@ -2964,7 +3063,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters_star": dedup_clusters_star,
-    # verified rounds 1-2
     "window_rank_orders": window_rank_orders,
     "window_lag_events": window_lag_events,
     "set_ops_customers": set_ops_customers,
@@ -2975,41 +3073,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join_customers": semi_anti_join_customers,
     "exists_subquery_suppliers": exists_subquery_suppliers,
     "distinct_agg_orders": distinct_agg_orders,
-    "cube_events": cube_events,
-    "sessionize_events": sessionize_events,
-    "scalar_functions_events": scalar_functions_events,
-    "array_agg_events": array_agg_events,
-    "approx_sketches_events": approx_sketches_events,
-    "dedup_events": dedup_events,
-    "interval_join_events": interval_join_events,
-    "asof_join_events": asof_join_events,
-    "json_extract_events": json_extract_events,
-    "flatmap_legs_events": flatmap_legs_events,
-    "running_balance_events": running_balance_events,
-    "tumbling_window_events": tumbling_window_events,
-    "text_token_count": text_token_count,
-    "text_quality_score": text_quality_score,
-    "text_lang_id": text_lang_id,
-    "text_fingerprint": text_fingerprint,
-    "text_repetition": text_repetition,
-    "text_scrub": text_scrub,
-    "vocab_topk": vocab_topk,
-    "doc_length_histogram": doc_length_histogram,
-    "profile_orders": profile_orders,
-    "stratified_sample_documents": stratified_sample_documents,
-    "token_budget_shards": token_budget_shards,
-    "hash_sample_events": hash_sample_events,
-    "dedup_exact_documents": dedup_exact_documents,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    # heaviest, all hash-verified in rounds 1-2
-    "unpivot_lineitem": unpivot_lineitem,
-    "term_doc_stats": term_doc_stats,
-    "dedup_substring_spans": dedup_substring_spans,
-    "dedup_winnowed_spans": dedup_winnowed_spans,
-    "corpus_clean_pipeline": corpus_clean_pipeline,
-    "corpus_curate_pipeline": corpus_curate_pipeline,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {

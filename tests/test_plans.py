@@ -122,6 +122,19 @@ def test_new_tpch_queries_plan_shapes(spark, sf_dir):
     assert "l_shipdate" in pushed and "l_quantity" in pushed
 
 
+def test_q15_global_max_not_single_task_window(spark, sf_dir):
+    """q15's global max must be a scalar aggregate broadcast back onto
+    the per-supplier aggregate -- NOT an unpartitioned window, which
+    would sort the whole aggregate in ONE task (fatal at 100x supplier
+    cardinality).  Pin: no Window operator at all, and the max joins
+    back via broadcast."""
+    from nearscan_kafka_streams_spark.queries import q15_top_supplier
+
+    plan = formatted_plan(q15_top_supplier(spark, sf_dir))
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_decontamination_broadcast_no_shuffle_of_train_grams(spark, sf_dir):
     """The eval gram table must broadcast: the train side's exploded
     grams never enter an exchange before the contamination join."""
