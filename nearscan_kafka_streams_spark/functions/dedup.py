@@ -149,9 +149,18 @@ def incremental_exact_dedup(
             seen = spark.read.parquet(*paths).select("fp")
             batch = batch.join(seen, "fp", "left_anti")
 
-    # materialize survivors BEFORE registration so the returned frame
-    # and the store write agree (both pin the pre-write bucket paths)
-    survivors = _persist_tracked(batch)
+    # materialize survivors DURABLY before registration: the anti-join's
+    # lineage pins the pre-registration bucket files, and registration
+    # may supersede (and GC) those very generations -- a persist() that
+    # gets evicted before the caller consumes the result would then
+    # recompute against deleted files.  A staging parquet severs the
+    # lineage entirely; it is O(batch) bytes and is overwritten by any
+    # replay of the same batch_id
+    import os
+
+    staging = os.path.join(store_path, "_staging", f"batch_{batch_id}")
+    batch.write.mode("overwrite").parquet(staging)
+    survivors = spark.read.parquet(staging)
     foreach_batch_upsert("fp", store_path, num_buckets=num_buckets)(
         survivors.select("fp", F.col(id_col)), batch_id
     )

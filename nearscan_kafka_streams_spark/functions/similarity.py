@@ -309,6 +309,10 @@ def pq_topk(
     """
     import numpy as np
 
+    if dim % m != 0:
+        # silent tail-truncation (encode/ADC would only cover m*(dim//m)
+        # dims) degrades scores with no signal -- refuse instead
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     sub = dim // m
     cap = fit_sample_cap if fit_sample_cap is not None else 256 * n_codes
     fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
@@ -318,6 +322,11 @@ def pq_topk(
             withReplacement=False, fraction=min(1.0, 1.2 * cap / total), seed=seed
         ).limit(cap)
     sample = np.asarray([r["v"] for r in fit_input.collect()], dtype=np.float64)
+    if sample.size and sample.shape[1] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the corpus vector length "
+            f"{sample.shape[1]}"
+        )
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     sample = sample / norms

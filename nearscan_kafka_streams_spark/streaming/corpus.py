@@ -132,11 +132,14 @@ def run_corpus_ingest(
     )
     quarantine_q = None
     if quarantine_dir is not None:
-        # the clean leg drops unparseable lines (PERMISSIVE -> all-null
-        # rows, filtered below); the quarantine leg re-reads the RAW
-        # lines and keeps exactly those from_json cannot parse (Spark
-        # disallows filtering a json source's corrupt-record column in
-        # isolation, so text + from_json is the supported route)
+        # the clean leg drops every line without a usable text field --
+        # both unparseable lines (PERMISSIVE -> all-null rows) and valid
+        # JSON whose required `text` is null/missing; the quarantine leg
+        # re-reads the RAW lines and captures exactly that complement,
+        # so 'malformed input is a queue, not a loss' holds for both
+        # failure shapes (Spark disallows filtering a json source's
+        # corrupt-record column in isolation, so text + from_json is the
+        # supported route)
         raw = (
             spark.readStream.format("text")
             .option("maxFilesPerTrigger", 1)
@@ -152,7 +155,7 @@ def run_corpus_ingest(
         )
         quarantine_q = (
             raw.where(F.trim("value") != "")
-            .where(parsed["_corrupt"].isNotNull())
+            .where(parsed["_corrupt"].isNotNull() | parsed["text"].isNull())
             .select(F.col("value").alias("raw_line"))
             .writeStream.format("parquet")
             .option("path", quarantine_dir)

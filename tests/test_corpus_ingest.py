@@ -112,6 +112,10 @@ def test_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
     with open(src / "a.json", "w") as f:
         f.write(json.dumps(good[0]) + "\n")
         f.write('{"doc_id": broken not json!!\n')
+        # VALID json but the required text field is null / missing: the
+        # clean leg drops these, so quarantine must capture them too
+        f.write('{"doc_id": 7, "text": null, "source": "a"}\n')
+        f.write('{"doc_id": 8, "source": "a"}\n')
         f.write(json.dumps(good[1]) + "\n")
 
     out, quar = tmp_path / "corpus3", tmp_path / "quarantine3"
@@ -120,5 +124,8 @@ def test_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
         quarantine_dir=str(quar),
     )
     assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2}
-    bad = spark.read.parquet(str(quar)).collect()
-    assert len(bad) == 1 and "broken" in bad[0]["raw_line"]
+    bad = {r["raw_line"] for r in spark.read.parquet(str(quar)).collect()}
+    assert len(bad) == 3
+    assert any("broken" in b for b in bad)
+    assert any('"doc_id": 7' in b for b in bad)
+    assert any('"doc_id": 8' in b for b in bad)
