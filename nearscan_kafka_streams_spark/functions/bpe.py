@@ -77,40 +77,87 @@ def train_bpe_merges(
     """Classic BPE merge learning over a word-frequency table.
 
     Pure driver-side Python over the BOUNDED vocab table (step 2 of the
-    module contract); returns merges in application order.
+    module contract; ``max_words`` in the callers is the spec of that
+    bound, not an approximation knob).  Returns merges in application
+    order.
+
+    Incremental (the subword-nmt trainer optimization): pair counts and
+    a pair->words inverted index are maintained across iterations, so
+    each merge touches ONLY the words containing the merged pair --
+    instead of rescanning every word every iteration, which is
+    O(n_merges x vocab) and takes hours at a production 50k-merge
+    vocabulary.  Best-pair selection is a lazy max-heap: stale entries
+    (pushed before a later count change) are discarded on pop by
+    comparing against the live count.  Heap order (-count, pair) IS the
+    determinism contract: max count, then lexicographically smallest
+    pair.
     """
-    symbols: dict[tuple[str, ...], int] = {}
+    import heapq
+
+    # aggregate duplicate surface words, then index by position so words
+    # that only BECOME equal after a merge stay independently updatable
+    agg: dict[tuple[str, ...], int] = {}
     for word, freq in word_freq:
-        symbols[tuple(word)] = symbols.get(tuple(word), 0) + int(freq)
+        t = tuple(word)
+        agg[t] = agg.get(t, 0) + int(freq)
+    syms: list[list[str]] = [list(t) for t in agg]
+    freqs: list[int] = list(agg.values())
+
+    pair_counts: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for wid, sym in enumerate(syms):
+        f = freqs[wid]
+        for pair in zip(sym, sym[1:]):
+            pair_counts[pair] += f
+            where.setdefault(pair, set()).add(wid)
+
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for sym, freq in symbols.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] += freq
-        if not pairs:
-            break
-        # deterministic: max count, then lexicographically smallest pair
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
+    while len(merges) < n_merges and heap:
+        neg, best = heapq.heappop(heap)
+        live = pair_counts.get(best, 0)
+        if -neg != live:  # stale entry; the live count was re-pushed
+            continue
+        if live < 2:
             break
         merges.append(best)
         merged = "".join(best)
-        out: dict[tuple[str, ...], int] = {}
-        for sym, freq in symbols.items():
-            s: list[str] = []
+        touched: set[tuple[str, str]] = set()
+        for wid in where.pop(best, set()):
+            sym, f = syms[wid], freqs[wid]
+            # retract this word's pair contributions, re-add post-merge
+            for pair in zip(sym, sym[1:]):
+                pair_counts[pair] -= f
+                touched.add(pair)
+                s = where.get(pair)
+                if s is not None:
+                    s.discard(wid)
+                    if not s:
+                        del where[pair]
+            new_sym: list[str] = []
             i = 0
             while i < len(sym):
                 if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
-                    s.append(merged)
+                    new_sym.append(merged)
                     i += 2
                 else:
-                    s.append(sym[i])
+                    new_sym.append(sym[i])
                     i += 1
-            key = tuple(s)
-            out[key] = out.get(key, 0) + freq
-        symbols = out
+            syms[wid] = new_sym
+            for pair in zip(new_sym, new_sym[1:]):
+                pair_counts[pair] += f
+                touched.add(pair)
+                where.setdefault(pair, set()).add(wid)
+        for pair in touched:
+            c = pair_counts.get(pair, 0)
+            if c <= 0:
+                pair_counts.pop(pair, None)
+            else:
+                heapq.heappush(heap, (-c, pair))
     return merges
 
 

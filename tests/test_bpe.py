@@ -70,6 +70,87 @@ def test_encode_matches_naive_reference_on_random_words():
         assert _encode_word(w, ranks) == naive(w), w
 
 
+def _naive_train_bpe_merges(word_freq, n_merges):
+    """The textbook rescan-everything trainer: recount all pairs over all
+    words every iteration.  Reference semantics for the incremental
+    trainer (identical tie-breaking: max count, then lexicographically
+    smallest pair)."""
+    from collections import Counter
+
+    symbols = {}
+    for word, freq in word_freq:
+        symbols[tuple(word)] = symbols.get(tuple(word), 0) + int(freq)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, freq in symbols.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = "".join(best)
+        out = {}
+        for sym, freq in symbols.items():
+            s, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    s.append(merged)
+                    i += 2
+                else:
+                    s.append(sym[i])
+                    i += 1
+            out[tuple(s)] = out.get(tuple(s), 0) + freq
+        symbols = out
+    return merges
+
+
+def _random_vocab(rng, n_words, alphabet="abcdefgh", max_len=12):
+    words = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, max_len)))
+        for _ in range(n_words)
+    }
+    return [(w, rng.randint(1, 50)) for w in sorted(words)]
+
+
+def test_incremental_trainer_matches_naive_reference():
+    """The incremental pair-count trainer must produce EXACTLY the naive
+    trainer's merge list -- same pairs, same order, same early-stop --
+    on random vocabularies (incl. overlapping-pair words like 'aaaa')."""
+    rng = random.Random(7)
+    for seed in range(5):
+        rng.seed(seed)
+        wf = _random_vocab(rng, 150) + [("aaaa", 3), ("aaa", 2), ("aa", 5)]
+        assert train_bpe_merges(wf, n_merges=60) == _naive_train_bpe_merges(
+            wf, 60
+        ), seed
+
+
+def test_incremental_trainer_superlinear_speedup():
+    """At n_merges=1000 the incremental trainer must beat the rescan
+    trainer by a wide margin (each merge touches only words containing
+    the merged pair, not the whole vocab)."""
+    import time
+
+    rng = random.Random(42)
+    wf = _random_vocab(rng, 3000, alphabet="abcdefghijklmnop", max_len=16)
+
+    t0 = time.perf_counter()
+    fast = train_bpe_merges(wf, n_merges=1000)
+    t_fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    slow = _naive_train_bpe_merges(wf, 1000)
+    t_slow = time.perf_counter() - t0
+
+    assert fast == slow
+    # conservative: the real gap is >10x; 3x tolerates a contended box
+    assert t_fast < t_slow / 3, (t_fast, t_slow)
+
+
 def test_distributed_pipeline_end_to_end(spark):
     rows = [
         (1, "the newest widest lowest"),
