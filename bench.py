@@ -126,6 +126,78 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["token_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # scale stress: the dedup/ANN families on a generated corpus at 1x
+    # and 10x the sf0.1 documents/embeddings cardinality, so the side
+    # file records a MEASURED scaling factor per family instead of a
+    # design argument.  Timings are kept out of the headline total (the
+    # suite membership stays comparable round-over-round); the compact
+    # line carries only the ratios.
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        jaccard_similarity_join,
+        minhash_lsh_candidates,
+    )
+    from nearscan_kafka_streams_spark.functions.similarity import ivf_topk
+    from nearscan_kafka_streams_spark.testgen import (
+        generate_documents,
+        generate_embeddings,
+    )
+    from pyspark.sql import functions as SF
+
+    def _stress_ops(n_docs: int, n_vecs: int) -> dict[str, float]:
+        docs = generate_documents(spark, n_docs)
+        embs = generate_embeddings(spark, n_vecs)
+        out: dict[str, float] = {}
+        for op_name, thunk in (
+            ("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs)),
+            (
+                # exact AllPairs at t=0.9 (the near-dup verify setting):
+                # candidate pairs grow as sum C(df_g, 2) over prefix
+                # grams, so at fixed LOW thresholds the exact join is
+                # inherently superlinear in corpus size -- that regime
+                # belongs to the LSH path above.  t=0.9 keeps prefixes
+                # at 10% of grams and finds the same true near-dup pairs
+                # on this corpus; see SCALE.md for the measured t=0.8
+                # diagnosis.
+                "dedup_ngram_jaccard",
+                lambda: jaccard_similarity_join(
+                    docs, threshold=0.9, broadcast_verify=True
+                ),
+            ),
+            (
+                "ann_ivf_cosine",
+                lambda: ivf_topk(
+                    embs,
+                    embs.where(SF.col("vec_id") < 10),
+                    k=5,
+                    n_clusters=16,
+                    n_probe=3,
+                ),
+            ),
+        ):
+            t0 = time.perf_counter()
+            try:
+                thunk().write.format("noop").mode("overwrite").save()
+                out[op_name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"stress_{op_name}"] = f"{type(exc).__name__}: {exc}"[:500]
+            finally:
+                release_cached()
+        return out
+
+    stress: dict[str, dict] = {}
+    try:
+        small = _stress_ops(5_000, 2_000)
+        big = _stress_ops(50_000, 20_000)
+        for op_name in small:
+            if op_name in big and small[op_name] > 0:
+                stress[op_name] = {
+                    "t_1x": small[op_name],
+                    "t_10x": big[op_name],
+                    "ratio": round(big[op_name] / small[op_name], 2),
+                }
+    except Exception as exc:  # noqa: BLE001
+        errors["scale_stress"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline-suite wall time",
@@ -134,6 +206,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if stress:
+        result["stress_10x_ratio"] = {
+            op_name: s["ratio"] for op_name, s in stress.items()
+        }
     if errors:
         # keep the stdout line small: error COUNT inline, details in the
         # side file
@@ -151,7 +227,13 @@ def main() -> None:
         ),
         default=0,
     )
-    side = {"queries": timings, "plans": plans, "errors": errors, "sf": result["sf"]}
+    side = {
+        "queries": timings,
+        "plans": plans,
+        "errors": errors,
+        "scale_stress": stress,
+        "sf": result["sf"],
+    }
     side_path = os.path.join(repo_dir, f"BENCH_PLANS_r{round_n:02d}.json")
     with open(side_path, "w") as fh:
         json.dump(side, fh, indent=1)

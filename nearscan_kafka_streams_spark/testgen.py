@@ -147,3 +147,121 @@ def generate_near_tables(
         df.where(_bucket(F.xxhash64(F.col("receipt_id")), 10, dup_mod) == 0)
     )
     return dup(receipts), dup(outcomes), dup(actions)
+
+
+# word list for generated documents: hash-indexed, Zipf-skewed picks
+_VOCAB = [
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "data", "model", "train", "token", "scale", "batch", "query", "join",
+    "shuffle", "stream", "index", "vector", "graph", "cache", "store",
+    "merge", "filter", "window", "state", "event", "count", "hash",
+    "plan", "stage", "task", "node", "text", "word", "pair", "rank",
+    "alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "theta",
+    "river", "stone", "cloud", "field", "light", "sound", "metal", "glass",
+    "north", "south", "east", "west", "rapid", "quiet", "sharp", "plain",
+]
+
+
+def generate_documents(
+    spark: SparkSession,
+    n_docs: int,
+    near_dup_fraction: float = 0.2,
+    group_size: int = 10,
+    words_per_doc: int = 50,
+) -> DataFrame:
+    """Deterministic documents table (same schema as testdata's) of any
+    size, with a controllable near-duplicate rate so dedup families have
+    real work at every scale.
+
+    ``near_dup_fraction`` of docs share a per-group base text (group =
+    ``group_size`` consecutive ids) and differ only in one trailing
+    word -- MinHash/Jaccard near-dups but not byte-exact.  All content
+    derives from xxhash64(seed, position): no driver data, no RNG state,
+    bit-identical across partitionings.
+    """
+    base = spark.range(n_docs)
+    is_near = _bucket(F.col("id"), 21, 1000) < int(near_dup_fraction * 1000)
+    # near-dups draw words from the group leader's id; others from their own
+    text_seed = F.when(
+        is_near, (F.col("id") - F.pmod(F.col("id"), F.lit(group_size)))
+    ).otherwise(F.col("id"))
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    # Zipf-ish mix matching real text entropy: ~25% stopwords from the
+    # small common vocab, 75% from a large synthetic tail of LETTER
+    # words (base-26 encoded ranks).  Two degenerate alternatives both
+    # corrupt the stress signal: a tiny all-common vocab makes every doc
+    # pair share most char shingles (LSH buckets explode quadratically),
+    # and digit-suffixed tail words ("w12345") collapse the trigram
+    # space to ~1000 digit grams.
+    tail_vocab = 456_976  # 26^4 distinct 4-letter words
+    letters = F.array(*[F.lit(c) for c in "abcdefghijklmnopqrstuvwxyz"])
+
+    def _b26(idx, div):
+        return F.element_at(
+            letters, (F.pmod(F.floor(idx / F.lit(div)), F.lit(26)) + 1).cast("int")
+        )
+
+    def _word(pos):
+        u = (
+            F.pmod(F.xxhash64(text_seed, pos, F.lit(22)), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        v = (
+            F.pmod(F.xxhash64(text_seed, pos, F.lit(25)), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        common = F.element_at(
+            vocab, (F.floor(v * len(_VOCAB)) + 1).cast("int")
+        )
+        # u^3 skew: low ranks (frequent tail words) dominate, deep tail
+        # stays reachable -- a Zipf-like rank-frequency curve
+        rank = F.floor(F.pow(u, F.lit(3)) * tail_vocab)
+        rare = F.concat(
+            _b26(rank, 17_576), _b26(rank, 676), _b26(rank, 26), _b26(rank, 1)
+        )
+        return F.when(u < 0.25, common).otherwise(rare)
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(words_per_doc)), _word), " "
+    )
+    text = F.when(
+        is_near,
+        F.concat(body, F.lit(" tail"), F.pmod(F.col("id"), F.lit(group_size))),
+    ).otherwise(body)
+    return base.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (_bucket(F.col("id"), 23, 3) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), _bucket(F.col("id"), 24, 20)).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    n_clusters: int = 50,
+) -> DataFrame:
+    """Deterministic embeddings table (same schema as testdata's):
+    cluster centroid + small per-vector noise, all hash-derived, so IVF
+    has real cell structure to exploit at any scale."""
+    base = spark.range(n_vecs)
+    cid = F.pmod(F.col("id"), F.lit(n_clusters))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (F.pmod(F.xxhash64(cid, i, F.lit(31)), F.lit(2001)) - 1000)
+            / 1000.0
+            + (F.pmod(F.xxhash64(F.col("id"), i, F.lit(32)), F.lit(2001)) - 1000)
+            / 5000.0
+        ).cast("float"),
+    )
+    return base.select(
+        F.col("id").alias("vec_id"),
+        emb.alias("embedding"),
+        cid.cast("int").alias("label"),
+    )

@@ -43,3 +43,55 @@ def test_pipeline_on_generated_data(spark):
         F.sum("affected_amount")
     ).collect()[0][0]
     assert total == (mints or 0) + (withdraws or 0)
+
+def test_generated_documents_shape_and_determinism(spark):
+    from nearscan_kafka_streams_spark.testgen import generate_documents
+
+    d = generate_documents(spark, 2000)
+    assert d.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    a = d.orderBy("doc_id").limit(50).collect()
+    b = (
+        generate_documents(spark, 2000)
+        .repartition(13)
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    )
+    assert a == b  # partitioning-independent content
+    # near-dup structure: exact Jaccard at 0.8 must find real pairs,
+    # and they are the in-group near-dups (ids within group_size)
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        jaccard_similarity_join,
+        release_cached,
+    )
+
+    pairs = jaccard_similarity_join(d, threshold=0.8).collect()
+    release_cached()
+    assert len(pairs) > 20
+    assert all(abs(p["left_id"] - p["right_id"]) < 10 for p in pairs)
+
+
+def test_generated_embeddings_cluster_structure(spark):
+    from pyspark.sql import functions as F
+
+    from nearscan_kafka_streams_spark.testgen import generate_embeddings
+
+    e = generate_embeddings(spark, 500, dim=16, n_clusters=10)
+    r = e.limit(1).collect()[0]
+    assert len(r["embedding"]) == 16
+    # same-label vectors sit near their centroid: intra-cluster cosine
+    # far above inter-cluster
+    from nearscan_kafka_streams_spark.functions.similarity import cosine_expr
+
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"),
+                 F.col("label").alias("la"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+                 F.col("label").alias("lb"))
+    sims = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .groupBy((F.col("la") == F.col("lb")).alias("same"))
+        .agg(F.avg("cos").alias("avg_cos"))
+    )
+    got = {r["same"]: r["avg_cos"] for r in sims.collect()}
+    assert got[True] > got[False] + 0.3, got

@@ -1,11 +1,20 @@
-"""Compare two bench JSON lines: per-query time deltas + plan drift.
+"""Round-over-round bench regression diff: per-query time deltas +
+physical-plan drift, failing LOUDLY (exit 2) on regressions.
 
-Usage: python tools/diff_bench.py BENCH_r01.json BENCH_r02.json
+Usage: python tools/diff_bench.py OLD.json NEW.json
 
-Flags queries slower by >25% and any change in the physical-plan
-fingerprint (join strategy counts, exchanges, pushed filters, python
-nodes) -- a plan drift with a time regression is almost always a lost
-broadcast or a new shuffle.
+Accepts either bench artifact shape:
+  - the driver-recorded compact line  {"value", "queries", ...}
+  - the BENCH_PLANS_r{NN}.json side file  {"queries", "plans", ...}
+(plans live in the side file since round 4; older rounds embedded them)
+
+Regressions that trip the nonzero exit:
+  - a query slower by >25% AND >0.5 s
+  - a broadcast join lost to sort-merge (broadcast count down, SMJ up)
+  - new python_eval nodes (a built-in expression fell back to Python)
+  - new nested-loop joins
+Other plan drift (exchange counts, scan counts) is reported but
+informational -- AQE and staged persists legitimately move those.
 """
 
 from __future__ import annotations
@@ -14,37 +23,64 @@ import json
 import sys
 
 
-def main() -> None:
+def _load(path: str) -> tuple[dict, dict, float | None]:
+    with open(path) as fh:
+        d = json.load(fh)
+    return d.get("queries") or {}, d.get("plans") or {}, d.get("value")
+
+
+def main() -> int:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
-    oq, nq = old.get("queries", {}), new.get("queries", {})
-    op, np_ = old.get("plans", {}), new.get("plans", {})
+    oq, op, oval = _load(sys.argv[1])
+    nq, np_, nval = _load(sys.argv[2])
 
-    print(f"total: {old.get('value')} -> {new.get('value')} s")
-    for name in sorted(set(oq) | set(nq)):
-        if name not in oq:
-            print(f"  + {name}: {nq[name]} s (new)")
+    regressions: list[str] = []
+    print(f"total: {oval} -> {nval} s")
+    # iterate the union of timed AND plan-fingerprinted queries: a
+    # partially-recovered old artifact may carry plans without timings,
+    # and plan drift must still be compared for those
+    for name in sorted(set(oq) | set(nq) | set(op) | set(np_)):
+        known_old = name in oq or name in op
+        known_new = name in nq or name in np_
+        if not known_old:
+            print(f"  + {name}: {nq.get(name, '?')} s (new)")
             continue
-        if name not in nq:
-            print(f"  - {name}: removed (was {oq[name]} s)")
+        if not known_new:
+            print(f"  - {name}: removed (was {oq.get(name, '?')} s)")
             continue
-        a, b = oq[name], nq[name]
-        flag = ""
-        if a > 0 and b > a * 1.25:
-            flag = "  <-- SLOWER"
-        drift = ""
+        a, b = oq.get(name), nq.get(name)
+        notes: list[str] = []
+        if a is not None and b is not None and b > a * 1.25 and b - a > 0.5:
+            notes.append(f"SLOWER {a} -> {b} s")
+            regressions.append(f"{name}: slower {a} -> {b} s")
         if name in op and name in np_ and op[name] != np_[name]:
+            o, n = op[name], np_[name]
             changed = {
-                k: (op[name].get(k), np_[name].get(k))
-                for k in set(op[name]) | set(np_[name])
-                if op[name].get(k) != np_[name].get(k)
+                k: (o.get(k), n.get(k))
+                for k in set(o) | set(n)
+                if o.get(k) != n.get(k)
             }
-            drift = f"  plan drift: {changed}"
-        if flag or drift or abs(b - a) > max(0.5, 0.25 * a):
-            print(f"  {name}: {a} -> {b} s{flag}{drift}")
+            notes.append(f"plan drift: {changed}")
+            if n.get("broadcast_hash_join", 0) < o.get(
+                "broadcast_hash_join", 0
+            ) and n.get("sort_merge_join", 0) > o.get("sort_merge_join", 0):
+                regressions.append(f"{name}: broadcast join lost to SMJ")
+            if n.get("python_eval", 0) > o.get("python_eval", 0):
+                regressions.append(f"{name}: new python_eval nodes")
+            if n.get("nested_loop_join", 0) > o.get("nested_loop_join", 0):
+                regressions.append(f"{name}: new nested-loop join")
+        if notes:
+            print(f"  {name}: {a} -> {b} s  " + "; ".join(notes))
+
+    if regressions:
+        print("\nREGRESSIONS:")
+        for r in regressions:
+            print(f"  !! {r}")
+        return 2
+    print("\nno regressions")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
