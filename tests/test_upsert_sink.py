@@ -108,6 +108,61 @@ def test_upsert_crash_between_write_and_swap_preserves_store(spark, tmp_path):
     assert not orphan.parent.exists()  # GC swept the orphan
 
 
+def test_foreach_batch_redelivery_converges(spark, tmp_path, monkeypatch):
+    """At-least-once + idempotent-upsert contract (the reference
+    delegates this to its Postgres UPSERT connector, README.md:289):
+    Structured Streaming may re-deliver batch N after a failure at ANY
+    point in foreachBatch -- before the manifest swap (sink-side crash)
+    or after it (engine commit-log failure).  Both replays must
+    converge to the same store."""
+    import pytest
+
+    import nearscan_kafka_streams_spark.sinks.upsert as U
+
+    target = str(tmp_path / "balances_replay")
+    upsert = U.foreach_batch_upsert("account", target, order_cols=["ts"])
+    upsert(
+        spark.createDataFrame(
+            [("a", 10, 1), ("b", 5, 1)], ["account", "balance", "ts"]
+        ),
+        0,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", 15, 2), ("c", 2, 2)], ["account", "balance", "ts"]
+    )
+
+    # crash INSIDE batch 1: generation fully written, swap never happens
+    real_swap = U._swap_manifest
+
+    def crashing_swap(path, manifest):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(U, "_swap_manifest", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert(b1, 1)
+    monkeypatch.setattr(U, "_swap_manifest", real_swap)
+
+    # the store still reads as the pre-crash consistent state
+    assert _final(spark, target) == {"a": 10, "b": 5}
+
+    # the engine re-delivers batch 1 (same batch_id, same rows)
+    upsert(b1, 1)
+    assert _final(spark, target) == {"a": 15, "b": 5, "c": 2}
+    # the crashed attempt's orphan generation was garbage-collected
+    m = json.loads((Path(target) / "_MANIFEST.json").read_text())
+    live = set(m["buckets"].values())
+    on_disk = {
+        p.name for p in Path(target).iterdir() if p.name.startswith("gen-")
+    }
+    assert on_disk == live
+
+    # re-delivery AFTER a successful swap (commit-log failure): replaying
+    # the identical batch is a no-op on values
+    upsert(b1, 1)
+    assert _final(spark, target) == {"a": 15, "b": 5, "c": 2}
+
+
 def test_duckdb_merge_fn_upsert(spark, tmp_path):
     """JDBC-style UPSERT contract (reference README.md:289-292) against
     an in-container DuckDB stand-in: pk=account, last write wins."""
