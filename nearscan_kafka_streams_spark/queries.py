@@ -679,6 +679,399 @@ ORDER BY cust_group
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery over a part-supplier
+    cost table, decorrelated to a per-part aggregate joined back on
+    equality.  Adapted: this schema has no partsupp, so the cost table
+    derives from lineitem (min sale price per part-supplier pair) --
+    min/max are partition-order independent, no quantization needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(
+            best,
+            (ps.l_partkey == F.col("b_partkey"))
+            & (ps.supplycost == F.col("min_cost")),
+        )
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+FROM ps JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_size = 15 AND p_type = 'SMALL'
+  AND supplycost = (SELECT min(supplycost) FROM ps ps2
+                    WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: nation's market share (conditional-sum ratio)
+    within a region's customers per order year.  Both sums use the q10
+    integer-ten-thousandths recipe, so the share divides two exactly
+    equal longs on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol_i = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol_i).otherwise(0)
+                )
+                / F.sum(vol_i),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT) ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)), 6) AS mkt_share
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region   ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit per supplier nation per order
+    year (pattern-filtered part join; no partsupp in this schema, so
+    profit is revenue rather than revenue minus supply cost)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    vol_i = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg((F.sum(vol_i) / 10000.0).alias("profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+         / 10000.0 AS profit
+FROM lineitem JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value HAVING a scalar-subquery
+    threshold (fraction of the global total).  Adapted to lineitem as
+    the part-supplier fact; value sums use the q10 integer recipe so
+    the threshold compares exactly on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    val_i = F.round(
+        (F.col("l_quantity") * F.col("l_extendedprice")) * 100
+    ).cast("long")
+    nat = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", val_i.alias("val_i"))
+    )
+    per_part = nat.groupBy("l_partkey").agg(F.sum("val_i").alias("sum_i"))
+    total = per_part.agg(F.sum("sum_i").alias("total_i"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("sum_i") * 10000 > F.col("total_i"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("sum_i") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+Q11_SQL = """
+WITH nat AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * l_extendedprice * 100) AS BIGINT) AS val_i
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+per_part AS (
+  SELECT l_partkey, sum(val_i) AS sum_i FROM nat GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, sum_i / 100.0 AS part_value
+FROM per_part
+WHERE sum_i * 10000 > (SELECT sum(sum_i) FROM per_part)
+ORDER BY part_value DESC, p_partkey ASC
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with the filter INSIDE the join
+    condition (customers with zero qualifying orders must survive with
+    count 0), then a distribution over the per-customer counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    group, with a NOT-IN supplier denylist subquery (negative account
+    balance stands in for the complaints filter) and negated part
+    predicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17))
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == F.col("bad_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: supplier semi-join through a nested part filter
+    with a correlated aggregate threshold.  Adapted (no partsupp):
+    suppliers of one nation who shipped MORE THAN 30% of some
+    name-filtered part's total 1997 volume -- the correlated compare is
+    per-(part,supplier) quantity vs a per-part scalar."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    qty_i = F.round(F.col("l_quantity") * 100).cast("long")
+    filt = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_suppkey", qty_i.alias("qty_i")
+    )
+    per_ps = filt.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_i").alias("ps_qty")
+    )
+    per_part = filt.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty_i").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, per_ps.l_partkey == F.col("t_partkey"))
+        .where(F.col("ps_qty") * 10 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH filt AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(qty_i) AS ps_qty
+  FROM filt GROUP BY l_partkey, l_suppkey),
+per_part AS (
+  SELECT l_partkey, sum(qty_i) AS part_qty FROM filt GROUP BY l_partkey)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+                    WHERE ps_qty * 10 > part_qty * 3)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+ORDER BY s_suppkey
+"""
+
+
+def q21_latest_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS(other) + NOT-EXISTS(later other)
+    self-joins on the fact table.  Adapted (no commit/receipt dates):
+    count, per supplier, the multi-supplier orders where that supplier
+    was the STRICTLY latest shipper -- exists another supplier's line
+    in the order, and no other supplier's line ships on/after this
+    supplier's last ship date."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    other = per_os.select(
+        F.col("l_orderkey").alias("o_orderkey2"),
+        F.col("l_suppkey").alias("o_suppkey2"),
+        F.col("max_ship").alias("o_max_ship"),
+    )
+    # EXISTS: another supplier in the order
+    has_other = per_os.join(
+        other,
+        (per_os.l_orderkey == F.col("o_orderkey2"))
+        & (per_os.l_suppkey != F.col("o_suppkey2")),
+        "left_semi",
+    )
+    # NOT EXISTS: another supplier shipping on/after my last ship date
+    latest = has_other.join(
+        other,
+        (has_other.l_orderkey == F.col("o_orderkey2"))
+        & (has_other.l_suppkey != F.col("o_suppkey2"))
+        & (F.col("o_max_ship") >= has_other.max_ship),
+        "left_anti",
+    )
+    return (
+        latest.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey)
+SELECT s_name, count(*) AS numwait
+FROM per_os p JOIN supplier ON p.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM per_os o
+              WHERE o.l_orderkey = p.l_orderkey
+                AND o.l_suppkey <> p.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM per_os o
+                  WHERE o.l_orderkey = p.l_orderkey
+                    AND o.l_suppkey <> p.l_suppkey
+                    AND o.max_ship >= p.max_ship)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-dimension broadcast join: customers per region."""
     r = _t(spark, sf_dir, "region")
@@ -2543,6 +2936,77 @@ FROM documents
 """
 
 
+def bigram_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model coverage scoring: train
+    bigram counts over the whole corpus (one distributed groupBy --
+    the count table IS the n-gram LM), then score each document by the
+    fraction of its word bigrams the corpus has seen at least 3 times.
+    The integer-count analog of LM perplexity filtering (transcendental
+    log-probs are avoided deliberately: libm ``log`` is not guaranteed
+    bit-identical across engines, integer counts are).
+
+    Scale: bigram vocabulary is bounded by natural language, not corpus
+    size; the count table joins back map-side once it fits a broadcast,
+    while the per-doc explode is a narrow codegen pass."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    pairs = (
+        d.select("doc_id", words.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("bg"),
+        )
+    )
+    counts = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        pairs.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_known"),
+        )
+        .withColumn(
+            "coverage",
+            F.col("n_known").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_COVERAGE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents),
+pairs AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+counts AS (SELECT bg, count(*) AS c FROM pairs GROUP BY bg)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS coverage
+FROM pairs JOIN counts USING (bg)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE tokenizer on the corpus (distributed word counts ->
     bounded driver merge loop), tokenize every document with the
@@ -2986,6 +3450,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash-verified (or whose implementation changed this round) must come
     # FIRST; entries green in the immediately-previous round go last.
     #
+    # --- new this round (never verified) ---
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q11_important_parts": q11_important_parts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "q21_latest_shippers": q21_latest_shippers,
+    "bigram_coverage_score": bigram_coverage_score,
     # --- not driver-verified since round 1/2 (judge-only in r3) ---
     "dedup_events": dedup_events,
     "interval_join_events": interval_join_events,
@@ -3076,6 +3550,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_profit_by_nation": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q20_dominant_suppliers": Q20_SQL,
+    "q21_latest_shippers": Q21_SQL,
+    "bigram_coverage_score": BIGRAM_COVERAGE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,

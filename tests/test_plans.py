@@ -122,6 +122,39 @@ def test_new_tpch_queries_plan_shapes(spark, sf_dir):
     assert "l_shipdate" in pushed and "l_quantity" in pushed
 
 
+def test_round4_tpch_queries_plan_shapes(spark, sf_dir):
+    """Round-4 TPC-H batch (q2/q8/q9/q11/q13/q16/q20/q21 adaptations):
+    no cartesian products anywhere; dimension-filtered joins broadcast;
+    q13's outer join keeps zero-order customers (LEFT join survives in
+    the plan, not rewritten to inner by the condition)."""
+    from nearscan_kafka_streams_spark.queries import (
+        q2_min_cost_supplier,
+        q8_market_share,
+        q9_profit_by_nation,
+        q11_important_parts,
+        q13_customer_distribution,
+        q16_supplier_part_counts,
+        q20_dominant_suppliers,
+        q21_latest_shippers,
+    )
+
+    for q in (
+        q2_min_cost_supplier,
+        q8_market_share,
+        q9_profit_by_nation,
+        q11_important_parts,
+        q16_supplier_part_counts,
+        q20_dominant_suppliers,
+        q21_latest_shippers,
+    ):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastHashJoin" in plan, q.__name__
+
+    plan13 = formatted_plan(q13_customer_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan13 or "left_outer" in plan13.lower()
+
+
 def test_q15_global_max_not_single_task_window(spark, sf_dir):
     """q15's global max must be a scalar aggregate broadcast back onto
     the per-supplier aggregate -- NOT an unpartitioned window, which
