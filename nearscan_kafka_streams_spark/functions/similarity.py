@@ -20,7 +20,7 @@ signatures are computed in one narrow pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -160,6 +160,56 @@ def _kmeans_numpy(sample: list, k: int, seed: int, iters: int = 25):
     return [list(map(float, c)) for c in C]
 
 
+def _fit_ivf_centers(
+    corpus: DataFrame,
+    n_clusters: int,
+    vec_col: str,
+    seed: int,
+    fit_sample_cap: int | None,
+) -> list:
+    """Train IVF centroids on a bounded driver sample (the faiss
+    train/assign split: centroid quality needs ~100x n_clusters points,
+    not the corpus; a full distributed fit is dozens of passes at
+    100 TB).  One cheap count pass sizes the sample fraction."""
+    cap = fit_sample_cap if fit_sample_cap is not None else 256 * n_clusters
+    fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    total = fit_input.count()
+    if total > cap:
+        fit_input = fit_input.sample(
+            withReplacement=False, fraction=min(1.0, 1.2 * cap / total), seed=seed
+        ).limit(cap)
+    sample = [r["v"] for r in fit_input.collect()]  # bounded by cap
+    return _kmeans_numpy(sample, n_clusters, seed)
+
+
+def _cell_assign_sql(centers: list) -> str:
+    """Nearest-centroid assignment as ONE codegen'd SQL expression over
+    a ``_cvec`` column: argmin via array_min over (dist, cell) structs
+    -- the distance array is referenced ONCE, so CollapseProject cannot
+    double-evaluate the n_clusters constant-vector distances.  One SQL
+    string because building it Column-by-Column costs a py4j round trip
+    per AST node (seconds of driver time for n_clusters x dim
+    literals)."""
+
+    def _center_arr(c) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+    def _sqdist_sql(c) -> str:
+        return (
+            f"aggregate(zip_with(CAST(_cvec AS array<double>), {_center_arr(c)},"
+            f" (x,y) -> (x-y)*(x-y)), 0.0D, (a,b) -> a+b)"
+        )
+
+    return (
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {_sqdist_sql(c)}, 'i', {i})"
+            for i, c in enumerate(centers)
+        )
+        + ")).i"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -190,44 +240,10 @@ def ivf_topk(
     equi-join corpus.cell == probe.cell.
     Candidates ~ corpus * n_probe / n_clusters.
     """
-    cap = fit_sample_cap if fit_sample_cap is not None else 256 * n_clusters
-    fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-    # one cheap count pass to size the sample fraction -- strictly
-    # cheaper than any iterative distributed fit
-    total = fit_input.count()
-    if total > cap:
-        fit_input = fit_input.sample(
-            withReplacement=False, fraction=min(1.0, 1.2 * cap / total), seed=seed
-        ).limit(cap)
-    sample = [r["v"] for r in fit_input.collect()]  # bounded by cap
-    centers = _kmeans_numpy(sample, n_clusters, seed)
-
-    # nearest-centroid assignment as one codegen'd expression: argmin
-    # via array_min over (dist, cell) structs -- the distance array is
-    # referenced ONCE, so CollapseProject cannot double-evaluate the
-    # n_clusters constant-vector distances.  Generated as ONE SQL
-    # string: building it Column-by-Column costs a py4j round trip per
-    # node (seconds of driver time for n_clusters x dim literals).
-    def _center_arr(c) -> str:
-        return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-
-    def _sqdist_sql(c) -> str:
-        return (
-            f"aggregate(zip_with(CAST(_cvec AS array<double>), {_center_arr(c)},"
-            f" (x,y) -> (x-y)*(x-y)), 0.0D, (a,b) -> a+b)"
-        )
-
-    dists_sql = (
-        "array_min(array("
-        + ",".join(
-            f"named_struct('d', {_sqdist_sql(c)}, 'i', {i})"
-            for i, c in enumerate(centers)
-        )
-        + ")).i"
-    )
+    centers = _fit_ivf_centers(corpus, n_clusters, vec_col, seed, fit_sample_cap)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    ).withColumn("_cell", F.expr(dists_sql))
+    ).withColumn("_cell", F.expr(_cell_assign_sql(centers)))
 
     centers_df = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -264,6 +280,105 @@ def ivf_topk(
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
     return out
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample_cap: int | None = None,
+) -> int:
+    """Persist an IVF index: fit centroids once, assign every corpus
+    vector to its cell, and write the corpus PARTITIONED BY cell.
+
+    The production repeated-query pattern: `ivf_topk` refits and
+    reassigns per call (right for one-shot jobs); an index over a
+    stable corpus amortizes both across every future query batch, and
+    the cell-partitioned layout turns probing into PARTITION PRUNING --
+    a 3-of-1024-cell probe reads ~0.3% of the index bytes, enforced by
+    the scan, not the join.
+
+    Layout: ``{path}/centroids`` (cell, center) and ``{path}/vectors``
+    parquet partitioned by ``_cell``.  Returns the cell count.
+    """
+    centers = _fit_ivf_centers(corpus, n_clusters, vec_col, seed, fit_sample_cap)
+    spark = corpus.sparkSession
+    (
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            ["_cell", "_center"],
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .withColumn("_cell", F.expr(_cell_assign_sql(centers)))
+        .repartition(len(centers), "_cell")
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    return len(centers)
+
+
+def ivf_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k search against a :func:`build_ivf_index` index.
+
+    Probes are chosen against the persisted centroids (tiny broadcast
+    cross join); the vectors scan is filtered by the probed cells via
+    the partition column, so Spark's dynamic partition pruning skips
+    every unprobed cell's files.  Candidates ~ |corpus| * n_probe /
+    n_clusters, scanned not shuffled.
+    """
+    centers_df = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/vectors")
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_center_dist").asc(), F.col("_cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "_center_dist", -cosine_expr(F.col("_qvec"), F.col("_center"))
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select(query_id_col, "_qvec", "_cell")
+    )
+
+    cand = assigned.join(F.broadcast(probes), "_cell").where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_expr(F.col("_cvec"), F.col("_qvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
 
 
 def pq_topk(

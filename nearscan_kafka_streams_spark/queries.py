@@ -2805,6 +2805,33 @@ def ann_ivf_fullprobe_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_persisted_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a PERSISTED cell-partitioned IVF index (functions.
+    similarity.build_ivf_index), then search it probing every cell:
+    full probe == exact brute force, so the whole persisted path --
+    centroid parquet, cell-partitioned vector layout, partition-pruned
+    probe scan, scoring, top-k -- is hash-checkable against the
+    brute-force DuckDB oracle."""
+    import hashlib
+    import tempfile
+
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/nearscan_ivf_index_{tag}"
+    n_cells = build_ivf_index(emb, path, n_clusters=16)
+    out = ivf_search(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, n_probe=n_cells
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def ann_pq_fullrerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ with a corpus-deep rerank: the refine stage scores EVERY
     candidate exactly, so the output must equal brute force -- making
@@ -3460,6 +3487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "q21_latest_shippers": q21_latest_shippers,
     "bigram_coverage_score": bigram_coverage_score,
+    "ann_ivf_persisted_fullprobe": ann_ivf_persisted_fullprobe,
     # --- not driver-verified since round 1/2 (judge-only in r3) ---
     "dedup_events": dedup_events,
     "interval_join_events": interval_join_events,
@@ -3559,6 +3587,7 @@ ORACLES: dict[str, str] = {
     "q20_dominant_suppliers": Q20_SQL,
     "q21_latest_shippers": Q21_SQL,
     "bigram_coverage_score": BIGRAM_COVERAGE_SQL,
+    "ann_ivf_persisted_fullprobe": ANN_BRUTEFORCE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,

@@ -184,3 +184,47 @@ def test_pq_deterministic_and_score_bounded(spark):
     b = sorted(map(tuple, pq_topk(df, q, k=3, m=4, n_codes=8, dim=16).collect()))
     assert a == b
     assert all(-1.5 <= r[2] <= 1.5 for r in a)
+
+
+def test_persisted_ivf_index_search(spark, tmp_path):
+    """build_ivf_index + ivf_search: (a) full probe equals brute force
+    exactly; (b) 3-probe search on clustered data keeps high recall;
+    (c) the probe scan is partition-pruned -- the vectors scan carries
+    a partition filter on _cell (dynamic pruning from the probe join),
+    so unprobed cells' files are skipped by the SCAN, not the join."""
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    rows = _vectors(n=400, clusters=8)
+    df = _df(spark, rows)
+    path = str(tmp_path / "ivf_index")
+    n_cells = build_ivf_index(df, path, n_clusters=8)
+    assert n_cells == 8
+    queries = df.where("vec_id < 10")
+
+    full = ivf_search(spark, path, queries, k=3, n_probe=n_cells)
+    exact = brute_force_topk(df, queries, k=3)
+    assert sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect()
+    ) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()
+    )
+
+    probe3 = ivf_search(spark, path, queries, k=3, n_probe=3)
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in probe3.collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, recall
+
+    plan = probe3._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+    # index reuse: a second search needs no refit (reads the same files)
+    again = ivf_search(spark, path, queries, k=3, n_probe=3).collect()
+    assert len(again) == len(probe3.collect())
