@@ -764,6 +764,146 @@ def minhash_signature(shingle_hashes: F.Column, num_hashes: int = 64) -> F.Colum
     )
 
 
+def _band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, bkey) banded MinHash keys -- the shared LSH front end
+    of the self-join (minhash_lsh_candidates) and the incremental
+    store admission (incremental_minhash_dedup)."""
+    rows_per_band = num_hashes // bands
+    sh_df = _spread(df).select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    )
+    sig = sh_df.select(
+        F.col(id_col),
+        minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+    )
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bkey")
+
+
+def incremental_minhash_dedup(
+    df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    num_buckets: int = 64,
+    batch_id: int = 0,
+) -> DataFrame:
+    """NEAR-dup admission of a new batch against a persistent band-key
+    store: the daily-crawl-versus-full-history case that
+    ``incremental_exact_dedup`` covers for byte-exact content.
+
+    Admission policy (deterministic, first-occurrence-wins): a batch
+    doc is REJECTED iff (a) any of its MinHash band keys was registered
+    by a previously admitted doc, or (b) a smaller-id doc in the same
+    batch shares a band key (whether or not that doc is itself
+    admitted -- the same keep-the-first contract as banded LSH dedup in
+    one batch).  Admitted docs' band keys are registered so every later
+    batch sees them.  Re-running a batch admits nothing: at-most-once,
+    matching the exact-dedup sibling.
+
+    Scale shape: the store is hash-bucketed on band key, so the
+    seen-check reads ONLY the buckets the batch's keys land in --
+    O(batch x bands) against an O(corpus x bands) store -- and
+    registration rewrites only those buckets (atomic manifest swap;
+    crash leaves the previous consistent store).
+    """
+    import os
+
+    from nearscan_kafka_streams_spark.sinks.upsert import (
+        _bucket_expr,
+        _load_manifest,
+        bucket_paths,
+        foreach_batch_upsert,
+    )
+
+    spark = df.sparkSession
+    keyed = _persist_tracked(
+        _band_keys(df, text_col, id_col, num_hashes, bands, shingle_n).select(
+            F.col(id_col),
+            F.concat_ws("|", F.col("band"), F.col("bkey")).alias("band_key"),
+        )
+    )
+
+    rejected = None
+    manifest = _load_manifest(store_path)
+    if manifest is not None:
+        buckets = manifest["num_buckets"]
+        affected = sorted(
+            r[0]
+            for r in keyed.select(
+                _bucket_expr("band_key", buckets).alias("b")
+            ).distinct().collect()
+        )
+        paths = bucket_paths(store_path, manifest, affected)
+        if paths:
+            seen = spark.read.parquet(*paths).select("band_key")
+            rejected = (
+                keyed.join(F.broadcast(seen.distinct()), "band_key")
+                .select(id_col)
+                .distinct()
+            )
+
+    first_per_key = keyed.groupBy("band_key").agg(
+        F.min(id_col).alias("_first")
+    )
+    batch_rejected = (
+        keyed.join(first_per_key, "band_key")
+        .where(F.col(id_col) > F.col("_first"))
+        .select(id_col)
+        .distinct()
+    )
+    rejected = (
+        batch_rejected if rejected is None else rejected.union(batch_rejected)
+    )
+
+    admitted = df.join(rejected, id_col, "left_anti")
+    # durable staging BEFORE registration: the seen-check lineage pins
+    # store bucket files that registration may supersede and GC (the
+    # same hazard incremental_exact_dedup stages against)
+    staging = os.path.join(store_path, "_staging", f"batch_{batch_id}")
+    admitted.write.mode("overwrite").parquet(staging)
+    survivors = spark.read.parquet(staging)
+
+    # re-derive band keys from the staged survivors (deterministic
+    # content hash -- identical keys, store-independent lineage)
+    reg = _band_keys(
+        survivors, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(
+        F.concat_ws("|", F.col("band"), F.col("bkey")).alias("band_key"),
+        F.col(id_col),
+    )
+    foreach_batch_upsert("band_key", store_path, num_buckets=num_buckets)(
+        reg, batch_id
+    )
+    return survivors
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -383,3 +383,47 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     from nearscan_kafka_streams_spark.sinks.upsert import read_store
 
     assert read_store(spark, store).count() == 3
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Near-dup admission against the persistent band-key store:
+    within-batch near-dups keep the first occurrence, cross-batch
+    near-dups of ADMITTED history are rejected, novel content is
+    admitted, and a replayed batch admits nothing (at-most-once)."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        release_cached,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly on the plain and the cat sat on the mat"
+    )
+    other = (
+        "completely different content about spark physical plans and "
+        "partition pruning with adaptive query execution at scale"
+    )
+    store = str(tmp_path / "lsh_store")
+
+    b0 = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, other)], ["doc_id", "text"]
+    )
+    s0 = {r["doc_id"] for r in incremental_minhash_dedup(b0, store, batch_id=0).collect()}
+    release_cached()
+    assert s0 == {1, 3}  # 2 is a within-batch near-dup of 1
+
+    third = (
+        "a third unrelated document mentioning bloom filters z order "
+        "clustering and columnar layouts for large analytical scans"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base + " extra"), (11, third)], ["doc_id", "text"]
+    )
+    s1 = {r["doc_id"] for r in incremental_minhash_dedup(b1, store, batch_id=1).collect()}
+    release_cached()
+    assert s1 == {11}  # 10 near-dups admitted history (doc 1)
+
+    # replay of batch 1: its survivors are now history -> nothing admits
+    s1b = incremental_minhash_dedup(b1, store, batch_id=2).collect()
+    release_cached()
+    assert s1b == []
