@@ -115,8 +115,14 @@ def incremental_exact_dedup(
     O(batch) work against an O(corpus) store -- and registration
     rewrites only those buckets (sinks/upsert.py semantics, atomic
     manifest swap; a crash leaves the previous consistent store).
-    Re-running the same batch returns zero survivors: content
-    admission is at-most-once.
+
+    Re-delivery of the SAME ``batch_id`` (the Structured Streaming
+    at-least-once case) returns the SAME survivors: store rows carry
+    their source batch and the seen-check ignores rows this batch id
+    registered itself, so a replay -- whether the crash hit before or
+    after registration -- recomputes the identical admission and
+    re-registers idempotently.  ``batch_id`` must therefore be unique
+    per LOGICAL batch (foreachBatch guarantees this).
     """
     from nearscan_kafka_streams_spark.sinks.upsert import (
         _bucket_expr,
@@ -146,7 +152,11 @@ def incremental_exact_dedup(
         )
         paths = bucket_paths(store_path, manifest, affected)
         if paths:
-            seen = spark.read.parquet(*paths).select("fp")
+            seen = (
+                spark.read.parquet(*paths)
+                .where(F.col("src_batch") != batch_id)
+                .select("fp")
+            )
             batch = batch.join(seen, "fp", "left_anti")
 
     # materialize survivors DURABLY before registration: the anti-join's
@@ -162,7 +172,10 @@ def incremental_exact_dedup(
     batch.write.mode("overwrite").parquet(staging)
     survivors = spark.read.parquet(staging)
     foreach_batch_upsert("fp", store_path, num_buckets=num_buckets)(
-        survivors.select("fp", F.col(id_col)), batch_id
+        survivors.select(
+            "fp", F.col(id_col), F.lit(batch_id).alias("src_batch")
+        ),
+        batch_id,
     )
     return survivors
 
@@ -824,8 +837,10 @@ def incremental_minhash_dedup(
     batch shares a band key (whether or not that doc is itself
     admitted -- the same keep-the-first contract as banded LSH dedup in
     one batch).  Admitted docs' band keys are registered so every later
-    batch sees them.  Re-running a batch admits nothing: at-most-once,
-    matching the exact-dedup sibling.
+    batch sees them.  Re-delivery of the same ``batch_id`` returns the
+    SAME survivors (store rows carry their source batch; the seen-check
+    ignores this batch's own registrations), which is what makes the
+    streaming foreachBatch sink exactly-once per batch directory.
 
     Scale shape: the store is hash-bucketed on band key, so the
     seen-check reads ONLY the buckets the batch's keys land in --
@@ -862,7 +877,11 @@ def incremental_minhash_dedup(
         )
         paths = bucket_paths(store_path, manifest, affected)
         if paths:
-            seen = spark.read.parquet(*paths).select("band_key")
+            seen = (
+                spark.read.parquet(*paths)
+                .where(F.col("src_batch") != batch_id)
+                .select("band_key")
+            )
             rejected = (
                 keyed.join(F.broadcast(seen.distinct()), "band_key")
                 .select(id_col)
@@ -897,6 +916,7 @@ def incremental_minhash_dedup(
     ).select(
         F.concat_ws("|", F.col("band"), F.col("bkey")).alias("band_key"),
         F.col(id_col),
+        F.lit(batch_id).alias("src_batch"),
     )
     foreach_batch_upsert("band_key", store_path, num_buckets=num_buckets)(
         reg, batch_id

@@ -111,6 +111,7 @@ def run_corpus_ingest(
     model_weights: list[int] | None = None,
     eval_ngrams: list[str] | None = None,
     quarantine_dir: str | None = None,
+    near_dup_store: str | None = None,
 ) -> None:
     """Drain ``src_dir`` (JSON-lines docs) through the cleaning
     topology into ``out_dir`` parquet, deduplicating by content
@@ -124,7 +125,16 @@ def run_corpus_ingest(
     silently nulling them (PERMISSIVE default): a second query writes
     the raw corrupt records there for inspection/replay -- at ingest
     scale, dropped-on-the-floor bad lines are an unmeasurable data
-    loss, quarantined ones are a queue."""
+    loss, quarantined ones are a queue.
+
+    ``near_dup_store`` upgrades cross-batch dedup from exact streaming
+    state to NEAR-dup admission against a persistent MinHash band-key
+    store (functions.dedup.incremental_minhash_dedup): each micro-batch
+    writes ``out_dir/batch_<id>`` via foreachBatch.  Exactly-once per
+    batch directory: re-delivery of a batch id recomputes the SAME
+    survivors (the store ignores a batch's own registrations) and
+    overwrites its own directory, so neither the crash-before nor the
+    crash-after-registration replay duplicates or loses output."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -171,15 +181,44 @@ def run_corpus_ingest(
         min_quality,
         model_weights=model_weights,
         eval_ngrams=eval_ngrams,
-    ).dropDuplicates(["fp"])
-    q = (
-        cleaned.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if near_dup_store is None:
+        q = (
+            cleaned.dropDuplicates(["fp"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        from nearscan_kafka_streams_spark.functions.dedup import (
+            incremental_minhash_dedup,
+            release_cached,
+        )
+
+        def _admit(batch_df, batch_id: int) -> None:
+            try:
+                kept = incremental_minhash_dedup(
+                    batch_df,
+                    near_dup_store,
+                    text_col="clean_text",
+                    batch_id=batch_id,
+                )
+                if kept.limit(1).count() > 0:
+                    kept.write.mode("overwrite").parquet(
+                        f"{out_dir}/batch_{batch_id:010d}"
+                    )
+            finally:
+                release_cached()
+
+        q = (
+            cleaned.writeStream.foreachBatch(_admit)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(timeout_seconds):
         q.stop()
         if quarantine_q is not None:

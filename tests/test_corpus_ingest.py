@@ -129,3 +129,43 @@ def test_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
     assert any("broken" in b for b in bad)
     assert any('"doc_id": 7' in b for b in bad)
     assert any('"doc_id": 8' in b for b in bad)
+
+
+def test_streaming_ingest_near_dup_admission(spark, tmp_path):
+    """near_dup_store mode: cross-batch NEAR-dups (not just exact) are
+    rejected against the persistent band-key store, and each micro-batch
+    lands in its own exactly-once output directory."""
+    src = tmp_path / "landing4"
+    src.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly on the plain and the cat sat on the mat"
+    )
+    other = (
+        "completely different content about spark physical plans and "
+        "partition pruning with adaptive query execution at scale"
+    )
+    third = (
+        "a third unrelated document mentioning bloom filters z order "
+        "clustering and columnar layouts for large analytical scans"
+    )
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base, "source": "s"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": base + " tail", "source": "s"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": other, "source": "s"}) + "\n")
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": base + " extra", "source": "s"}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": third, "source": "s"}) + "\n")
+
+    out = tmp_path / "corpus4"
+    run_corpus_ingest(
+        spark, str(src), str(out), str(tmp_path / "ckpt4"),
+        min_quality=0.0,  # only the dedup gate under test
+        near_dup_store=str(tmp_path / "lsh_store4"),
+    )
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out / "batch_*")).collect()
+    }
+    # 2 is a within-batch near-dup of 1; 10 near-dups batch-0 history
+    assert got == {1, 3, 11}

@@ -375,9 +375,15 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     s2 = {r["doc_id"] for r in incremental_exact_dedup(b2, store, batch_id=1).collect()}
     assert s2 == {11}
 
-    # replaying batch 2 admits nothing (at-most-once content admission)
-    s2b = incremental_exact_dedup(b2, store, batch_id=2).collect()
-    assert s2b == []
+    # RE-DELIVERY of batch 2 (same batch_id -- Structured Streaming's
+    # at-least-once case) returns the SAME survivors: the seen-check
+    # ignores this batch's own registrations
+    s2b = {r["doc_id"] for r in incremental_exact_dedup(b2, store, batch_id=1).collect()}
+    assert s2b == {11}
+
+    # a genuinely NEW batch with the same content admits nothing
+    s2c = incremental_exact_dedup(b2, store, batch_id=2).collect()
+    assert s2c == []
 
     # the store holds exactly the three distinct fingerprints
     from nearscan_kafka_streams_spark.sinks.upsert import read_store
@@ -423,7 +429,12 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     release_cached()
     assert s1 == {11}  # 10 near-dups admitted history (doc 1)
 
-    # replay of batch 1: its survivors are now history -> nothing admits
-    s1b = incremental_minhash_dedup(b1, store, batch_id=2).collect()
+    # RE-DELIVERY of batch 1 (same batch_id) returns the SAME survivors
+    s1b = {r["doc_id"] for r in incremental_minhash_dedup(b1, store, batch_id=1).collect()}
     release_cached()
-    assert s1b == []
+    assert s1b == {11}
+
+    # a genuinely NEW batch with the same content admits nothing
+    s1c = incremental_minhash_dedup(b1, store, batch_id=2).collect()
+    release_cached()
+    assert s1c == []
