@@ -1319,6 +1319,115 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view -> click -> purchase): per
+    user, the first view, the first click strictly AFTER that view,
+    the first purchase strictly after that click; report users
+    surviving each step.  Min-timestamps and integer counts only, so
+    the oracle compares exactly.
+
+    Scale: three hash aggregates on user_id + two broadcast-sized
+    joins of per-user single rows -- each pass is one shuffle on the
+    same key, and AQE reuses the partitioning."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    spark_rows = [
+        v.agg(F.lit(1).alias("step"), F.lit("view").alias("step_name"),
+              F.count(F.lit(1)).alias("users")),
+        c.agg(F.lit(2).alias("step"), F.lit("click").alias("step_name"),
+              F.count(F.lit(1)).alias("users")),
+        p.agg(F.lit(3).alias("step"), F.lit("purchase").alias("step_name"),
+              F.count(F.lit(1)).alias("users")),
+    ]
+    out = spark_rows[0]
+    for frame in spark_rows[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("step")
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, count(*) AS users FROM v
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM p)
+ORDER BY step
+"""
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    first event; for each later week, how many are still active.
+    Week arithmetic is integer epoch math on Monday-truncated weeks
+    (identical in both engines under the pinned UTC zone); counts are
+    integers, so the oracle compares exactly."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "week_k",
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk"))
+                / 604800
+            ).cast("int"),
+        )
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_k",
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(wk) - epoch(cohort_wk)) / 604800 AS INT) AS week_k,
+       count(DISTINCT user_id) AS users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_wk, week_k
+ORDER BY cohort_week, week_k
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) -- batch form of the custom
     stateful operator (operators/sessionize.py; streaming variant uses
@@ -3488,6 +3597,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_latest_shippers": q21_latest_shippers,
     "bigram_coverage_score": bigram_coverage_score,
     "ann_ivf_persisted_fullprobe": ann_ivf_persisted_fullprobe,
+    "funnel_events": funnel_events,
+    "retention_cohorts_events": retention_cohorts_events,
+    # --- changed this round (must re-verify) ---
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "dedup_canonical_by_source": dedup_canonical_by_source,
     # --- not driver-verified since round 1/2 (judge-only in r3) ---
     "dedup_events": dedup_events,
     "interval_join_events": interval_join_events,
@@ -3523,14 +3642,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curate_pipeline": corpus_curate_pipeline,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
-    # --- changed this round (must re-verify) ---
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q19_discounted_revenue": q19_discounted_revenue,
-    "dedup_canonical_by_source": dedup_canonical_by_source,
     # --- driver-green in round 3 (CORRECTNESS_r03.json) ---
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3588,6 +3699,8 @@ ORACLES: dict[str, str] = {
     "q21_latest_shippers": Q21_SQL,
     "bigram_coverage_score": BIGRAM_COVERAGE_SQL,
     "ann_ivf_persisted_fullprobe": ANN_BRUTEFORCE_SQL,
+    "funnel_events": FUNNEL_SQL,
+    "retention_cohorts_events": RETENTION_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
