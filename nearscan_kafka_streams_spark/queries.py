@@ -1319,6 +1319,79 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def full_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join shape (the one outer-join kind the registry
+    lacked): per-nation customer vs supplier counts, keeping nations
+    that have only one side and coalescing the keys."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS c_nk, count(*) AS n_customers
+           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+s AS (SELECT s_nationkey AS s_nk, count(*) AS n_suppliers
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+SELECT COALESCE(c_nk, s_nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c_nk = s_nk
+ORDER BY nationkey
+"""
+
+
+def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (not ROWS): per event type, each
+    event's trailing-1-hour event count -- the frame is defined by a
+    time interval, so ties and irregular spacing are handled by value
+    range, which a ROWS frame cannot express.  The count is an
+    integer, so the oracle compares exactly."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    # exact integer microseconds on BOTH engines (a seconds cast would
+    # truncate here but not in DuckDB's fractional epoch())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select("event_id", "event_type", "ts")
+        .withColumn("trailing_1h_events", F.count(F.lit(1)).over(w))
+        .select("event_id", "event_type", "trailing_1h_events")
+        .orderBy("event_id")
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, event_type,
+       count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS trailing_1h_events
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+"""
+
+
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel (view -> click -> purchase): per
     user, the first view, the first click strictly AFTER that view,
@@ -3599,6 +3672,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_persisted_fullprobe": ann_ivf_persisted_fullprobe,
     "funnel_events": funnel_events,
     "retention_cohorts_events": retention_cohorts_events,
+    "full_outer_join_nations": full_outer_join_nations,
+    "moving_avg_events": moving_avg_events,
     # --- changed this round (must re-verify) ---
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -3701,6 +3776,8 @@ ORACLES: dict[str, str] = {
     "ann_ivf_persisted_fullprobe": ANN_BRUTEFORCE_SQL,
     "funnel_events": FUNNEL_SQL,
     "retention_cohorts_events": RETENTION_SQL,
+    "full_outer_join_nations": FULL_OUTER_SQL,
+    "moving_avg_events": MOVING_AVG_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
