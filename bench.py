@@ -60,6 +60,14 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_cosine",
     "ann_ivf_cosine",
+    # round-4 additions: widest joins (q8 6-way, q21 self-join
+    # exists/not-exists), outer-join distribution, corpus bigram LM,
+    # sequential funnel
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_latest_shippers",
+    "bigram_coverage_score",
+    "funnel_events",
 ]
 
 

@@ -777,6 +777,33 @@ def minhash_signature(shingle_hashes: F.Column, num_hashes: int = 64) -> F.Colum
     )
 
 
+def gc_staging(store_path: str, keep_latest: int = 8) -> list[str]:
+    """Remove old ``_staging/batch_*`` survivor snapshots of an
+    incremental dedup store, keeping the ``keep_latest`` most recent
+    batch ids.  Staging dirs exist so a batch's returned DataFrame
+    survives store GC and so a re-delivered batch can be recomputed
+    identically; once downstream consumers have read a batch's output
+    they are dead weight.  Returns the removed directory names."""
+    import re
+    import shutil
+    from pathlib import Path
+
+    root = Path(store_path) / "_staging"
+    if not root.exists():
+        return []
+    batches = []
+    for child in root.iterdir():
+        m = re.fullmatch(r"batch_(\d+)", child.name)
+        if m and child.is_dir():
+            batches.append((int(m.group(1)), child))
+    batches.sort()
+    removed = []
+    for _, child in batches[: max(len(batches) - keep_latest, 0)]:
+        shutil.rmtree(child, ignore_errors=True)
+        removed.append(child.name)
+    return removed
+
+
 def _band_keys(
     df: DataFrame,
     text_col: str,

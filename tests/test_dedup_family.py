@@ -438,3 +438,57 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     s1c = incremental_minhash_dedup(b1, store, batch_id=2).collect()
     release_cached()
     assert s1c == []
+
+
+def test_incremental_exact_matches_oneshot_on_random_batches(spark, tmp_path):
+    """Contract: feeding random batches (ascending ids) through
+    incremental_exact_dedup admits exactly the docs a ONE-SHOT
+    exact_dedup over the concatenated corpus would keep (global min id
+    per fingerprint), regardless of how content repeats across
+    batches."""
+    import random
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    rng = random.Random(13)
+    texts = [f"document body number {i} with shared words" for i in range(12)]
+    all_rows, admitted, next_id = [], set(), 0
+    store = str(tmp_path / "prop_store")
+    for b in range(4):
+        rows = []
+        for _ in range(rng.randint(2, 6)):
+            rows.append((next_id, rng.choice(texts)))
+            next_id += 1
+        all_rows.extend(rows)
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        admitted |= {
+            r["doc_id"]
+            for r in incremental_exact_dedup(batch, store, batch_id=b).collect()
+        }
+    corpus = spark.createDataFrame(all_rows, "doc_id long, text string")
+    oneshot = {r["doc_id"] for r in exact_dedup(corpus).collect()}
+    assert admitted == oneshot
+
+
+def test_gc_staging_keeps_latest(spark, tmp_path):
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        gc_staging,
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "gc_store")
+    for b in range(5):
+        batch = spark.createDataFrame(
+            [(b * 10, f"unique text for batch {b} here")],
+            "doc_id long, text string",
+        )
+        incremental_exact_dedup(batch, store, batch_id=b).collect()
+    removed = gc_staging(store, keep_latest=2)
+    assert removed == ["batch_0", "batch_1", "batch_2"]
+    from pathlib import Path
+
+    left = sorted(p.name for p in (Path(store) / "_staging").iterdir())
+    assert left == ["batch_3", "batch_4"]
