@@ -3643,6 +3643,219 @@ FROM nat
 """
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pretraining packing: the corpus token stream is
+    concatenated in ``doc_id`` order and split at fixed 512-token
+    sequence boundaries; documents SPAN boundaries (concat-and-chunk),
+    unlike ``token_budget_shards`` which keeps documents whole.  One
+    output row per (sequence, document-fragment): which token slice of
+    which document lands at which offset of which training sequence --
+    the manifest a tokenizing writer consumes.
+
+    Scale shape: global offsets come from the distributed prefix scan
+    (``functions/scan.py`` -- no single-task window); the per-doc
+    explode emits ``1 + ceil(n_tokens / L)`` rows at most, so output
+    is proportional to input and the corpus is shuffled exactly once.
+    """
+    seq_len = 512
+    from nearscan_kafka_streams_spark.functions.scan import global_running_sum
+    from nearscan_kafka_streams_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    run = global_running_sum(toks, "doc_id", "n_tokens", out_col="end_tok")
+    run = run.withColumn("beg_tok", F.col("end_tok") - F.col("n_tokens"))
+    frag = run.select(
+        "doc_id",
+        "beg_tok",
+        "end_tok",
+        F.explode(
+            F.sequence(
+                F.expr(f"beg_tok div {seq_len}"),
+                F.expr(f"(end_tok - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_beg = F.col("seq_id") * seq_len
+    frag_beg = F.greatest(F.col("beg_tok"), seq_beg)
+    frag_end = F.least(F.col("end_tok"), seq_beg + seq_len)
+    return frag.select(
+        "seq_id",
+        "doc_id",
+        (frag_beg - seq_beg).alias("frag_start"),
+        (frag_end - frag_beg).alias("frag_tokens"),
+        (frag_beg - F.col("beg_tok")).alias("doc_offset"),
+    ).orderBy("seq_id", "doc_id")
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), run AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS end_tok
+  FROM toks WHERE n_tokens > 0
+), frag AS (
+  SELECT doc_id, end_tok - n_tokens AS beg_tok, end_tok,
+         unnest(generate_series((end_tok - n_tokens) // 512,
+                                (end_tok - 1) // 512)) AS seq_id
+  FROM run
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(GREATEST(beg_tok, seq_id * 512) - seq_id * 512 AS BIGINT)
+         AS frag_start,
+       CAST(LEAST(end_tok, (seq_id + 1) * 512)
+            - GREATEST(beg_tok, seq_id * 512) AS BIGINT) AS frag_tokens,
+       CAST(GREATEST(beg_tok, seq_id * 512) - beg_tok AS BIGINT)
+         AS doc_offset
+FROM frag
+ORDER BY seq_id, doc_id
+"""
+
+
+def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span REMOVAL (the rewrite step, not just
+    detection): each document is cut into consecutive 10-token chunks;
+    a chunk whose exact text occurs elsewhere in the corpus survives
+    only at its corpus-wide first occurrence (min ``(doc_id,
+    chunk_idx)``); every document is re-emitted with its surviving
+    chunks re-joined in order.  This is the classic "remove any
+    three-sentence span seen before" cleaning rule, on whitespace
+    chunks since the synthetic corpus is single-line.
+
+    Scale shape: one explode (bounded by token count / 10), one
+    hash-partitioned window keyed on chunk text (the dedup key -- no
+    global ordering), one groupBy doc_id to reassemble.  No all-pairs
+    anything; cost is linear in corpus token count.
+    """
+    chunk = 10
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).where(F.length(F.trim(F.col("text"))) > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("t") / chunk).cast("long") - 1)
+        ).alias("chunk_idx"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("t"), F.col("chunk_idx") * chunk + 1, chunk), " "
+        ).alias("chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("occ", F.row_number().over(w))
+    kept = flagged.where(F.col("occ") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPEATED_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1))
+         AS g(i)
+), flagged AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_idx) AS occ
+  FROM chunks
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+         count(*) AS n_kept
+  FROM flagged WHERE occ = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded GLOBAL SHUFFLE into training shards: shard
+    and within-shard position are pure functions of (seed, doc_id) via
+    md5 -- the reproducible 'shuffle the corpus before epoch 0' step.
+    ``orderBy(rand())`` is partitioning- and engine-dependent; a keyed
+    hash order is identical across engines, runs, and cluster sizes,
+    which is what makes a 100 TB shuffle auditable and resumable.
+
+    Scale shape: one hash shuffle on shard_id (16 shards -> 16
+    writer groups); the per-shard row_number is a partitioned window,
+    never a global sort.
+    """
+    n_shards = 16
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    hashed = d.select(
+        "doc_id",
+        h.alias("_h"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_shards).alias(
+            "shard_id"
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy("_h", "doc_id")
+    return hashed.select(
+        "shard_id",
+        F.row_number().over(w).alias("pos"),
+        "doc_id",
+    ).orderBy("shard_id", "pos")
+
+
+SHUFFLE_SHARDS_SQL = r"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || substring(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                                 1, 6)) AS BIGINT) % 16 AS shard_id
+  FROM documents
+)
+SELECT shard_id,
+       row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS pos,
+       doc_id
+FROM hashed
+ORDER BY shard_id, pos
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3660,6 +3873,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST; entries green in the immediately-previous round go last.
     #
     # --- new this round (never verified) ---
+    "pack_training_sequences": pack_training_sequences,
+    "dedup_repeated_chunks": dedup_repeated_chunks,
+    "shuffle_shards": shuffle_shards,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -3764,6 +3980,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pack_training_sequences": PACK_SEQUENCES_SQL,
+    "dedup_repeated_chunks": REPEATED_CHUNKS_SQL,
+    "shuffle_shards": SHUFFLE_SHARDS_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q8_market_share": Q8_SQL,
     "q9_profit_by_nation": Q9_SQL,
