@@ -328,6 +328,46 @@ def build_ivf_index(
     return len(centers)
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a :func:`build_ivf_index` index
+    WITHOUT refitting: new vectors are assigned to the EXISTING
+    persisted centroids and appended into their cell partitions.
+
+    This is the standard IVF maintenance contract (FAISS `add` after
+    `train`): assignment quality degrades only as far as the corpus
+    distribution drifts from the trained centroids; correctness of
+    search is unaffected because scoring inside probed cells is exact
+    -- a full probe over an appended index still equals brute force
+    (tested).  Periodic rebuild (``build_ivf_index``, a compaction)
+    re-centers when drift accumulates, mirroring the incremental
+    exact-dedup and MinHash band stores' generation/compaction story.
+
+    Scale shape: centroids are a tiny collect (n_clusters rows);
+    assignment is one codegen'd expression over the new batch only;
+    the append touches only the written cell partitions -- the
+    existing index bytes are never read or rewritten.
+    """
+    spark = new_vectors.sparkSession
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("_cell").collect()
+    centers = [list(r._center) for r in rows]
+    (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .withColumn("_cell", F.expr(_cell_assign_sql(centers)))
+        .repartition(len(centers), "_cell")
+        .write.partitionBy("_cell")
+        .mode("append")
+        .parquet(f"{path}/vectors")
+    )
+    return len(centers)
+
+
 def ivf_search(
     spark: SparkSession,
     path: str,

@@ -3014,6 +3014,35 @@ def ann_ivf_persisted_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build the persisted IVF index on
+    HALF the corpus, ``ivf_index_append`` the other half against the
+    frozen centroids, then full-probe search -- which equals exact
+    brute force over the whole corpus, so the append path (centroid
+    reuse, cell assignment, partition append) is hash-checkable
+    against the same brute-force DuckDB oracle."""
+    import hashlib
+    import tempfile
+
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/nearscan_ivf_append_{tag}"
+    n_cells = build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path, n_clusters=16)
+    ivf_index_append(emb.where(F.col("vec_id") % 2 == 1), path)
+    out = ivf_search(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, n_probe=n_cells
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def ann_pq_fullrerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ with a corpus-deep rerank: the refine stage scores EVERY
     candidate exactly, so the output must equal brute force -- making
@@ -3876,6 +3905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_training_sequences": pack_training_sequences,
     "dedup_repeated_chunks": dedup_repeated_chunks,
     "shuffle_shards": shuffle_shards,
+    "ann_ivf_append_fullprobe": ann_ivf_append_fullprobe,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -3993,6 +4023,7 @@ ORACLES: dict[str, str] = {
     "q21_latest_shippers": Q21_SQL,
     "bigram_coverage_score": BIGRAM_COVERAGE_SQL,
     "ann_ivf_persisted_fullprobe": ANN_BRUTEFORCE_SQL,
+    "ann_ivf_append_fullprobe": ANN_BRUTEFORCE_SQL,
     "funnel_events": FUNNEL_SQL,
     "retention_cohorts_events": RETENTION_SQL,
     "full_outer_join_nations": FULL_OUTER_SQL,

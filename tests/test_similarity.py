@@ -228,3 +228,67 @@ def test_persisted_ivf_index_search(spark, tmp_path):
     # index reuse: a second search needs no refit (reads the same files)
     again = ivf_search(spark, path, queries, k=3, n_probe=3).collect()
     assert len(again) == len(probe3.collect())
+
+
+def test_ivf_index_append_fullprobe_exact(spark, tmp_path):
+    """ivf_index_append: build on half the corpus, append the rest
+    against the frozen centroids; a full-probe search over the appended
+    index equals brute force over the WHOLE corpus (scoring in probed
+    cells is exact, so stale centroids cannot affect a full probe),
+    and the centroid file is untouched by the append."""
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_search,
+    )
+
+    rows = _vectors(n=400, clusters=8)
+    df = _df(spark, rows)
+    path = str(tmp_path / "ivf_append")
+    n_cells = build_ivf_index(df.where("vec_id % 2 = 0"), path, n_clusters=8)
+    before = spark.read.parquet(f"{path}/centroids").collect()
+    assert ivf_index_append(df.where("vec_id % 2 = 1"), path) == n_cells
+    after = spark.read.parquet(f"{path}/centroids").collect()
+    assert sorted(map(str, before)) == sorted(map(str, after))
+
+    queries = df.where("vec_id < 10")
+    full = ivf_search(spark, path, queries, k=3, n_probe=n_cells)
+    exact = brute_force_topk(df, queries, k=3)
+    assert sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect()
+    ) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()
+    )
+
+
+def test_ivf_index_append_new_vectors_searchable(spark, tmp_path):
+    """A vector appended after the build is found by a narrow probe:
+    append assigns it to the cell of its nearest (frozen) centroid, so
+    a query near that vector probes the same cell."""
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_search,
+    )
+
+    rows = _vectors(n=400, clusters=8)
+    df = _df(spark, rows)
+    path = str(tmp_path / "ivf_append2")
+    build_ivf_index(df.where("vec_id >= 20"), path, n_clusters=8)
+    # the held-out 0..19 live in the same clusters as the indexed rest
+    ivf_index_append(df.where("vec_id < 20"), path)
+
+    queries = df.where("vec_id < 10")
+    got = ivf_search(spark, path, queries, k=3, n_probe=3)
+    exact = brute_force_topk(df, queries, k=3)
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    have = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert len(have & want) / len(want) >= 0.9
+    # every appended id is physically in the index's cell partitions
+    stored = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .where("neighbor_id < 20")
+        .collect()
+    }
+    assert stored == set(range(20))
