@@ -1760,6 +1760,91 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) window aggregation: 10-minute windows every 5
+    minutes, so each event lands in exactly two overlapping windows --
+    the smoothing/trend form the tumbling query can't express.  Native
+    ``F.window(ts, len, slide)``; in streaming the same expression runs
+    with a watermark (tested in tests/test_streaming_window.py).
+    Sums use the integer ten-thousandths recipe so the oracle hash is
+    summation-order independent."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
+            ).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH expanded AS (
+  SELECT event_type, value,
+         TIMESTAMP '1970-01-01'
+           + INTERVAL ((CAST(floor(epoch(ts) / 300) AS BIGINT) - g.i) * 300)
+             SECOND AS window_start
+  FROM events, unnest(generate_series(0, 1)) AS g(i)
+)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS total
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows: per-user sessions closed by a 5-minute
+    inactivity gap via ``F.session_window`` -- the streaming-capable
+    merging-window operator (the batch ``sessionize_events`` builds the
+    same islands with lag/cumsum; this exercises Spark's dedicated
+    SessionWindow aggregation, whose state merges in streaming).
+    Window end is last event + gap by definition; the oracle rebuilds
+    it as max(ts) + 5 minutes over lag/cumsum islands."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end, count(*) AS n
+FROM islands GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function surface: date parts, string ops, conditional --
     the F1-F8 families (SURVEY (S)2.6) over one projection."""
@@ -3906,6 +3991,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_repeated_chunks": dedup_repeated_chunks,
     "shuffle_shards": shuffle_shards,
     "ann_ivf_append_fullprobe": ann_ivf_append_fullprobe,
+    "sliding_window_events": sliding_window_events,
+    "session_window_events": session_window_events,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -4077,6 +4164,8 @@ ORACLES: dict[str, str] = {
     "flatmap_legs_events": FLATMAP_SQL,
     "running_balance_events": RUNNING_BALANCE_SQL,
     "tumbling_window_events": TUMBLING_SQL,
+    "sliding_window_events": SLIDING_SQL,
+    "session_window_events": SESSION_WINDOW_SQL,
     "text_token_count": TOKEN_COUNT_SQL,
     "text_quality_score": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,

@@ -184,3 +184,133 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     }
     assert rows["l1"] == "l1"  # matched within +/-5s
     assert rows["l2"] is None  # emitted null-padded after watermark
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    """Sliding (hopping) windows in streaming: 10-min windows every
+    5 min under a watermark; every window the stream finalizes must
+    equal the batch result bit-for-bit."""
+    rows = [
+        (i, T0 + dt.timedelta(minutes=3 * i), i % 5, "click", float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    pdf = df.toPandas()
+    pdf.iloc[:20].to_json(src / "a.json", orient="records", lines=True,
+                          date_format="iso")
+    pdf.iloc[20:].to_json(src / "b.json", orient="records", lines=True,
+                          date_format="iso")
+
+    def agg(d):
+        return (
+            d.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("window_start"), "n", "total")
+        )
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        agg(stream.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["window_start"]: (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    expect = {
+        r["window_start"]: (r["n"], r["total"]) for r in agg(df).collect()
+    }
+    assert got, "no windows emitted"
+    for w, v in got.items():
+        assert expect[w] == v
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window aggregation in streaming: the merging
+    session state under a watermark.  Two users with gaps straddling
+    the 5-min threshold; every finalized session equals batch."""
+    rows, eid = [], 0
+    for user in (1, 2):
+        # two sessions per user: a burst, a >5-min gap, another burst
+        for burst_start in (0, 20):
+            for j in range(3):
+                rows.append(
+                    (
+                        eid,
+                        T0 + dt.timedelta(minutes=burst_start + 2 * j + user),
+                        user,
+                        "click",
+                        1.0,
+                    )
+                )
+                eid += 1
+    # a late straggler far ahead so the watermark closes everything
+    rows.append((eid, T0 + dt.timedelta(hours=3), 9, "click", 1.0))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    pdf = df.toPandas()
+    pdf.iloc[:7].to_json(src / "a.json", orient="records", lines=True,
+                         date_format="iso")
+    pdf.iloc[7:].to_json(src / "b.json", orient="records", lines=True,
+                         date_format="iso")
+
+    def agg(d):
+        return (
+            d.groupBy(
+                F.session_window("ts", "5 minutes").alias("w"), F.col("user_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        agg(stream.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n"])
+        for r in agg(df).collect()
+    }
+    # the four real sessions (2 users x 2 bursts) are all closed by the
+    # straggler's watermark; each emitted session must match batch
+    emitted_real = {k for k in got if k[0] in (1, 2)}
+    assert len(emitted_real) == 4
+    for k in got:
+        assert expect[k] == got[k]
