@@ -68,6 +68,12 @@ HEADLINE = [
     "q21_latest_shippers",
     "bigram_coverage_score",
     "funnel_events",
+    # round-4 additions (second batch): training-data prep + window ops
+    "pack_training_sequences",
+    "dedup_repeated_chunks",
+    "shuffle_shards",
+    "sliding_window_events",
+    "session_window_events",
 ]
 
 

@@ -1319,6 +1319,41 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    totals by status, by priority, and the grand total in ONE pass --
+    with ``grouping_id`` disambiguating which set each row belongs to
+    (a NULL key value vs a rolled-up key are different things).
+    Catalyst expands this to a single Expand + hash aggregate: one
+    scan, one shuffle, regardless of how many sets."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 def full_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join shape (the one outer-join kind the registry
     lacked): per-nation customer vs supplier counts, keeping nations
@@ -3842,10 +3877,16 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-sentence span seen before" cleaning rule, on whitespace
     chunks since the synthetic corpus is single-line.
 
-    Scale shape: one explode (bounded by token count / 10), one
-    hash-partitioned window keyed on chunk text (the dedup key -- no
-    global ordering), one groupBy doc_id to reassemble.  No all-pairs
-    anything; cost is linear in corpus token count.
+    Scale shape: one explode (bounded by token count / 10); the
+    keeper per chunk is ``groupBy(chunk_text).agg(min(struct))`` --
+    map-side PARTIAL aggregation means a boilerplate chunk appearing
+    in 10^9 docs sends one row per map partition to its reducer, not
+    10^9 (a chunk-keyed window + row_number would) -- then a semi
+    join on the full (chunk, doc, idx) triple, which hash-distributes
+    the hot chunk's occurrences across partitions; one groupBy doc_id
+    to reassemble.  No all-pairs anything; linear in token count.
+    Blank documents carry no chunks and are not re-emitted (the
+    quarantine/gating legs upstream own empty-text policy).
     """
     chunk = 10
     d = _t(spark, sf_dir, "documents")
@@ -3866,9 +3907,17 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("t"), F.col("chunk_idx") * chunk + 1, chunk), " "
         ).alias("chunk_text"),
     )
-    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
-    flagged = chunks.withColumn("occ", F.row_number().over(w))
-    kept = flagged.where(F.col("occ") == 1)
+    firsts = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    keepers = firsts.select(
+        "chunk_text",
+        F.col("_first.doc_id").alias("doc_id"),
+        F.col("_first.chunk_idx").alias("chunk_idx"),
+    )
+    kept = chunks.join(
+        keepers, ["chunk_text", "doc_id", "chunk_idx"], "left_semi"
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -3993,6 +4042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_append_fullprobe": ann_ivf_append_fullprobe,
     "sliding_window_events": sliding_window_events,
     "session_window_events": session_window_events,
+    "grouping_sets_orders": grouping_sets_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -4144,6 +4194,7 @@ ORACLES: dict[str, str] = {
     "window_lag_events": WINDOW_LAG_SQL,
     "set_ops_customers": SET_OPS_SQL,
     "rollup_region_nation": ROLLUP_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
     "pivot_orders": PIVOT_ORDERS_SQL,
     "percentile_acctbal": PERCENTILE_SQL,
     "unpivot_lineitem": UNPIVOT_SQL,

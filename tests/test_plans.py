@@ -204,3 +204,20 @@ def test_parquet_aggregate_pushdown_v2(spark, sf_dir):
             spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         else:
             spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS must compile to ONE scan + Expand + aggregate --
+    not a union of three aggregations re-reading the table."""
+    from nearscan_kafka_streams_spark.plans.explain import (
+        formatted_plan,
+        plan_summary,
+    )
+    from nearscan_kafka_streams_spark.queries import grouping_sets_orders
+
+    df = grouping_sets_orders(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one physical source (plan_summary's "scans" counts the tree line
+    # AND the numbered detail section, so it reads 2 for one scan)
+    assert plan.count("InMemoryFileIndex") == 1, plan_summary(df)
+    assert "Expand" in plan
