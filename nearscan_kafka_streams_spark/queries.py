@@ -1319,6 +1319,92 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def range_join_pricebands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: orders classified into price bands via a non-equi
+    join (``lo <= price < hi``) against a tiny band dimension -- the
+    canonical bin/band lookup.  The band table is broadcast, so the
+    physical plan is a BroadcastNestedLoopJoin whose inner side is 3
+    rows: each order row tests 3 predicates and never shuffles.  (At a
+    band count where that stops being cheap, the same query folds into
+    a CASE or a bucketized equi-join; the operator surface here is the
+    general non-equi range join.)"""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            (0.0, 50_000.0, "small"),
+            (50_000.0, 200_000.0, "medium"),
+            (200_000.0, 1e18, "large"),
+        ],
+        "lo double, hi double, band string",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 50000.0, 'small'),
+         (50000.0, 200000.0, 'medium'),
+         (200000.0, 1e18, 'large')
+)
+SELECT band, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def window_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist, and first/last frame values per customer -- the ranking
+    family beyond row_number/rank/lag already covered.  All windows are
+    customer-partitioned (parallel); ties broken by o_orderkey so both
+    engines order identically."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("priciest_order"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_order,
+       last_value(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS priciest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
     totals by status, by priority, and the grand total in ONE pass --
@@ -4043,6 +4129,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_events": sliding_window_events,
     "session_window_events": session_window_events,
     "grouping_sets_orders": grouping_sets_orders,
+    "range_join_pricebands": range_join_pricebands,
+    "window_distribution_orders": window_distribution_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -4195,6 +4283,8 @@ ORACLES: dict[str, str] = {
     "set_ops_customers": SET_OPS_SQL,
     "rollup_region_nation": ROLLUP_SQL,
     "grouping_sets_orders": GROUPING_SETS_SQL,
+    "range_join_pricebands": RANGE_JOIN_SQL,
+    "window_distribution_orders": WINDOW_DISTRIBUTION_SQL,
     "pivot_orders": PIVOT_ORDERS_SQL,
     "percentile_acctbal": PERCENTILE_SQL,
     "unpivot_lineitem": UNPIVOT_SQL,
