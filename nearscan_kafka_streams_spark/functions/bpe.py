@@ -73,6 +73,7 @@ def word_frequencies(
 def train_bpe_merges(
     word_freq: list[tuple[str, int]],
     n_merges: int = 100,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Classic BPE merge learning over a word-frequency table.
 
@@ -91,6 +92,11 @@ def train_bpe_merges(
     comparing against the live count.  Heap order (-count, pair) IS the
     determinism contract: max count, then lexicographically smallest
     pair.
+
+    ``stats`` (optional dict) receives ``words_touched`` (total word
+    visits across all merges) and ``n_words`` -- the observable that
+    pins the incremental complexity claim in tests without wall-clock
+    flakiness.
     """
     import heapq
 
@@ -117,6 +123,7 @@ def train_bpe_merges(
     heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
+    words_touched = 0
     while len(merges) < n_merges and heap:
         neg, best = heapq.heappop(heap)
         live = pair_counts.get(best, 0)
@@ -128,6 +135,7 @@ def train_bpe_merges(
         merged = "".join(best)
         touched: set[tuple[str, str]] = set()
         for wid in where.pop(best, set()):
+            words_touched += 1
             sym, f = syms[wid], freqs[wid]
             # retract this word's pair contributions, re-add post-merge
             for pair in zip(sym, sym[1:]):
@@ -158,6 +166,9 @@ def train_bpe_merges(
                 pair_counts.pop(pair, None)
             else:
                 heapq.heappush(heap, (-c, pair))
+    if stats is not None:
+        stats["words_touched"] = words_touched
+        stats["n_words"] = len(syms)
     return merges
 
 

@@ -102,7 +102,8 @@ def incremental_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 64,
-    batch_id: int = 0,
+    *,
+    batch_id: int,
 ) -> DataFrame:
     """Exact dedup of a NEW batch against a persistent content-identity
     store: the daily-batch-ingest twin of the streaming cross-batch
@@ -152,12 +153,15 @@ def incremental_exact_dedup(
         )
         paths = bucket_paths(store_path, manifest, affected)
         if paths:
-            seen = (
-                spark.read.parquet(*paths)
-                .where(F.col("src_batch") != batch_id)
-                .select("fp")
-            )
-            batch = batch.join(seen, "fp", "left_anti")
+            seen_rows = spark.read.parquet(*paths)
+            # eqNullSafe (not !=): NULL src_batch rows and legacy
+            # generations written before the column existed must count
+            # as SEEN, not silently drop out of the anti set
+            if "src_batch" in seen_rows.columns:
+                seen_rows = seen_rows.where(
+                    ~F.col("src_batch").eqNullSafe(F.lit(batch_id))
+                )
+            batch = batch.join(seen_rows.select("fp"), "fp", "left_anti")
 
     # materialize survivors DURABLY before registration: the anti-join's
     # lineage pins the pre-registration bucket files, and registration
@@ -811,19 +815,28 @@ def _band_keys(
     num_hashes: int,
     bands: int,
     shingle_n: int,
-) -> DataFrame:
-    """(id, band, bkey) banded MinHash keys -- the shared LSH front end
-    of the self-join (minhash_lsh_candidates) and the incremental
-    store admission (incremental_minhash_dedup)."""
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, shingle_df) banded MinHash keys -- the shared LSH front
+    end of the self-join (minhash_lsh_candidates) and the incremental
+    store admission (incremental_minhash_dedup).  ``banded`` is
+    (id, band, bkey); ``shingle_df`` is (id, sh) for verify-stage reuse.
+
+    ``materialize`` stages the shingle table: Catalyst's CollapseProject
+    would otherwise inline the regex+substring shingle chain into all
+    ``num_hashes`` permutation expressions (64x recompute per doc --
+    measured 102.7s collapsed vs ~8s staged at sf0.1)."""
     rows_per_band = num_hashes // bands
     sh_df = _spread(df).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("sh")
     )
+    if materialize:
+        sh_df = _persist_tracked(sh_df)
     sig = sh_df.select(
         F.col(id_col),
         minhash_signature(F.col("sh"), num_hashes).alias("sig"),
     )
-    return sig.select(
+    banded = sig.select(
         id_col,
         F.explode(
             F.array(
@@ -841,6 +854,7 @@ def _band_keys(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bkey")
+    return banded, sh_df
 
 
 def incremental_minhash_dedup(
@@ -852,7 +866,8 @@ def incremental_minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     num_buckets: int = 64,
-    batch_id: int = 0,
+    *,
+    batch_id: int,
 ) -> DataFrame:
     """NEAR-dup admission of a new batch against a persistent band-key
     store: the daily-crawl-versus-full-history case that
@@ -885,8 +900,9 @@ def incremental_minhash_dedup(
     )
 
     spark = df.sparkSession
+    banded, _ = _band_keys(df, text_col, id_col, num_hashes, bands, shingle_n)
     keyed = _persist_tracked(
-        _band_keys(df, text_col, id_col, num_hashes, bands, shingle_n).select(
+        banded.select(
             F.col(id_col),
             F.concat_ws("|", F.col("band"), F.col("bkey")).alias("band_key"),
         )
@@ -904,13 +920,22 @@ def incremental_minhash_dedup(
         )
         paths = bucket_paths(store_path, manifest, affected)
         if paths:
-            seen = (
-                spark.read.parquet(*paths)
-                .where(F.col("src_batch") != batch_id)
-                .select("band_key")
-            )
+            seen_rows = spark.read.parquet(*paths)
+            # replay-idempotence filter: ignore THIS batch's own prior
+            # registrations.  eqNullSafe (not !=) so NULL src_batch rows
+            # -- and whole legacy generations written before the column
+            # existed -- still count as seen instead of silently
+            # vanishing from the anti set
+            if "src_batch" in seen_rows.columns:
+                seen_rows = seen_rows.where(
+                    ~F.col("src_batch").eqNullSafe(F.lit(batch_id))
+                )
+            seen = seen_rows.select("band_key")
+            # no broadcast hint: seen is O(corpus rows in the affected
+            # buckets), which grows with history, not with the batch --
+            # let AQE pick the strategy (the batch side is the small one)
             rejected = (
-                keyed.join(F.broadcast(seen.distinct()), "band_key")
+                keyed.join(seen.distinct(), "band_key")
                 .select(id_col)
                 .distinct()
             )
@@ -938,9 +963,10 @@ def incremental_minhash_dedup(
 
     # re-derive band keys from the staged survivors (deterministic
     # content hash -- identical keys, store-independent lineage)
-    reg = _band_keys(
+    reg_banded, _ = _band_keys(
         survivors, text_col, id_col, num_hashes, bands, shingle_n
-    ).select(
+    )
+    reg = reg_banded.select(
         F.concat_ws("|", F.col("band"), F.col("bkey")).alias("band_key"),
         F.col(id_col),
         F.lit(batch_id).alias("src_batch"),
@@ -974,35 +1000,13 @@ def minhash_lsh_candidates(
     id) -> equi-self-join on band_key.  The join is the only shuffle;
     its key space (band hash) is uniform by construction.
     """
-    rows_per_band = num_hashes // bands
-    # Staged materialization (MLlib-style): Catalyst's CollapseProject
-    # would otherwise inline the shingle expression into all 64
-    # permutation expressions (64x recompute of the regex+substring
-    # chain per doc), and the self-join would double everything again.
-    # Measured at sf0.1: 102.7s collapsed -> ~8s staged.
-    sh_df = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    if materialize:
-        sh_df = _persist_tracked(sh_df)
-    sig = sh_df.select(
-        F.col(id_col),
-        minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+    # one shared front end with the incremental store (_band_keys),
+    # which owns the staged-materialization rationale (CollapseProject
+    # 64x-recompute; measured 102.7s collapsed -> ~8s staged at sf0.1)
+    banded, sh_df = _band_keys(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        materialize=materialize,
     )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bkey")
     if materialize:
         # both sides of the self-join read this tiny table (n_docs x
         # bands rows of 3 longs); persisting stops the whole signature

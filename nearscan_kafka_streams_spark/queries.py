@@ -3654,14 +3654,13 @@ def dedup_canonical_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 (not the engine-internal xxhash64 fingerprint): both engines
     # implement it identically, so the oracle reproduces the key
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    # a source with no trailing digits must rank LEAST trusted: an
-    # unguarded cast would either throw (ANSI: cast('' as int)) or yield
-    # NULL, which an ascending sort ranks MOST trusted; map the empty
-    # match to a max-int sentinel (the oracle's TRY_CAST+COALESCE agrees)
+    # any unparseable priority (no trailing digits OR a suffix beyond
+    # int32, where try_cast yields NULL) must rank LEAST trusted: an
+    # ascending sort would otherwise rank NULL MOST trusted, and the
+    # oracle's TRY_CAST+COALESCE would disagree.  coalesce to the
+    # max-int sentinel covers both cases
     pri_str = F.regexp_extract(F.col("source"), r"(\d+)$", 1)
-    pri = F.when(pri_str == "", F.lit(2147483647)).otherwise(
-        pri_str.try_cast("int")
-    )
+    pri = F.coalesce(pri_str.try_cast("int"), F.lit(2147483647))
     w = Window.partitionBy("fp").orderBy(
         F.col("priority").asc(), F.col("doc_id").asc()
     )

@@ -194,6 +194,7 @@ def run_corpus_ingest(
         )
     else:
         from nearscan_kafka_streams_spark.functions.dedup import (
+            gc_staging,
             incremental_minhash_dedup,
             release_cached,
         )
@@ -210,6 +211,12 @@ def run_corpus_ingest(
                     kept.write.mode("overwrite").parquet(
                         f"{out_dir}/batch_{batch_id:010d}"
                     )
+                # the store keeps one _staging survivor snapshot per
+                # batch (replay determinism); once this batch's output
+                # is durably in out_dir, older snapshots are dead weight
+                # -- GC here bounds staging at O(keep_latest x batch)
+                # instead of growing with stream lifetime
+                gc_staging(near_dup_store)
             finally:
                 release_cached()
 

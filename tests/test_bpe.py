@@ -129,26 +129,29 @@ def test_incremental_trainer_matches_naive_reference():
         ), seed
 
 
-def test_incremental_trainer_superlinear_speedup():
-    """At n_merges=1000 the incremental trainer must beat the rescan
-    trainer by a wide margin (each merge touches only words containing
-    the merged pair, not the whole vocab)."""
-    import time
-
+def test_incremental_trainer_touches_few_words():
+    """The incremental trainer's complexity claim, pinned by OPERATION
+    COUNT (deterministic -- a wall-clock ratio flakes under CI
+    contention): across 1000 merges it must visit only words containing
+    each merged pair, a small fraction of the n_merges x vocab word
+    visits the naive rescan trainer performs.  Result equality with the
+    rescan trainer is asserted on the same run."""
     rng = random.Random(42)
     wf = _random_vocab(rng, 3000, alphabet="abcdefghijklmnop", max_len=16)
 
-    t0 = time.perf_counter()
-    fast = train_bpe_merges(wf, n_merges=1000)
-    t_fast = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
+    stats: dict = {}
+    fast = train_bpe_merges(wf, n_merges=1000, stats=stats)
     slow = _naive_train_bpe_merges(wf, 1000)
-    t_slow = time.perf_counter() - t0
-
     assert fast == slow
-    # conservative: the real gap is >10x; 3x tolerates a contended box
-    assert t_fast < t_slow / 3, (t_fast, t_slow)
+
+    n_merges_done = len(fast)
+    naive_visits = n_merges_done * stats["n_words"]
+    # measured: 12.6k touches vs 2.77M naive visits (~220x); assert a
+    # conservative 10x bound so vocab-shape drift doesn't flake it
+    assert stats["words_touched"] * 10 < naive_visits, (
+        stats,
+        n_merges_done,
+    )
 
 
 def test_distributed_pipeline_end_to_end(spark):
