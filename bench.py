@@ -146,6 +146,11 @@ def main() -> None:
     # design argument.  Timings are kept out of the headline total (the
     # suite membership stays comparable round-over-round); the compact
     # line carries only the ratios.
+    from nearscan_kafka_streams_spark.functions.corpus_prep import (
+        pack_sequences,
+        remove_repeated_chunks,
+        shuffle_to_shards,
+    )
     from nearscan_kafka_streams_spark.functions.dedup import (
         jaccard_similarity_join,
         minhash_lsh_candidates,
@@ -187,6 +192,12 @@ def main() -> None:
                     n_probe=3,
                 ),
             ),
+            ("pack_training_sequences", lambda: pack_sequences(docs, 2048)),
+            (
+                "dedup_repeated_chunks",
+                lambda: remove_repeated_chunks(docs, 10),
+            ),
+            ("shuffle_shards", lambda: shuffle_to_shards(docs, 64)),
         ):
             t0 = time.perf_counter()
             try:

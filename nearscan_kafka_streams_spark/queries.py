@@ -3891,37 +3891,10 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode emits ``1 + ceil(n_tokens / L)`` rows at most, so output
     is proportional to input and the corpus is shuffled exactly once.
     """
-    seq_len = 512
-    from nearscan_kafka_streams_spark.functions.scan import global_running_sum
-    from nearscan_kafka_streams_spark.functions.text import token_count
+    from nearscan_kafka_streams_spark.functions.corpus_prep import pack_sequences
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
-    ).where(F.col("n_tokens") > 0)
-    run = global_running_sum(toks, "doc_id", "n_tokens", out_col="end_tok")
-    run = run.withColumn("beg_tok", F.col("end_tok") - F.col("n_tokens"))
-    frag = run.select(
-        "doc_id",
-        "beg_tok",
-        "end_tok",
-        F.explode(
-            F.sequence(
-                F.expr(f"beg_tok div {seq_len}"),
-                F.expr(f"(end_tok - 1) div {seq_len}"),
-            )
-        ).alias("seq_id"),
-    )
-    seq_beg = F.col("seq_id") * seq_len
-    frag_beg = F.greatest(F.col("beg_tok"), seq_beg)
-    frag_end = F.least(F.col("end_tok"), seq_beg + seq_len)
-    return frag.select(
-        "seq_id",
-        "doc_id",
-        (frag_beg - seq_beg).alias("frag_start"),
-        (frag_end - frag_beg).alias("frag_tokens"),
-        (frag_beg - F.col("beg_tok")).alias("doc_offset"),
-    ).orderBy("seq_id", "doc_id")
+    return pack_sequences(d, seq_len=512).orderBy("seq_id", "doc_id")
 
 
 PACK_SEQUENCES_SQL = r"""
@@ -3973,58 +3946,12 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blank documents carry no chunks and are not re-emitted (the
     quarantine/gating legs upstream own empty-text policy).
     """
-    chunk = 10
+    from nearscan_kafka_streams_spark.functions.corpus_prep import (
+        remove_repeated_chunks,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
-    ).where(F.length(F.trim(F.col("text"))) > 0)
-    chunks = toks.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.size("t") / chunk).cast("long") - 1)
-        ).alias("chunk_idx"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        F.array_join(
-            F.slice(F.col("t"), F.col("chunk_idx") * chunk + 1, chunk), " "
-        ).alias("chunk_text"),
-    )
-    firsts = chunks.groupBy("chunk_text").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
-    )
-    keepers = firsts.select(
-        "chunk_text",
-        F.col("_first.doc_id").alias("doc_id"),
-        F.col("_first.chunk_idx").alias("chunk_idx"),
-    )
-    kept = chunks.join(
-        keepers, ["chunk_text", "doc_id", "chunk_idx"], "left_semi"
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                lambda s: s.chunk_text,
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_dropped"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return remove_repeated_chunks(d, chunk=10).orderBy("doc_id")
 
 
 REPEATED_CHUNKS_SQL = r"""
@@ -4070,22 +3997,14 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer groups); the per-shard row_number is a partitioned window,
     never a global sort.
     """
-    n_shards = 16
-    d = _t(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
-    hashed = d.select(
-        "doc_id",
-        h.alias("_h"),
-        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_shards).alias(
-            "shard_id"
-        ),
+    from nearscan_kafka_streams_spark.functions.corpus_prep import (
+        shuffle_to_shards,
     )
-    w = Window.partitionBy("shard_id").orderBy("_h", "doc_id")
-    return hashed.select(
-        "shard_id",
-        F.row_number().over(w).alias("pos"),
-        "doc_id",
-    ).orderBy("shard_id", "pos")
+
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_to_shards(d, n_shards=16, seed="epoch0").orderBy(
+        "shard_id", "pos"
+    )
 
 
 SHUFFLE_SHARDS_SQL = r"""
