@@ -84,22 +84,32 @@ def remove_repeated_chunks(
     idx) triple, which hash-distributes hot chunks across partitions.
     Linear in corpus token count; no all-pairs anything.
     """
+    from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
+
     toks = df.select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
     ).where(F.length(F.trim(F.col(text_col))) > 0)
-    chunks = toks.select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.size("t") / chunk).cast("long") - 1)
-        ).alias("chunk_idx"),
-        F.col("t"),
-    ).select(
-        id_col,
-        "chunk_idx",
-        F.array_join(
-            F.slice(F.col("t"), F.col("chunk_idx") * chunk + 1, chunk), " "
-        ).alias("chunk_text"),
+    # chunks feeds THREE plan branches (keeper aggregate, semi-join
+    # probe, per-doc totals) with different shuffle keys; staging it
+    # once stops the tokenize/explode/slice chain from re-running per
+    # branch (released via functions.dedup.release_cached)
+    chunks = _persist_tracked(
+        toks.select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("t") / chunk).cast("long") - 1
+                )
+            ).alias("chunk_idx"),
+            F.col("t"),
+        ).select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("t"), F.col("chunk_idx") * chunk + 1, chunk), " "
+            ).alias("chunk_text"),
+        )
     )
     firsts = chunks.groupBy("chunk_text").agg(
         F.min(F.struct(id_col, "chunk_idx")).alias("_first")

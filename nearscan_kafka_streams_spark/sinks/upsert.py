@@ -145,7 +145,15 @@ def foreach_batch_upsert(
             # batch keys are small vs accumulated state: broadcast the
             # anti-join so touched buckets stream past without a shuffle
             keys = F.broadcast(batch.select(key_col).distinct())
-            merged = current.join(keys, key_col, "left_anti").unionByName(batch)
+            # allowMissingColumns: a store written before a caller grew
+            # its row schema (e.g. the incremental dedup stores' later
+            # src_batch column) must stay mergeable -- legacy rows get
+            # NULL for the new columns, which downstream readers treat
+            # as "unknown provenance" (and the dedup seen-check counts
+            # as seen via eqNullSafe)
+            merged = current.join(keys, key_col, "left_anti").unionByName(
+                batch, allowMissingColumns=True
+            )
         else:
             merged = batch
 

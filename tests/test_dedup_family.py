@@ -492,3 +492,48 @@ def test_gc_staging_keeps_latest(spark, tmp_path):
 
     left = sorted(p.name for p in (Path(store) / "_staging").iterdir())
     assert left == ["batch_3", "batch_4"]
+
+
+def test_incremental_exact_dedup_upgrades_legacy_store(spark, tmp_path):
+    """A store written BEFORE rows carried src_batch must stay usable:
+    its fingerprints count as seen (NULL src_batch is 'unknown
+    provenance', never 'this batch'), and registration merges the new
+    wider rows into the old generations without a union-schema crash."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        fingerprint,
+        incremental_exact_dedup,
+    )
+    from nearscan_kafka_streams_spark.sinks.upsert import foreach_batch_upsert
+
+    store = str(tmp_path / "legacy_store")
+    legacy = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "old corpus line")],
+        "doc_id long, text string",
+    ).select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+    # legacy layout: (fp, doc_id) only -- no src_batch column
+    foreach_batch_upsert("fp", store, num_buckets=8)(legacy, 0)
+
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "fresh text")],
+        "doc_id long, text string",
+    )
+    survivors = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            batch, store, num_buckets=8, batch_id=1
+        ).collect()
+    }
+    # the legacy fingerprint rejects doc 10; doc 11 is admitted
+    assert survivors == {11}
+    # and a THIRD batch sees both legacy and new registrations
+    batch2 = spark.createDataFrame(
+        [(20, "old corpus line"), (21, "fresh text"), (22, "never seen")],
+        "doc_id long, text string",
+    )
+    s2 = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            batch2, store, num_buckets=8, batch_id=2
+        ).collect()
+    }
+    assert s2 == {22}

@@ -221,3 +221,16 @@ def test_grouping_sets_single_pass(spark, sf_dir):
     # AND the numbered detail section, so it reads 2 for one scan)
     assert plan.count("InMemoryFileIndex") == 1, plan_summary(df)
     assert "Expand" in plan
+
+
+def test_repeated_chunks_no_window_exec(spark, sf_dir):
+    """dedup_repeated_chunks must select keepers via partial-aggregable
+    min(struct), NOT a chunk-keyed window: a boilerplate chunk repeated
+    across a huge corpus would concentrate every occurrence in one
+    window-sort partition."""
+    from nearscan_kafka_streams_spark.plans.explain import formatted_plan
+    from nearscan_kafka_streams_spark.queries import dedup_repeated_chunks
+
+    plan = formatted_plan(dedup_repeated_chunks(spark, sf_dir))
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_min" in plan
