@@ -58,3 +58,74 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    counters: int = 4096,
+) -> DataFrame:
+    """Exact top-k frequent values with BOUNDED per-task memory: the
+    two-pass Misra-Gries heavy-hitters pattern.
+
+    Pass 1 (candidate generation): each task runs a Misra-Gries
+    summary with ``counters`` slots over its partition inside
+    ``mapInPandas`` (vectorized value_counts per Arrow batch, decrement
+    -and-evict when the summary overflows) and emits only its surviving
+    candidate values.  By the MG guarantee + pigeonhole, the UNION of
+    per-partition candidates contains every value with global count
+    > N/counters -- so it contains the true top-k whenever the k-th
+    count clears that bar (the operating condition; pick ``counters``
+    >= N/count_k).
+
+    Pass 2 (exact recount): the candidate set (<= counters x tasks
+    values, tiny) is broadcast; the corpus is re-scanned counting ONLY
+    candidates, then the exact ordered top-k is taken.
+
+    Why not ``groupBy(value).count()`` straight off: at 100 TB that
+    shuffles EVERY distinct value (the full vocabulary); here the
+    shuffle carries only candidate rows, and pass-1 state is a fixed
+    ``counters``-entry dict per task regardless of corpus size.
+    ``vocab_topk`` (queries.py) is the full-shuffle form; this is the
+    bounded-memory scale path with the same answer under the operating
+    condition.
+    """
+    import pandas as pd  # noqa: F401  (arrow batches arrive as pandas)
+
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+
+    def _mg_partition(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > counters:
+                # decrement all by the smallest surplus count and evict
+                # non-positive entries: the MG step, amortized per batch
+                import heapq
+
+                floor = heapq.nsmallest(len(counts) - counters, counts.values())[-1]
+                counts = {
+                    v: c - floor for v, c in counts.items() if c - floor > 0
+                }
+        import pandas as _pd
+
+        yield _pd.DataFrame({"v": list(counts.keys())})
+
+    cand = (
+        vals.mapInPandas(_mg_partition, "v string")
+        .distinct()
+    )
+    recount = (
+        vals.join(F.broadcast(cand), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ord = [F.col("n").desc(), F.col("v").asc()]
+    return (
+        recount.orderBy(*w_ord)
+        .limit(k)
+        .select(F.col("v").alias("value"), "n")
+    )

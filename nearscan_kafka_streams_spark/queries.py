@@ -1319,6 +1319,35 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory exact top-20 words via two-pass Misra-Gries
+    (functions/profiling.py::heavy_hitters): per-task fixed-size
+    candidate summaries, then an exact recount of candidates only --
+    the 100 TB path where ``vocab_topk``'s full groupBy would shuffle
+    the entire vocabulary.  With 4096 counters >> the corpus vocab the
+    operating condition holds trivially, so the result is exactly the
+    full-shuffle answer (the DuckDB oracle)."""
+    from nearscan_kafka_streams_spark.functions.profiling import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return heavy_hitters(toks, "word", k=20, counters=4096)
+
+
+HEAVY_HITTERS_SQL = r"""
+SELECT word AS value, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+) WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+"""
+
+
 def range_join_pricebands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE JOIN: orders classified into price bands via a non-equi
     join (``lo <= price < hi``) against a tiny band dimension -- the
@@ -4049,6 +4078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_orders": grouping_sets_orders,
     "range_join_pricebands": range_join_pricebands,
     "window_distribution_orders": window_distribution_orders,
+    "heavy_hitters_words": heavy_hitters_words,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -4203,6 +4233,7 @@ ORACLES: dict[str, str] = {
     "grouping_sets_orders": GROUPING_SETS_SQL,
     "range_join_pricebands": RANGE_JOIN_SQL,
     "window_distribution_orders": WINDOW_DISTRIBUTION_SQL,
+    "heavy_hitters_words": HEAVY_HITTERS_SQL,
     "pivot_orders": PIVOT_ORDERS_SQL,
     "percentile_acctbal": PERCENTILE_SQL,
     "unpivot_lineitem": UNPIVOT_SQL,

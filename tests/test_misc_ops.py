@@ -240,3 +240,51 @@ def test_write_with_bloom_filters_adds_footer_bytes(spark, tmp_path):
     assert total(bloomed) > total(plain) + 50_000  # filter bytes present
     back = spark.read.parquet(bloomed).where("k = '123456'")
     assert back.count() == 1
+
+
+def test_heavy_hitters_bounded_counters_still_exact_for_heavy(spark):
+    """Misra-Gries two-pass: with counters FAR below the vocab size,
+    any value whose count clears N/counters must survive candidate
+    generation, and the recount makes its reported count exact."""
+    import random
+
+    from nearscan_kafka_streams_spark.functions.profiling import heavy_hitters
+
+    rng = random.Random(7)
+    rows = [("dominant",)] * 500 + [
+        (f"tail{rng.randrange(200)}",) for _ in range(500)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = heavy_hitters(df, "v", k=5, counters=8).collect()
+    # N=1000, counters=8 -> guarantee bar 125; dominant(500) clears it
+    assert out[0]["value"] == "dominant" and out[0]["n"] == 500
+    # every reported count is the exact global count (pass 2 recounts)
+    truth = {}
+    for (v,) in rows:
+        truth[v] = truth.get(v, 0) + 1
+    for r in out:
+        assert truth[r["value"]] == r["n"]
+
+
+def test_heavy_hitters_matches_full_groupby_when_condition_holds(spark):
+    """With counters >= vocab the MG pass degenerates to exact local
+    counting, so the result equals the full-shuffle top-k bit for bit
+    (the degenerate-oracle pattern; the driver gate checks the same on
+    the documents corpus)."""
+    from pyspark.sql import functions as F
+
+    from nearscan_kafka_streams_spark.functions.profiling import heavy_hitters
+
+    rows = [(w,) for w in "a b c a b a d e a b c".split()]
+    df = spark.createDataFrame(rows, "v string").repartition(3)
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "v", k=3, counters=64).collect()]
+    want = [
+        (r["v"], r["n"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("v").asc())
+        .limit(3)
+        .collect()
+    ]
+    assert got == want
