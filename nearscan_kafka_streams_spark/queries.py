@@ -1319,6 +1319,120 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE with gap fill (the hypertable/continuous-
+    aggregate shape): per event_type, 6-hour buckets over the corpus's
+    full time range, with EMPTY buckets present as zero rows -- the
+    dense spine downstream charting/forecasting expects, which a bare
+    groupBy can't produce (it only emits observed buckets).
+
+    Scale shape: the observed aggregate is one shuffle; the spine is
+    built from the AGGREGATED bounds (one tiny row) exploded to
+    #buckets x #types rows -- never from the raw events -- and the
+    zero-fill is a broadcast-able left join of the spine onto the
+    observed aggregate keyed on (type, bucket)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    agg = e.groupBy(
+        bucket.alias("bucket_epoch"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = agg.agg(
+        F.min("bucket_epoch").alias("lo"), F.max("bucket_epoch").alias("hi")
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(21600))
+            ).alias("bucket_epoch")
+        )
+        .crossJoin(types)
+    )
+    return (
+        spine.join(agg, ["bucket_epoch", "event_type"], "left")
+        .select(
+            F.timestamp_seconds(F.col("bucket_epoch")).alias("bucket"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+RESAMPLE_GAPFILL_SQL = """
+WITH agg AS (
+  SELECT (CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600) AS bucket_epoch,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT unnest(generate_series((SELECT min(bucket_epoch) FROM agg),
+                                (SELECT max(bucket_epoch) FROM agg),
+                                21600)) AS bucket_epoch
+)
+SELECT TIMESTAMP '1970-01-01' + INTERVAL (s.bucket_epoch) SECOND AS bucket,
+       t.event_type AS event_type,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+FROM spine s
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN agg a ON a.bucket_epoch = s.bucket_epoch
+               AND a.event_type = t.event_type
+ORDER BY 1, 2
+"""
+
+
+def outliers_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (IQR-fence) outlier detection per event_type: values
+    above p75 + 1.5*IQR or below p25 - 1.5*IQR -- the data-quality
+    screen before aggregates, using exact interpolated percentiles
+    (order-independent, unlike mean/stddev float sums) so the fences
+    hash-match the oracle bit for bit.
+
+    Scale shape: one per-group percentile aggregate (tiny result,
+    broadcast back) + one scan-side flag pass -- two jobs, no
+    self-join of the big table."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    fences = e.groupBy("event_type").agg(
+        F.percentile(v, 0.25).alias("p25"),
+        F.percentile(v, 0.75).alias("p75"),
+    )
+    flagged = e.join(F.broadcast(fences), "event_type").withColumn(
+        "is_outlier",
+        (F.col("value") > F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")))
+        | (F.col("value") < F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.min("p25"), 6).alias("p25"),
+            F.round(F.min("p75"), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OUTLIERS_IQR_SQL = """
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type AS event_type,
+       round(min(f.p25), 6) AS p25,
+       round(min(f.p75), 6) AS p75,
+       count(*) AS n,
+       CAST(sum(CASE WHEN e.value > f.p75 + 1.5 * (f.p75 - f.p25)
+                       OR e.value < f.p25 - 1.5 * (f.p75 - f.p25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN fences f ON e.event_type = f.event_type
+GROUP BY e.event_type
+ORDER BY 1
+"""
+
+
 def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-memory exact top-20 words via two-pass Misra-Gries
     (functions/profiling.py::heavy_hitters): per-task fixed-size
@@ -4079,6 +4193,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_pricebands": range_join_pricebands,
     "window_distribution_orders": window_distribution_orders,
     "heavy_hitters_words": heavy_hitters_words,
+    "resample_gapfill_events": resample_gapfill_events,
+    "outliers_iqr_events": outliers_iqr_events,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -4234,6 +4350,8 @@ ORACLES: dict[str, str] = {
     "range_join_pricebands": RANGE_JOIN_SQL,
     "window_distribution_orders": WINDOW_DISTRIBUTION_SQL,
     "heavy_hitters_words": HEAVY_HITTERS_SQL,
+    "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
+    "outliers_iqr_events": OUTLIERS_IQR_SQL,
     "pivot_orders": PIVOT_ORDERS_SQL,
     "percentile_acctbal": PERCENTILE_SQL,
     "unpivot_lineitem": UNPIVOT_SQL,
