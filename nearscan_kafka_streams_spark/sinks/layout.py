@@ -156,3 +156,47 @@ def write_zorder_clustered(
         .parquet(path)
     )
     return bounds
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+    mode: str = "errorifexists",
+) -> int:
+    """Rewrite a parquet dataset into ~``target_mb`` files: the
+    SMALL-FILES maintenance pass every long-running ingest needs.
+
+    Streaming sinks (foreachBatch per-batch dirs, append-mode parquet)
+    accumulate one-or-more files per micro-batch; at 100 TB that is
+    millions of KB-scale files, and scan planning + footer reads start
+    to dominate query time.  Compaction is the fix: re-read, coalesce
+    to ceil(total_bytes / target) partitions, rewrite.
+
+    The output file count is computed from the EXACT on-disk byte
+    total (filesystem listing -- not a row-size estimate, which
+    compression makes unreliable); since input and output are both
+    parquet with the same codec, on-disk size is the right predictor
+    of output size.  Returns the number of output files requested.
+
+    Uses ``coalesce`` (narrow -- no shuffle: each output file is a
+    union of input files) rather than ``repartition``; if the rewrite
+    should also re-cluster, use ``write_range_clustered`` instead.
+    """
+    import math
+    from pathlib import Path
+
+    total = sum(
+        p.stat().st_size
+        for p in Path(src_path).rglob("*.parquet")
+        if p.is_file()
+    )
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(src_path)
+        .coalesce(n_out)
+        .write.mode(mode)
+        .parquet(dst_path)
+    )
+    return n_out

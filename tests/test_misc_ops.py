@@ -288,3 +288,28 @@ def test_heavy_hitters_matches_full_groupby_when_condition_holds(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_compact_parquet_reduces_file_count_preserves_rows(spark, tmp_path):
+    """Small-files compaction: 40 tiny files -> the computed handful,
+    with byte-identical row content and a file count derived from the
+    exact on-disk size (not a row estimate)."""
+    from pathlib import Path
+
+    from nearscan_kafka_streams_spark.sinks.layout import compact_parquet
+
+    src = str(tmp_path / "small")
+    for i in range(40):
+        spark.range(i * 10, i * 10 + 10).withColumnRenamed(
+            "id", "v"
+        ).coalesce(1).write.mode("append").parquet(src)
+    n_in = len(list(Path(src).rglob("*.parquet")))
+    assert n_in >= 40
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_mb=128)
+    files_out = len(list(Path(dst).rglob("*.parquet")))
+    assert n_out == 1 and files_out == 1  # 40 tiny files fit one target
+    a = sorted(r["v"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["v"] for r in spark.read.parquet(dst).collect())
+    assert a == b == list(range(400))
