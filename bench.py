@@ -74,6 +74,11 @@ HEADLINE = [
     "shuffle_shards",
     "sliding_window_events",
     "session_window_events",
+    # round-4 additions (third batch): bounded-memory top-k, time-series
+    # spine, robust outliers
+    "heavy_hitters_words",
+    "resample_gapfill_events",
+    "outliers_iqr_events",
 ]
 
 

@@ -87,16 +87,19 @@ def heavy_hitters(
     shuffles EVERY distinct value (the full vocabulary); here the
     shuffle carries only candidate rows, and pass-1 state is a fixed
     ``counters``-entry dict per task regardless of corpus size.
-    ``vocab_topk`` (queries.py) is the full-shuffle form; this is the
-    bounded-memory scale path with the same answer under the operating
-    condition.
+    A plain ``groupBy(value).count().orderBy(...).limit(k)`` over the
+    same input is the full-shuffle form; under the operating condition
+    this returns the identical ordered top-k with bounded state (the
+    degenerate-equality test in tests/test_misc_ops.py).
     """
-    import pandas as pd  # noqa: F401  (arrow batches arrive as pandas)
-
-    spark = df.sparkSession
     vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    out_type = vals.schema["v"].dataType.simpleString()
 
     def _mg_partition(batches):
+        import heapq
+
+        import pandas as pd
+
         counts: dict = {}
         for pdf in batches:
             for v, c in pdf["v"].value_counts().items():
@@ -104,18 +107,14 @@ def heavy_hitters(
             if len(counts) > counters:
                 # decrement all by the smallest surplus count and evict
                 # non-positive entries: the MG step, amortized per batch
-                import heapq
-
                 floor = heapq.nsmallest(len(counts) - counters, counts.values())[-1]
                 counts = {
                     v: c - floor for v, c in counts.items() if c - floor > 0
                 }
-        import pandas as _pd
-
-        yield _pd.DataFrame({"v": list(counts.keys())})
+        yield pd.DataFrame({"v": list(counts.keys())})
 
     cand = (
-        vals.mapInPandas(_mg_partition, "v string")
+        vals.mapInPandas(_mg_partition, f"v {out_type}")
         .distinct()
     )
     recount = (

@@ -1332,14 +1332,18 @@ def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-fill is a broadcast-able left join of the spine onto the
     observed aggregate keyed on (type, bucket)."""
     e = _t(spark, sf_dir, "events")
-    bucket = (F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    # floor, not cast-truncate: they differ for pre-1970 timestamps
+    # (truncation rounds toward zero), and the oracle floors
+    bucket = F.floor(F.unix_timestamp("ts") / 21600).cast("long") * 21600
     agg = e.groupBy(
         bucket.alias("bucket_epoch"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n"))
     bounds = agg.agg(
         F.min("bucket_epoch").alias("lo"), F.max("bucket_epoch").alias("hi")
     )
-    types = e.select("event_type").distinct()
+    # the observed aggregate already carries every event_type; deriving
+    # the dimension from it avoids a second scan of the raw table
+    types = agg.select("event_type").distinct()
     spine = (
         bounds.select(
             F.explode(
@@ -1407,7 +1411,11 @@ def outliers_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("p25"), 6).alias("p25"),
             F.round(F.min("p75"), 6).alias("p75"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            # coalesce: an all-NULL-value group sums NULL flags to NULL
+            # in Spark, while the oracle's CASE..ELSE 0 sums to 0
+            F.coalesce(
+                F.sum(F.col("is_outlier").cast("long")), F.lit(0)
+            ).alias("n_outliers"),
         )
         .orderBy("event_type")
     )

@@ -185,13 +185,26 @@ def compact_parquet(
     should also re-cluster, use ``write_range_clustered`` instead.
     """
     import math
-    from pathlib import Path
 
-    total = sum(
-        p.stat().st_size
-        for p in Path(src_path).rglob("*.parquet")
-        if p.is_file()
-    )
+    # size via the Hadoop FS API so any scheme the cluster reads
+    # (s3a://, hdfs://, file://) is listed correctly -- a driver-local
+    # pathlib walk would silently return 0 for remote paths and
+    # collapse the rewrite to ONE task
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    if total == 0:
+        raise ValueError(
+            f"no parquet bytes found under {src_path}; refusing to "
+            "compact an empty or unreadable source"
+        )
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     (
         spark.read.parquet(src_path)

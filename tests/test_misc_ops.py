@@ -313,3 +313,15 @@ def test_compact_parquet_reduces_file_count_preserves_rows(spark, tmp_path):
     a = sorted(r["v"] for r in spark.read.parquet(src).collect())
     b = sorted(r["v"] for r in spark.read.parquet(dst).collect())
     assert a == b == list(range(400))
+
+
+def test_heavy_hitters_non_string_column(spark):
+    """The MG worker's output schema derives from the value column's
+    type: a bigint column must survive Arrow conversion and join back
+    without implicit casts."""
+    from nearscan_kafka_streams_spark.functions.profiling import heavy_hitters
+
+    rows = [(i % 3,) for i in range(30)] + [(99,)]
+    df = spark.createDataFrame(rows, "v long").repartition(3)
+    out = heavy_hitters(df, "v", k=2, counters=16).collect()
+    assert [(r["value"], r["n"]) for r in out] == [(0, 10), (1, 10)]
