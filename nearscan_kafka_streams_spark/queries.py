@@ -1319,6 +1319,104 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term
+    query over the documents corpus: the sparse-retrieval complement
+    of the ANN dense path, built on the same tf/df statistics as
+    term_doc_stats.  Per-term scores are quantized to integer
+    millionths BEFORE the per-doc sum so the ranking hash is
+    summation-order independent; idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form.
+
+    Scale shape: tf filters to the query's terms at the scan (a
+    3-term IN-list pushdown), so the aggregate touches only matching
+    postings; N/avgdl/df are one tiny broadcast row each.  The corpus
+    is never joined to itself."""
+    k1, b = 1.2, 0.75
+    terms = ["spark", "join", "window"]
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("term"),
+    )
+    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        words.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term_q = F.round(idf * tf_part * 1_000_000).cast("long")
+    return (
+        scored.withColumn("q", per_term_q)
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("q") / 1_000_000.0).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+BM25_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                            'g'), ' ')) AS term
+  FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id
+), corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM words WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * (t.tf * 2.2)
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
+                    * 1000000) AS BIGINT) AS q
+  FROM tf t JOIN df d USING (term)
+            JOIN doclen l USING (doc_id)
+            CROSS JOIN corpus c
+)
+SELECT doc_id,
+       CAST(sum(q) AS DOUBLE) / 1000000.0 AS score,
+       count(*) AS n_terms_hit
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series RESAMPLE with gap fill (the hypertable/continuous-
     aggregate shape): per event_type, 6-hour buckets over the corpus's
@@ -4203,6 +4301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_words": heavy_hitters_words,
     "resample_gapfill_events": resample_gapfill_events,
     "outliers_iqr_events": outliers_iqr_events,
+    "bm25_retrieval": bm25_retrieval,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
@@ -4360,6 +4459,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters_words": HEAVY_HITTERS_SQL,
     "resample_gapfill_events": RESAMPLE_GAPFILL_SQL,
     "outliers_iqr_events": OUTLIERS_IQR_SQL,
+    "bm25_retrieval": BM25_SQL,
     "pivot_orders": PIVOT_ORDERS_SQL,
     "percentile_acctbal": PERCENTILE_SQL,
     "unpivot_lineitem": UNPIVOT_SQL,
