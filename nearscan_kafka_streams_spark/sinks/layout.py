@@ -207,7 +207,11 @@ def compact_parquet(
         )
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     (
-        spark.read.parquet(src_path)
+        # recursiveFileLookup: streaming sinks write nested per-batch
+        # dirs (out_dir/batch_NNN/part-*.parquet) whose names are not
+        # key=value partitions; the default reader would miss them
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(src_path)
         .coalesce(n_out)
         .write.mode(mode)
         .parquet(dst_path)

@@ -169,3 +169,32 @@ def test_streaming_ingest_near_dup_admission(spark, tmp_path):
     }
     # 2 is a within-batch near-dup of 1; 10 near-dups batch-0 history
     assert got == {1, 3, 11}
+
+
+def test_ingest_output_compacts_to_target_files(spark, tmp_path):
+    """The small-files story end-to-end: per-batch nested output dirs
+    from the near-dup ingest compact into the computed file count with
+    identical content (recursiveFileLookup picks up batch_* subdirs)."""
+    from pathlib import Path
+
+    from nearscan_kafka_streams_spark.sinks.layout import compact_parquet
+
+    out = tmp_path / "out"
+    out.mkdir()
+    # simulate the foreachBatch sink's layout: nested batch dirs
+    for b in range(5):
+        spark.createDataFrame(
+            [(b * 10 + i, f"text {b} {i}") for i in range(10)],
+            "doc_id long, clean_text string",
+        ).coalesce(2).write.parquet(str(out / f"batch_{b:010d}"))
+    n_small = len(list(Path(out).rglob("*.parquet")))
+    assert n_small >= 10
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, str(out), dst, target_mb=128)
+    assert n_out == 1
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dst).collect()
+    )
+    assert got == list(range(50))
