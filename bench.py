@@ -79,6 +79,7 @@ HEADLINE = [
     "heavy_hitters_words",
     "resample_gapfill_events",
     "outliers_iqr_events",
+    "bm25_retrieval",
 ]
 
 
@@ -122,8 +123,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         finally:
-            # free any LSH intermediates so later queries get full memory
+            # free any LSH intermediates so later queries get full memory;
+            # clearCache additionally drops blocks persist-tracking missed
+            # (accumulated storage otherwise evicts later queries' staged
+            # frames mid-job -- the recompute they exist to prevent)
             release_cached()
+            spark.catalog.clearCache()
 
     # flagship: the reference's own topology end-to-end (dedup -> 3-way
     # join -> JSON flat-map -> balance agg) over generated NEAR-shaped
@@ -212,6 +217,7 @@ def main() -> None:
                 errors[f"stress_{op_name}"] = f"{type(exc).__name__}: {exc}"[:500]
             finally:
                 release_cached()
+                spark.catalog.clearCache()
         return out
 
     stress: dict[str, dict] = {}

@@ -56,7 +56,13 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local[N] puts executor work in the driver JVM: storage and
+        # execution memory share spark.driver.memory, and an undersized
+        # heap silently EVICTS persisted LSH/signature stages mid-job,
+        # re-triggering the 64x expression recompute those persists
+        # exist to prevent (observed as 8x run-to-run swings in the
+        # 10x-scale bench).  The box has 128 GiB; take a third.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
