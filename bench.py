@@ -90,7 +90,17 @@ def main() -> None:
     from nearscan_kafka_streams_spark.queries import QUERIES
     from nearscan_kafka_streams_spark.session import get_spark
 
-    spark = get_spark(app_name="nearscan-bench")
+    # the bench runs ~50 queries + a 10x-scale stress pass in ONE JVM:
+    # an undersized heap silently EVICTS persisted LSH/signature stages
+    # mid-job, re-triggering the 64x expression recompute those persists
+    # exist to prevent (observed as 9.7s -> 81.7s run-to-run swings).
+    # Sized for the bench host; SPARK_DRIVER_MEM still overrides.
+    spark = get_spark(
+        app_name="nearscan-bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")
+        },
+    )
     # warm-up: one scan + one shuffle + one noop write so JVM startup,
     # codegen compilation and committer init are not attributed to the
     # first timed queries

@@ -1344,7 +1344,16 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
+
+    # doclen feeds the corpus aggregate AND the scored join; persisting
+    # this doc-count-sized frame caps the full tokenize+explode at two
+    # passes (doclen, tf).  Persisting `words` itself would cut it to
+    # one but costs O(corpus tokens) storage -- the wrong trade at
+    # 100 TB (released via release_cached, as elsewhere)
+    doclen = _persist_tracked(
+        words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
     corpus = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
@@ -1363,10 +1372,13 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log(
         1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    per_term_q = F.round(idf * tf_part * 1_000_000).cast("long")
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    # association mirrors the oracle exactly -- (idf * num) / denom *
+    # 1e6 -- since a*(b/c) vs (a*b)/c can differ by 1 ulp and flip the
+    # millionths rounding at a .5 boundary
+    per_term_q = F.round(
+        idf * (F.col("tf") * (k1 + 1)) / denom * 1_000_000
+    ).cast("long")
     return (
         scored.withColumn("q", per_term_q)
         .groupBy("doc_id")

@@ -56,13 +56,12 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        # local[N] puts executor work in the driver JVM: storage and
-        # execution memory share spark.driver.memory, and an undersized
-        # heap silently EVICTS persisted LSH/signature stages mid-job,
-        # re-triggering the 64x expression recompute those persists
-        # exist to prevent (observed as 8x run-to-run swings in the
-        # 10x-scale bench).  The box has 128 GiB; take a third.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # local[N] puts executor work in the driver JVM; 16g is sized
+        # for test/tool sessions and respects small CI cgroups.  The
+        # bench (49 queries + 10x stress in one JVM) needs more head --
+        # bench.py raises this via extra_conf; SPARK_DRIVER_MEM
+        # overrides everywhere
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -164,6 +164,7 @@ def compact_parquet(
     dst_path: str,
     target_mb: int = 128,
     mode: str = "errorifexists",
+    recursive: bool = False,
 ) -> int:
     """Rewrite a parquet dataset into ~``target_mb`` files: the
     SMALL-FILES maintenance pass every long-running ingest needs.
@@ -183,6 +184,14 @@ def compact_parquet(
     Uses ``coalesce`` (narrow -- no shuffle: each output file is a
     union of input files) rather than ``repartition``; if the rewrite
     should also re-cluster, use ``write_range_clustered`` instead.
+
+    ``recursive=True`` is for streaming sinks' nested per-batch dirs
+    (out_dir/batch_NNN/part-*.parquet), whose names are not key=value
+    partitions and are invisible to the default reader.  It DISABLES
+    Hive partition-column inference, so leave it False (the default)
+    for flat or ``partitionBy``-written datasets -- compacting a
+    date=.../-partitioned source with recursive=True would silently
+    drop the partition columns.
     """
     import math
 
@@ -206,12 +215,11 @@ def compact_parquet(
             "compact an empty or unreadable source"
         )
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     (
-        # recursiveFileLookup: streaming sinks write nested per-batch
-        # dirs (out_dir/batch_NNN/part-*.parquet) whose names are not
-        # key=value partitions; the default reader would miss them
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(src_path)
+        reader.parquet(src_path)
         .coalesce(n_out)
         .write.mode(mode)
         .parquet(dst_path)

@@ -191,7 +191,7 @@ def test_ingest_output_compacts_to_target_files(spark, tmp_path):
     assert n_small >= 10
 
     dst = str(tmp_path / "compacted")
-    n_out = compact_parquet(spark, str(out), dst, target_mb=128)
+    n_out = compact_parquet(spark, str(out), dst, target_mb=128, recursive=True)
     assert n_out == 1
     got = sorted(
         r["doc_id"]

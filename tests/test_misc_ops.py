@@ -325,3 +325,20 @@ def test_heavy_hitters_non_string_column(spark):
     df = spark.createDataFrame(rows, "v long").repartition(3)
     out = heavy_hitters(df, "v", k=2, counters=16).collect()
     assert [(r["value"], r["n"]) for r in out] == [(0, 10), (1, 10)]
+
+
+def test_compact_parquet_preserves_hive_partition_columns(spark, tmp_path):
+    """Default (non-recursive) compaction of a partitionBy-written
+    dataset must keep the partition columns -- recursive listing would
+    silently drop them."""
+    from nearscan_kafka_streams_spark.sinks.layout import compact_parquet
+
+    src = str(tmp_path / "parted")
+    spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "v long, date string"
+    ).write.partitionBy("date").parquet(src)
+    dst = str(tmp_path / "parted_out")
+    compact_parquet(spark, src, dst, target_mb=128)
+    out = spark.read.parquet(dst)
+    assert set(out.columns) == {"v", "date"}
+    assert out.where("date = 'd1'").count() == 10
