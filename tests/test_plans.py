@@ -234,3 +234,26 @@ def test_repeated_chunks_no_window_exec(spark, sf_dir):
     plan = formatted_plan(dedup_repeated_chunks(spark, sf_dir))
     assert "Window" not in plan, plan[:2000]
     assert "partial_min" in plan
+
+
+def test_round4_new_query_plan_shapes(spark, sf_dir):
+    """Late round-4 queries: no cartesian products anywhere; BM25's and
+    gap-fill's only nested-loop joins are tiny broadcast cross joins
+    (corpus stats / bucket spine); heavy hitters runs exactly ONE
+    Python stage (the MG candidate pass)."""
+    from nearscan_kafka_streams_spark.plans.explain import plan_summary
+    from nearscan_kafka_streams_spark.queries import (
+        bm25_retrieval,
+        heavy_hitters_words,
+        outliers_iqr_events,
+        resample_gapfill_events,
+    )
+
+    for q in (bm25_retrieval, resample_gapfill_events, outliers_iqr_events):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+
+    s = plan_summary(heavy_hitters_words(spark, sf_dir))
+    # plan_summary counts tree line + detail section (2 per operator)
+    assert s["python_eval"] == 2, s
+    assert s["nested_loop_join"] == 0, s
