@@ -641,3 +641,144 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (deterministic
+    tie-break on centroid id).  The centroid set is tiny by definition
+    (k << n) so it is BROADCAST and the corpus never shuffles: one
+    narrow pass computes k cosines per row and an argmax window on
+    (id, k rows) resolves the winner without a wide exchange -- the
+    k-rows-per-vector blowup exists only inside the map stage.
+
+    Output: (id_col, cluster_id, centroid_cosine).
+    """
+    scored = vectors.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
+    )
+    scored = scored.withColumn(
+        "_cos", cosine_expr(F.col(vec_col), F.col(centroid_vec_col))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col(centroid_id_col).alias("cluster_id"),
+            F.col("_cos").alias("centroid_cosine"),
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicate pairs ONLY within a cluster -- the cluster pass
+    turns the O(n^2) all-pairs cosine check into sum_c O(|c|^2), the
+    same cost shape as IVF search.  Keeps the lowest-id member of
+    every within-cluster duplicate pair (cosine >= tau).
+
+    ``centroids`` is any small (cid, cvec) frame -- production uses
+    the IVF KMeans fit (``ivf_topk``'s sampled Lloyd's); callers that
+    need an exactly-reproducible spec (oracles, audits) pass a
+    deterministic centroid set instead.
+
+    Scale shape: assignment is broadcast-join + argmax (no corpus
+    shuffle); the within-cluster self-join shuffles once on
+    cluster_id.  Cluster count must grow with n (k ~ n/target_cluster)
+    to bound the per-cluster quadratic term -- same discipline as
+    ``auto_signature_bits``.
+
+    Output: surviving (id_col, cluster_id, centroid_cosine), i.e. the
+    deduplicated corpus with its cluster labels.
+    """
+    assigned = assign_to_centroids(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    member = assigned.join(vectors.select(id_col, vec_col), id_col)
+    l, r = member.alias("l"), member.alias("r")
+    dup_ids = (
+        l.join(
+            r,
+            (F.col("l.cluster_id") == F.col("r.cluster_id"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .where(
+            cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) >= tau
+        )
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup_ids, id_col, "left_anti").select(
+        id_col, "cluster_id", F.round("centroid_cosine", 6).alias("centroid_cosine")
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over the labeled corpus: each
+    query's label is the most frequent label among its k exact cosine
+    neighbors (ties -> smaller label; self-matches excluded).  The
+    label-denoising / pruning primitive: a training example whose
+    neighborhood disagrees with its own label is a mislabel candidate.
+
+    Built on ``brute_force_topk`` (broadcast queries, corpus never
+    shuffles); swap in ``lsh_topk`` for huge query sets -- the voting
+    tail is identical.  Output: (query id, own label, predicted label,
+    votes, agrees) ordered by id.
+    """
+    nn = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labeled = nn.join(
+        F.broadcast(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_nlabel"),
+            )
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "_nlabel").agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("query_id", F.col("_nlabel").alias("predicted"), "votes")
+    )
+    own = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return pred.join(F.broadcast(own), "query_id").select(
+        F.col("query_id").alias(id_col),
+        "label",
+        "predicted",
+        "votes",
+        (F.col("label") == F.col("predicted")).alias("agrees"),
+    )

@@ -4284,6 +4284,222 @@ ORDER BY shard_id, pos
 """
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster the embedding space, then
+    prune near-duplicates ONLY within a cluster -- sum_c O(|c|^2)
+    instead of O(n^2), the IVF cost shape.  Centroids here are a
+    deterministic spec (the 8 lowest-id vectors) so the ENTIRE
+    machinery -- broadcast assignment, argmax window, within-cluster
+    self-join, anti-join survivor selection -- is hash-checkable
+    against a DuckDB oracle; production swaps in the sampled KMeans
+    fit that IVF already uses."""
+    from nearscan_kafka_streams_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return semantic_dedup(emb, cent, tau=0.40).orderBy("vec_id")
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)
+           AS cos,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           c.cvec) DESC,
+                    c.cid ASC) AS rn
+  FROM embeddings e, cent c
+), a AS (
+  SELECT vec_id, cid AS cluster_id, cos FROM assign WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x
+  JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                               CAST(ey.embedding AS DOUBLE[])) >= 0.40
+)
+SELECT a.vec_id, a.cluster_id, round(a.cos, 6) AS centroid_cosine
+FROM a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)
+ORDER BY a.vec_id
+"""
+
+
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction (the label-denoising /
+    pruning primitive): every 5th vector is classified by its 5 exact
+    cosine neighbors; ``agrees`` flags whether the neighborhood
+    confirms the stored label.  Broadcast queries, corpus unshuffled;
+    the LSH bucket path drops in for query sets too big to
+    broadcast."""
+    from nearscan_kafka_streams_spark.functions.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+    return knn_classify(emb, queries, k=5).orderBy("vec_id")
+
+
+KNN_CLASSIFY_SQL = """
+WITH nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[]))
+                      DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings c, embeddings q
+    WHERE q.vec_id % 5 = 0 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+), votes AS (
+  SELECT nn.query_id, c.label AS nlabel, count(*) AS votes
+  FROM nn JOIN embeddings c ON c.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, nlabel AS predicted, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, nlabel ASC) AS rn
+  FROM votes
+)
+SELECT p.query_id AS vec_id, e.label, p.predicted, p.votes,
+       e.label = p.predicted AS agrees
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+WHERE p.rn = 1
+ORDER BY vec_id
+"""
+
+
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style SNAPSHOT DIFF: per-user aggregate state of two
+    overlapping time windows (first 75% vs last 75% of the stream,
+    split on integer-microsecond bounds so both engines pick the same
+    cut), classified added / removed / changed / unchanged -- the
+    audit query behind the reference's changelog contract (what
+    changed between two runs of the balance store,
+    TokenBalance.java:279-329).  Value sums go through the integer
+    ten-thousandths quantization so the hash gate never sees
+    summation-order float drift.
+
+    Scale shape: bounds are a scalar agg broadcast back (no window);
+    each snapshot is one partial-agg groupBy; the diff is a single
+    full-outer hash join on user_id."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    bounds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    e2 = e.crossJoin(F.broadcast(bounds))
+
+    def snap(pred):
+        return (
+            e2.where(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.expr("cast(round(value * 10000) as bigint)")).alias(
+                    "v"
+                ),
+            )
+        )
+
+    a = snap(F.col("us") < F.expr("lo + ((hi - lo) * 3) div 4")).alias("a")
+    b = snap(F.col("us") >= F.expr("lo + (hi - lo) div 4")).alias("b")
+    j = a.join(b, "user_id", "full_outer")
+    status = (
+        F.when(F.col("b.n").isNull(), "removed")
+        .when(F.col("a.n").isNull(), "added")
+        .when(
+            (F.col("a.n") == F.col("b.n")) & (F.col("a.v") == F.col("b.v")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return j.select(
+        "user_id",
+        status.alias("status"),
+        F.col("a.n").alias("a_events"),
+        F.col("b.n").alias("b_events"),
+        (F.col("a.v") / 10000.0).alias("a_value"),
+        (F.col("b.v") / 10000.0).alias("b_value"),
+    ).orderBy("user_id")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), bounds AS (
+  SELECT min(us) AS lo, max(us) AS hi FROM e
+), a AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS v
+  FROM e, bounds WHERE us < lo + ((hi - lo) * 3) // 4 GROUP BY user_id
+), b AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS v
+  FROM e, bounds WHERE us >= lo + (hi - lo) // 4 GROUP BY user_id
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN b.n IS NULL THEN 'removed'
+            WHEN a.n IS NULL THEN 'added'
+            WHEN a.n = b.n AND a.v = b.v THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       a.n AS a_events, b.n AS b_events,
+       a.v / 10000.0 AS a_value, b.v / 10000.0 AS b_value
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+ORDER BY user_id
+"""
+
+
+def importance_reweight_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored data-selection importance scoring
+    (arXiv:2302.03169): hashed-unigram Laplace ratio of the curated
+    target source (src1) vs the whole corpus, summed per document --
+    integer arithmetic end-to-end (md5 bucketing, ``div`` ratios) so
+    the score is bit-identical across engines.  See
+    ``functions/importance.py`` for the scale shape (<=1024-row
+    broadcast weight table; corpus shuffles only on the per-doc
+    sum)."""
+    from nearscan_kafka_streams_spark.functions.importance import (
+        importance_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return importance_scores(d, F.col("source") == "src1").orderBy("doc_id")
+
+
+IMPORTANCE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source = 'src1' AS is_target,
+         CAST(('0x' || substring(md5(w), 1, 6)) AS BIGINT) % 1024 AS bucket
+  FROM (
+    SELECT doc_id, source,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+',
+                                              ' ', 'g'), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), wt AS (
+  SELECT bucket,
+         (count(*) FILTER (WHERE is_target) + 1) * 1000000
+           // (count(*) + 1024) AS weight
+  FROM toks GROUP BY bucket
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       CAST(sum(wt.weight) AS BIGINT) AS importance
+FROM toks t JOIN wt USING (bucket)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4301,6 +4517,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST; entries green in the immediately-previous round go last.
     #
     # --- new this round (never verified) ---
+    "dedup_semantic": dedup_semantic,
+    "knn_classify_embeddings": knn_classify_embeddings,
+    "snapshot_diff_events": snapshot_diff_events,
+    "importance_reweight_documents": importance_reweight_documents,
     "pack_training_sequences": pack_training_sequences,
     "dedup_repeated_chunks": dedup_repeated_chunks,
     "shuffle_shards": shuffle_shards,
@@ -4418,6 +4638,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    "knn_classify_embeddings": KNN_CLASSIFY_SQL,
+    "snapshot_diff_events": SNAPSHOT_DIFF_SQL,
+    "importance_reweight_documents": IMPORTANCE_SQL,
     "pack_training_sequences": PACK_SEQUENCES_SQL,
     "dedup_repeated_chunks": REPEATED_CHUNKS_SQL,
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
