@@ -80,6 +80,11 @@ HEADLINE = [
     "resample_gapfill_events",
     "outliers_iqr_events",
     "bm25_retrieval",
+    # round-4 additions (fourth batch): data-selection family
+    "dedup_semantic",
+    "knn_classify_embeddings",
+    "snapshot_diff_events",
+    "importance_reweight_documents",
 ]
 
 

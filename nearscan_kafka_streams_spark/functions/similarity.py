@@ -25,24 +25,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def cosine_expr(a, b):
-    """Cosine similarity between two array<float/double> columns.
-
-    Pure Catalyst: zip_with for the elementwise product, aggregate for
-    the sums.  Double accumulators regardless of input float width.
-    """
-    dot = F.aggregate(
+def dot_expr(a, b):
+    """Dot product of two array<float/double> columns -- zip_with for
+    the elementwise product, aggregate for the sum; double accumulator
+    regardless of input float width."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+
+
+def norm_expr(a):
+    """L2 norm of an array<float/double> column (double accumulator)."""
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    return dot / (na * nb)
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two array<float/double> columns.
+
+    Pure Catalyst.  NOTE for hot paths: this recomputes BOTH norms per
+    pair -- 3x the FLOPs actually needed.  Every per-pair join in this
+    module instead precomputes a norm column once per vector and uses
+    ``dot_expr(a, b) / (na * nb)``, which is bit-identical (same
+    expressions on the same arrays, same operand order) but evaluates
+    each norm once per row instead of once per candidate pair.
+    """
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def brute_force_topk(
@@ -62,11 +75,19 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    ).withColumn("_qnorm", norm_expr(F.col("_qvec")))
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .withColumn("_cnorm", norm_expr(F.col("_cvec")))
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
     )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    ).join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
-    scored = scored.withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    scored = scored.withColumn(
+        "cosine",
+        dot_expr(F.col("_cvec"), F.col("_qvec"))
+        / (F.col("_cnorm") * F.col("_qnorm")),
+    )
 
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -241,9 +262,13 @@ def ivf_topk(
     Candidates ~ corpus * n_probe / n_clusters.
     """
     centers = _fit_ivf_centers(corpus, n_clusters, vec_col, seed, fit_sample_cap)
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    ).withColumn("_cell", F.expr(_cell_assign_sql(centers)))
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .withColumn("_cell", F.expr(_cell_assign_sql(centers)))
+        .withColumn("_cnorm", norm_expr(F.col("_cvec")))
+    )
 
     centers_df = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -252,7 +277,7 @@ def ivf_topk(
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-    )
+    ).withColumn("_qnorm", norm_expr(F.col("_qvec")))
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("_center_dist").asc(), F.col("_cell").asc()
     )
@@ -264,13 +289,17 @@ def ivf_topk(
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
-        .select(query_id_col, "_qvec", "_cell")
+        .select(query_id_col, "_qvec", "_qnorm", "_cell")
     )
 
     cand = assigned.join(probes, "_cell").where(
         F.col("neighbor_id") != F.col(query_id_col)
     )
-    scored = cand.withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    scored = cand.withColumn(
+        "cosine",
+        dot_expr(F.col("_cvec"), F.col("_qvec"))
+        / (F.col("_cnorm") * F.col("_qnorm")),
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -387,11 +416,15 @@ def ivf_search(
     n_clusters, scanned not shuffled.
     """
     centers_df = spark.read.parquet(f"{path}/centroids")
-    assigned = spark.read.parquet(f"{path}/vectors")
+    # norm at scan time (once per candidate row), not per query pair;
+    # not stored in the index so existing on-disk stores stay readable
+    assigned = spark.read.parquet(f"{path}/vectors").withColumn(
+        "_cnorm", norm_expr(F.col("_cvec"))
+    )
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-    )
+    ).withColumn("_qnorm", norm_expr(F.col("_qvec")))
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("_center_dist").asc(), F.col("_cell").asc()
     )
@@ -402,14 +435,16 @@ def ivf_search(
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
-        .select(query_id_col, "_qvec", "_cell")
+        .select(query_id_col, "_qvec", "_qnorm", "_cell")
     )
 
     cand = assigned.join(F.broadcast(probes), "_cell").where(
         F.col("neighbor_id") != F.col(query_id_col)
     )
     scored = cand.withColumn(
-        "cosine", cosine_expr(F.col("_cvec"), F.col("_qvec"))
+        "cosine",
+        dot_expr(F.col("_cvec"), F.col("_qvec"))
+        / (F.col("_cnorm") * F.col("_qnorm")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -583,7 +618,7 @@ def pq_topk(
     # refine: exact cosine over the R-deep shortlist only
     qv = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-    )
+    ).withColumn("_qnorm", norm_expr(F.col("_qvec")))
     cand = shortlist.select(query_id_col, "neighbor_id").join(
         F.broadcast(qv), query_id_col
     )
@@ -591,8 +626,13 @@ def pq_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
         )
+        .withColumn("_cnorm", norm_expr(F.col("_cvec")))
         .join(F.broadcast(cand), "neighbor_id")
-        .withColumn("adc_score", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+        .withColumn(
+            "adc_score",
+            dot_expr(F.col("_cvec"), F.col("_qvec"))
+            / (F.col("_cnorm") * F.col("_qnorm")),
+        )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id").asc()
@@ -625,14 +665,18 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         hyperplane_signature(F.col(vec_col), bits, dim).alias("_bucket"),
-    )
+    ).withColumn("_cnorm", norm_expr(F.col("_cvec")))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
         hyperplane_signature(F.col(vec_col), bits, dim).alias("_bucket"),
-    )
+    ).withColumn("_qnorm", norm_expr(F.col("_qvec")))
     cand = c.join(q, "_bucket").where(F.col("neighbor_id") != F.col(query_id_col))
-    scored = cand.withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    scored = cand.withColumn(
+        "cosine",
+        dot_expr(F.col("_cvec"), F.col("_qvec"))
+        / (F.col("_cnorm") * F.col("_qnorm")),
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -660,11 +704,21 @@ def assign_to_centroids(
 
     Output: (id_col, cluster_id, centroid_cosine).
     """
-    scored = vectors.select(id_col, vec_col).crossJoin(
-        F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
+    scored = (
+        vectors.select(id_col, vec_col)
+        .withColumn("_vnorm", norm_expr(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(
+                centroids.select(centroid_id_col, centroid_vec_col).withColumn(
+                    "_cnorm", norm_expr(F.col(centroid_vec_col))
+                )
+            )
+        )
     )
     scored = scored.withColumn(
-        "_cos", cosine_expr(F.col(vec_col), F.col(centroid_vec_col))
+        "_cos",
+        dot_expr(F.col(vec_col), F.col(centroid_vec_col))
+        / (F.col("_vnorm") * F.col("_cnorm")),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_cos").desc(), F.col(centroid_id_col).asc()
@@ -711,7 +765,12 @@ def semantic_dedup(
     assigned = assign_to_centroids(
         vectors, centroids, id_col=id_col, vec_col=vec_col
     )
-    member = assigned.join(vectors.select(id_col, vec_col), id_col)
+    member = assigned.join(
+        vectors.select(
+            id_col, vec_col
+        ).withColumn("_mnorm", norm_expr(F.col(vec_col))),
+        id_col,
+    )
     l, r = member.alias("l"), member.alias("r")
     dup_ids = (
         l.join(
@@ -720,7 +779,9 @@ def semantic_dedup(
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .where(
-            cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) >= tau
+            dot_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+            / (F.col("l._mnorm") * F.col("r._mnorm"))
+            >= tau
         )
         .select(F.col(f"r.{id_col}").alias(id_col))
         .distinct()

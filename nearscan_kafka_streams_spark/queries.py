@@ -3321,8 +3321,9 @@ def dedup_embedding_cosine(
     emb = _t(spark, sf_dir, "embeddings")
     from nearscan_kafka_streams_spark.functions.similarity import (
         auto_signature_bits,
-        cosine_expr,
+        dot_expr,
         hyperplane_signature,
+        norm_expr,
     )
 
     bits = auto_signature_bits(emb.count())
@@ -3330,6 +3331,7 @@ def dedup_embedding_cosine(
         F.col("vec_id"),
         F.col("embedding"),
         hyperplane_signature(F.col("embedding"), bits=bits, dim=64).alias("_b"),
+        norm_expr(F.col("embedding")).alias("_n"),
     )
     l, r = sig.alias("l"), sig.alias("r")
     return (
@@ -3338,7 +3340,11 @@ def dedup_embedding_cosine(
             (F.col("l._b") == F.col("r._b"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .withColumn("cosine", cosine_expr(F.col("l.embedding"), F.col("r.embedding")))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("l.embedding"), F.col("r.embedding"))
+            / (F.col("l._n") * F.col("r._n")),
+        )
         .where(F.col("cosine") >= threshold)
         .select(
             F.col("l.vec_id").alias("left_id"),
@@ -3355,14 +3361,16 @@ def dedup_embedding_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production bucketed variant stays rows-only)."""
     emb = _t(spark, sf_dir, "embeddings")
     from nearscan_kafka_streams_spark.functions.similarity import (
-        cosine_expr,
+        dot_expr,
         hyperplane_signature,
+        norm_expr,
     )
 
     sig = emb.select(
         F.col("vec_id"),
         F.col("embedding"),
         hyperplane_signature(F.col("embedding"), bits=0, dim=64).alias("_b"),
+        norm_expr(F.col("embedding")).alias("_n"),
     )
     l, r = sig.alias("l"), sig.alias("r")
     return (
@@ -3372,7 +3380,9 @@ def dedup_embedding_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
         .withColumn(
-            "cosine", cosine_expr(F.col("l.embedding"), F.col("r.embedding"))
+            "cosine",
+            dot_expr(F.col("l.embedding"), F.col("r.embedding"))
+            / (F.col("l._n") * F.col("r._n")),
         )
         .where(F.col("cosine") >= 0.40)
         .select(
