@@ -85,6 +85,8 @@ HEADLINE = [
     "knn_classify_embeddings",
     "snapshot_diff_events",
     "importance_reweight_documents",
+    "hard_negative_mining",
+    "ann_bruteforce_gemm",
 ]
 
 

@@ -4510,6 +4510,100 @@ ORDER BY t.doc_id
 """
 
 
+def ann_bruteforce_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via the per-partition numpy GEMM path --
+    same semantics as ``ann_bruteforce_cosine``, Arrow-batched BLAS
+    instead of per-element codegen; rank agreement with the JVM path
+    is test-pinned and this entry stays rows-only (blocked vs
+    sequential float summation differs by ~1 ulp, which a value-hash
+    gate would see)."""
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = brute_force_topk_gemm(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training HARD NEGATIVE mining: for each anchor
+    vector, the top-3 most-cosine-similar vectors carrying a DIFFERENT
+    label -- the near-miss examples a contrastive or reranker loss
+    learns the most from (the lexical-vs-semantic gap BM25-negative
+    mining cannot see).  Same broadcast-anchor plan as brute-force ANN
+    with the label-mismatch predicate pushed into the join, so
+    same-label pairs are never scored."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        dot_expr,
+        norm_expr,
+    )
+
+    q = (
+        emb.where(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("_qvec"),
+            F.col("label").alias("anchor_label"),
+        )
+        .withColumn("_qnorm", norm_expr(F.col("_qvec")))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("_cvec"),
+        F.col("label").alias("negative_label"),
+    ).withColumn("_cnorm", norm_expr(F.col("_cvec")))
+    scored = c.join(
+        F.broadcast(q), F.col("negative_label") != F.col("anchor_label")
+    ).withColumn(
+        "cosine",
+        dot_expr(F.col("_cvec"), F.col("_qvec"))
+        / (F.col("_cnorm") * F.col("_qnorm")),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+HARD_NEGATIVE_SQL = """
+SELECT anchor_id, anchor_label, negative_id, negative_label,
+       round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[]))
+                    DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id % 25 = 0 AND c.label <> q.label
+)
+WHERE rank <= 3
+ORDER BY anchor_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4527,6 +4621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST; entries green in the immediately-previous round go last.
     #
     # --- new this round (never verified) ---
+    "hard_negative_mining": hard_negative_mining,
+    "ann_bruteforce_gemm": ann_bruteforce_gemm,
     "dedup_semantic": dedup_semantic,
     "knn_classify_embeddings": knn_classify_embeddings,
     "snapshot_diff_events": snapshot_diff_events,
@@ -4648,6 +4744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "hard_negative_mining": HARD_NEGATIVE_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "knn_classify_embeddings": KNN_CLASSIFY_SQL,
     "snapshot_diff_events": SNAPSHOT_DIFF_SQL,

@@ -187,3 +187,58 @@ class TestImportance:
         )
         out = importance_scores(docs, F.lit(True), n_buckets=8).collect()[0]
         assert out["importance"] <= SCALE * out["n_tokens"]
+
+
+class TestGemmTopk:
+    def test_rank_agreement_with_jvm_path(self, spark, sf_dir):
+        from nearscan_kafka_streams_spark.functions.similarity import (
+            brute_force_topk,
+            brute_force_topk_gemm,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10)
+        jvm = brute_force_topk(emb, q, k=5).collect()
+        gemm = brute_force_topk_gemm(emb, q, k=5).collect()
+        jj = {(r["query_id"], r["rank"]): r for r in jvm}
+        gg = {(r["query_id"], r["rank"]): r for r in gemm}
+        assert set(jj) == set(gg)
+        for key, r in jj.items():
+            assert gg[key]["neighbor_id"] == r["neighbor_id"]
+            assert abs(gg[key]["cosine"] - r["cosine"]) < 1e-9
+
+    def test_boundary_ties_not_dropped_by_batching(self, spark):
+        # two IDENTICAL vectors straddling the k-th place: the batch
+        # pre-filter keeps >= kth (ties included), so the global
+        # tie-break (neighbor_id asc) must pick the LOWER id even if
+        # the batch's argpartition happened to favor the higher one
+        from nearscan_kafka_streams_spark.functions.similarity import (
+            brute_force_topk_gemm,
+        )
+
+        rows = [
+            (0, [1.0, 0.0]),          # query
+            (1, [0.9, 0.1]),
+            (2, [0.5, 0.5]),          # tie pair
+            (3, [0.5, 0.5]),
+            (4, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = brute_force_topk_gemm(
+            df, df.where(F.col("vec_id") == 0), k=2
+        ).collect()
+        got = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+        assert got == [(1, 1), (2, 2)]  # tie at rank 2 -> lower id wins
+
+    def test_query_cap_raises(self, spark):
+        from nearscan_kafka_streams_spark.functions.similarity import (
+            brute_force_topk_gemm,
+        )
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        with _pytest.raises(ValueError, match="max_queries"):
+            brute_force_topk_gemm(df, df, k=2, max_queries=5)
