@@ -199,7 +199,11 @@ def main() -> None:
         jaccard_similarity_join,
         minhash_lsh_candidates,
     )
-    from nearscan_kafka_streams_spark.functions.similarity import ivf_topk
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        brute_force_topk_gemm,
+        ivf_topk,
+        semantic_dedup,
+    )
     from nearscan_kafka_streams_spark.testgen import (
         generate_documents,
         generate_embeddings,
@@ -234,6 +238,26 @@ def main() -> None:
                     k=5,
                     n_clusters=16,
                     n_probe=3,
+                ),
+            ),
+            (
+                # cluster count grows with n (n/256 target cell size --
+                # the auto_signature_bits discipline) so the
+                # within-cluster quadratic term stays bounded
+                "dedup_semantic",
+                lambda: semantic_dedup(
+                    embs,
+                    embs.where(SF.col("vec_id") < max(n_vecs // 256, 8)).select(
+                        SF.col("vec_id").alias("cid"),
+                        SF.col("embedding").alias("cvec"),
+                    ),
+                    tau=0.40,
+                ),
+            ),
+            (
+                "ann_bruteforce_gemm",
+                lambda: brute_force_topk_gemm(
+                    embs, embs.where(SF.col("vec_id") < 100), k=5
                 ),
             ),
             ("pack_training_sequences", lambda: pack_sequences(docs, 2048)),

@@ -14,13 +14,17 @@ from nearscan_kafka_streams_spark.sinks.layout import (
 from nearscan_kafka_streams_spark.sinks.upsert import (
     duckdb_merge_fn,
     foreach_batch_upsert,
+    list_store_versions,
     read_store,
+    read_store_as_of,
 )
 
 __all__ = [
     "duckdb_merge_fn",
     "foreach_batch_upsert",
+    "list_store_versions",
     "read_store",
+    "read_store_as_of",
     "topic_payload",
     "write_range_clustered",
     "write_with_bloom_filters",

@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 
 _MANIFEST = "_MANIFEST.json"
 _BUCKET = "_bucket"
+_VERSIONS = "_versions"
 
 
 def dedupe_latest(df: DataFrame, key_col: str, order_cols: list[str]) -> DataFrame:
@@ -70,11 +71,47 @@ def _swap_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, root / _MANIFEST)  # atomic on POSIX
 
 
-def _gc_generations(path: str, manifest: dict) -> None:
+def _archive_version(path: str, manifest: dict) -> None:
+    """Persist this manifest as an immutable numbered version file --
+    the store's time-travel log.  Written BEFORE the current-manifest
+    swap: a crash in between leaves a version file whose generations
+    all exist (they were just written) and an older current manifest,
+    both readable."""
+    vdir = Path(path) / _VERSIONS
+    vdir.mkdir(parents=True, exist_ok=True)
+    tmp = vdir / f"tmp-{uuid.uuid4().hex[:8]}"
+    tmp.write_text(json.dumps(manifest, sort_keys=True))
+    os.replace(tmp, vdir / f"{int(manifest['version']):010d}.json")
+
+
+def list_store_versions(path: str) -> list[int]:
+    """Versions readable via :func:`read_store_as_of`, ascending."""
+    vdir = Path(path) / _VERSIONS
+    if not vdir.exists():
+        return []
+    return sorted(
+        int(p.stem) for p in vdir.glob("*.json") if p.stem.isdigit()
+    )
+
+
+def _gc_generations(path: str, manifest: dict, retain_versions: int = 0) -> None:
     """Best-effort removal of generation dirs no manifest entry references
-    (superseded generations and partially-written retries)."""
+    (superseded generations and partially-written retries).  With
+    ``retain_versions`` > 0 the generations referenced by the newest N
+    archived versions stay live too (time travel), and version files
+    beyond the retention window are pruned with their exclusively-owned
+    generations."""
     live = set(manifest["buckets"].values())
     root = Path(path)
+    if retain_versions > 0:
+        versions = list_store_versions(path)
+        keep, drop = versions[-retain_versions:], versions[:-retain_versions]
+        vdir = root / _VERSIONS
+        for v in keep:
+            archived = json.loads((vdir / f"{v:010d}.json").read_text())
+            live |= set(archived["buckets"].values())
+        for v in drop:
+            (vdir / f"{v:010d}.json").unlink(missing_ok=True)
     for child in root.iterdir():
         if child.is_dir() and child.name.startswith("gen-") and child.name not in live:
             shutil.rmtree(child, ignore_errors=True)
@@ -100,12 +137,39 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_store_as_of(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """TIME TRAVEL: read the store exactly as it stood after upsert
+    batch ``version`` committed -- the audit query behind the
+    reference's changelog contract ("what did every balance look like
+    after batch N", README.md:273-297), and the natural left input to
+    a snapshot diff against the current view.
+
+    Requires the sink to have run with ``retain_versions`` > 0 (each
+    commit then archives its manifest under ``_versions/`` and GC keeps
+    the generations those manifests reference).  Each manifest is a
+    complete bucket->generation map, so an as-of read costs the same
+    one multi-path parquet scan as a current read -- no log replay.
+    """
+    manifest = _load_manifest(path)
+    vfile = Path(path) / _VERSIONS / f"{version:010d}.json"
+    if vfile.exists():
+        manifest = json.loads(vfile.read_text())
+    elif manifest is None or manifest.get("version") != version:
+        raise FileNotFoundError(
+            f"store at {path} has no version {version}; retained: "
+            f"{list_store_versions(path)} (run the sink with "
+            f"retain_versions > 0 to keep history)"
+        )
+    return spark.read.parquet(*bucket_paths(path, manifest))
+
+
 def foreach_batch_upsert(
     key_col: str,
     target_path: str,
     order_cols: list[str] | None = None,
     merge_fn: Callable[[DataFrame, int], None] | None = None,
     num_buckets: int = 64,
+    retain_versions: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch function performing keyed upserts.
 
@@ -117,6 +181,11 @@ def foreach_batch_upsert(
     later calls reuse the manifest's value).  The per-batch driver
     collect is the distinct bucket id list -- bounded by num_buckets,
     never by data.
+
+    ``retain_versions`` > 0 keeps the last N committed manifests (and
+    the generations they reference) readable via
+    :func:`read_store_as_of` -- storage cost is bounded: at most N
+    extra copies of each TOUCHED bucket, not N copies of the store.
     """
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -168,12 +237,15 @@ def foreach_batch_upsert(
         new_manifest = {
             "num_buckets": buckets,
             "key_col": key_col,
+            "version": batch_id,
             "buckets": dict(manifest["buckets"]) if manifest else {},
         }
         for b in affected:
             new_manifest["buckets"][str(b)] = gen
+        if retain_versions > 0:
+            _archive_version(target_path, new_manifest)
         _swap_manifest(target_path, new_manifest)
-        _gc_generations(target_path, new_manifest)
+        _gc_generations(target_path, new_manifest, retain_versions)
 
     return _upsert
 
@@ -226,8 +298,17 @@ def compact_store(
         "key_col": key_col,
         "buckets": {b: gen for b in sorted(written, key=int)},
     }
+    # versioned store: compaction commits as the next version and keeps
+    # every retained as-of view readable (their generations stay live)
+    versions = list_store_versions(path)
+    if versions or "version" in manifest:
+        new_manifest["version"] = max(
+            [manifest.get("version", -1), *versions]
+        ) + 1
+        _archive_version(path, new_manifest)
+        versions = list_store_versions(path)
     _swap_manifest(path, new_manifest)
-    _gc_generations(path, new_manifest)
+    _gc_generations(path, new_manifest, retain_versions=len(versions))
     return buckets
 
 

@@ -257,3 +257,46 @@ def test_round4_new_query_plan_shapes(spark, sf_dir):
     # plan_summary counts tree line + detail section (2 per operator)
     assert s["python_eval"] == 2, s
     assert s["nested_loop_join"] == 0, s
+
+
+def test_selection_family_plan_shapes(spark, sf_dir):
+    """Data-selection family: centroid assignment and kNN scoring are
+    broadcast-shaped (the corpus never shuffles for scoring), the
+    importance weight table joins map-side as a broadcast, nothing
+    degenerates to a CartesianProduct, and only the GEMM path runs
+    Python (exactly one Arrow stage)."""
+    from nearscan_kafka_streams_spark.plans.explain import plan_summary
+    from nearscan_kafka_streams_spark.queries import (
+        ann_bruteforce_gemm,
+        dedup_semantic,
+        hard_negative_mining,
+        importance_reweight_documents,
+        knn_classify_embeddings,
+        snapshot_diff_events,
+    )
+
+    for q in (
+        dedup_semantic,
+        knn_classify_embeddings,
+        snapshot_diff_events,
+        importance_reweight_documents,
+        hard_negative_mining,
+    ):
+        df = q(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, q.__name__
+        s = plan_summary(df)
+        assert s["python_eval"] == 0, (q.__name__, s)
+
+    # importance: the <=1024-row weight table must broadcast
+    assert has_broadcast_hash_join(importance_reweight_documents(spark, sf_dir))
+    # kNN: neighbor scoring + label attach + own-label attach are all
+    # broadcast joins -- no SortMergeJoin anywhere in the scoring path
+    knn_plan = formatted_plan(knn_classify_embeddings(spark, sf_dir))
+    assert "BroadcastHashJoin" in knn_plan
+
+    # GEMM: exactly one Python (Arrow) stage; the corpus scan feeds it
+    # without a prior exchange (only the tiny candidate stream shuffles)
+    s = plan_summary(ann_bruteforce_gemm(spark, sf_dir))
+    assert s["python_eval"] == 2, s  # tree line + detail section
+    assert s["nested_loop_join"] == 0, s

@@ -275,3 +275,102 @@ def test_compact_store_collapses_generations(spark, tmp_path):
     assert after["k0"] == 999 and {k: v for k, v in after.items() if k != "k0"} == {
         k: v for k, v in before.items() if k != "k0"
     }
+
+
+def _mkbatch(spark, rows):
+    return spark.createDataFrame(rows, "account string, balance long, ts long")
+
+
+def test_versioned_store_time_travel(spark, tmp_path):
+    from nearscan_kafka_streams_spark.sinks.upsert import (
+        list_store_versions,
+        read_store_as_of,
+    )
+
+    target = str(tmp_path / "versioned")
+    upsert = foreach_batch_upsert(
+        "account", target, order_cols=["ts"], num_buckets=8, retain_versions=2
+    )
+    upsert(_mkbatch(spark, [("a", 1, 1), ("b", 10, 1)]), 0)
+    upsert(_mkbatch(spark, [("a", 2, 2)]), 1)
+    upsert(_mkbatch(spark, [("c", 30, 3)]), 2)
+
+    # retention=2 -> versions 1 and 2 readable, version 0 pruned
+    assert list_store_versions(target) == [1, 2]
+    v1 = {
+        r["account"]: r["balance"]
+        for r in read_store_as_of(spark, target, 1).collect()
+    }
+    assert v1 == {"a": 2, "b": 10}
+    v2 = {
+        r["account"]: r["balance"]
+        for r in read_store_as_of(spark, target, 2).collect()
+    }
+    assert v2 == {"a": 2, "b": 10, "c": 30}
+    # as-of latest == current view
+    assert v2 == _final(spark, target)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no version 0"):
+        read_store_as_of(spark, target, 0)
+
+
+def test_versioned_gc_keeps_retained_generations_only(spark, tmp_path):
+    from nearscan_kafka_streams_spark.sinks.upsert import list_store_versions
+
+    target = str(tmp_path / "gcstore")
+    upsert = foreach_batch_upsert(
+        "account", target, num_buckets=4, retain_versions=1
+    )
+    # every batch touches the SAME key -> same bucket superseded each
+    # time; retention=1 keeps exactly the previous generation alive
+    for i in range(4):
+        upsert(_mkbatch(spark, [("a", i, i)]), i)
+    gens = {p.name for p in Path(target).iterdir() if p.name.startswith("gen-")}
+    # live: current (batch 3) + retained version 3's gens (same) --
+    # version files for 0..2 pruned, their exclusive gens collected
+    assert list_store_versions(target) == [3]
+    assert len(gens) == 1, gens
+
+
+def test_compact_preserves_as_of_reads(spark, tmp_path):
+    from nearscan_kafka_streams_spark.sinks.upsert import (
+        compact_store,
+        list_store_versions,
+        read_store_as_of,
+    )
+
+    target = str(tmp_path / "compactv")
+    upsert = foreach_batch_upsert(
+        "account", target, order_cols=["ts"], num_buckets=8, retain_versions=3
+    )
+    upsert(_mkbatch(spark, [("a", 1, 1), ("b", 10, 1)]), 0)
+    upsert(_mkbatch(spark, [("b", 20, 2)]), 1)
+
+    compact_store(spark, target)
+    # compaction committed as version 2; both prior views still read
+    assert list_store_versions(target) == [0, 1, 2]
+    v0 = {
+        r["account"]: r["balance"]
+        for r in read_store_as_of(spark, target, 0).collect()
+    }
+    assert v0 == {"a": 1, "b": 10}
+    v1 = {
+        r["account"]: r["balance"]
+        for r in read_store_as_of(spark, target, 1).collect()
+    }
+    assert v1 == {"a": 1, "b": 20}
+    assert _final(spark, target) == {"a": 1, "b": 20}
+
+
+def test_unversioned_store_behavior_unchanged(spark, tmp_path):
+    from nearscan_kafka_streams_spark.sinks.upsert import list_store_versions
+
+    target = str(tmp_path / "plain")
+    upsert = foreach_batch_upsert("account", target, num_buckets=4)
+    upsert(_mkbatch(spark, [("a", 1, 1)]), 0)
+    upsert(_mkbatch(spark, [("a", 2, 2)]), 1)
+    assert list_store_versions(target) == []
+    assert not (Path(target) / "_versions").exists()
+    assert _final(spark, target) == {"a": 2}
