@@ -4604,6 +4604,79 @@ ORDER BY anchor_id, rank
 """
 
 
+def store_changelog_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC through the VERSIONED upsert store: replay three
+    deterministic micro-batches of cumulative per-user aggregates into
+    a retained store (``retain_versions``), then reconstruct the
+    changelog between commits 1 and 2 with
+    :func:`sinks.upsert.store_changelog` -- insert/update rows with
+    full before/after state, exactly the compacted-topic stream the
+    reference's sink consumes (README.md:273-297).  The whole physical
+    path (bucketed generations, manifest archive, as-of reads, the
+    full-outer delta join) is hash-checked against a DuckDB oracle
+    that recomputes both snapshots relationally."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from nearscan_kafka_streams_spark.sinks.upsert import (
+        foreach_batch_upsert,
+        store_changelog,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/nearscan_changelog_store_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    up = foreach_batch_upsert(
+        "user_id", path, num_buckets=8, retain_versions=3
+    )
+    for k in range(3):
+        batch = (
+            e.where(F.col("event_id") % 3 <= k)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.expr("cast(round(value * 10000) as bigint)")).alias(
+                    "v"
+                ),
+            )
+        )
+        up(batch, k)
+    out = store_changelog(spark, path, 1, 2)
+    return out.select(
+        "user_id",
+        "change",
+        F.col("before.n_events").alias("before_events"),
+        (F.col("before.v") / 10000.0).alias("before_value"),
+        F.col("after.n_events").alias("after_events"),
+        (F.col("after.v") / 10000.0).alias("after_value"),
+    ).orderBy("user_id")
+
+
+STORE_CHANGELOG_SQL = """
+WITH a AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS v
+  FROM events WHERE event_id % 3 <= 1 GROUP BY user_id
+), b AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS v
+  FROM events WHERE event_id % 3 <= 2 GROUP BY user_id
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'insert'
+            WHEN b.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       a.n AS before_events, a.v / 10000.0 AS before_value,
+       b.n AS after_events, b.v / 10000.0 AS after_value
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL
+   OR a.n <> b.n OR a.v <> b.v
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4623,6 +4696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (never verified) ---
     "hard_negative_mining": hard_negative_mining,
     "ann_bruteforce_gemm": ann_bruteforce_gemm,
+    "store_changelog_events": store_changelog_events,
     "dedup_semantic": dedup_semantic,
     "knn_classify_embeddings": knn_classify_embeddings,
     "snapshot_diff_events": snapshot_diff_events,
@@ -4745,6 +4819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "hard_negative_mining": HARD_NEGATIVE_SQL,
+    "store_changelog_events": STORE_CHANGELOG_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "knn_classify_embeddings": KNN_CLASSIFY_SQL,
     "snapshot_diff_events": SNAPSHOT_DIFF_SQL,

@@ -17,6 +17,7 @@ from nearscan_kafka_streams_spark.sinks.upsert import (
     list_store_versions,
     read_store,
     read_store_as_of,
+    store_changelog,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "list_store_versions",
     "read_store",
     "read_store_as_of",
+    "store_changelog",
     "topic_payload",
     "write_range_clustered",
     "write_with_bloom_filters",

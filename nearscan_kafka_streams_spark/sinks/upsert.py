@@ -357,3 +357,42 @@ def duckdb_merge_fn(
             con.close()
 
     return _merge
+
+
+def store_changelog(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CDC between two retained store versions: one row per key whose
+    state differs, tagged ``insert`` / ``update`` / ``delete`` with the
+    full before/after rows -- the changelog stream a downstream
+    consumer would have seen between the two commits (the reference
+    publishes exactly this as its compacted ``token_balance`` topic,
+    README.md:273-297; here it is reconstructed from any two retained
+    versions after the fact).
+
+    Plan shape: two manifest-addressed parquet scans and ONE full-outer
+    hash join on the store key; unchanged keys drop out via a
+    null-safe all-column comparison, so the result is sized by the
+    delta, not the store.
+    """
+    manifest = _load_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no upsert store at {path} (missing {_MANIFEST})")
+    key_col = manifest["key_col"]
+    old = read_store_as_of(spark, path, from_version)
+    new = read_store_as_of(spark, path, to_version)
+    cols = [c for c in new.columns if c != key_col]
+    o = old.select(key_col, F.struct(*cols).alias("before"))
+    n = new.select(key_col, F.struct(*cols).alias("after"))
+    j = o.join(n, key_col, "full_outer")
+    change = (
+        F.when(F.col("before").isNull(), "insert")
+        .when(F.col("after").isNull(), "delete")
+        .otherwise("update")
+    )
+    return j.select(key_col, change.alias("change"), "before", "after").where(
+        # eqNullSafe: NULL field values compare equal, so only real
+        # state changes survive (insert/delete rows keep a NULL side
+        # and always pass)
+        ~F.col("before").eqNullSafe(F.col("after"))
+    )

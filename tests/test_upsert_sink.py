@@ -374,3 +374,48 @@ def test_unversioned_store_behavior_unchanged(spark, tmp_path):
     assert list_store_versions(target) == []
     assert not (Path(target) / "_versions").exists()
     assert _final(spark, target) == {"a": 2}
+
+
+def test_store_changelog_between_versions(spark, tmp_path):
+    from nearscan_kafka_streams_spark.sinks.upsert import store_changelog
+
+    target = str(tmp_path / "cdc")
+    upsert = foreach_batch_upsert(
+        "account", target, order_cols=["ts"], num_buckets=8, retain_versions=3
+    )
+    upsert(_mkbatch(spark, [("a", 1, 1), ("b", 10, 1)]), 0)
+    upsert(_mkbatch(spark, [("a", 2, 2), ("c", 5, 2)]), 1)
+
+    # forward diff 0 -> 1: a updated, c inserted, b unchanged (absent)
+    rows = {
+        r["account"]: r
+        for r in store_changelog(spark, target, 0, 1).collect()
+    }
+    assert set(rows) == {"a", "c"}
+    assert rows["a"]["change"] == "update"
+    assert rows["a"]["before"]["balance"] == 1
+    assert rows["a"]["after"]["balance"] == 2
+    assert rows["c"]["change"] == "insert"
+    assert rows["c"]["before"] is None
+    assert rows["c"]["after"]["balance"] == 5
+
+    # reverse diff 1 -> 0 exercises the delete leg symmetrically
+    back = {
+        r["account"]: r["change"]
+        for r in store_changelog(spark, target, 1, 0).collect()
+    }
+    assert back == {"a": "update", "c": "delete"}
+
+
+def test_store_changelog_unchanged_reupsert_drops_out(spark, tmp_path):
+    from nearscan_kafka_streams_spark.sinks.upsert import store_changelog
+
+    target = str(tmp_path / "cdcsame")
+    upsert = foreach_batch_upsert(
+        "account", target, num_buckets=4, retain_versions=3
+    )
+    upsert(_mkbatch(spark, [("a", 1, 1)]), 0)
+    # re-emit the identical row (cumulative aggregates do this for
+    # untouched keys): the null-safe struct compare must drop it
+    upsert(_mkbatch(spark, [("a", 1, 1)]), 1)
+    assert store_changelog(spark, target, 0, 1).count() == 0
