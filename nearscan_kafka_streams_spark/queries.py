@@ -4697,6 +4697,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "ann_bruteforce_gemm": ann_bruteforce_gemm,
     "store_changelog_events": store_changelog_events,
+    # --- similarity family: implementation changed this round (norm
+    # precompute + GEMM refactor) -> must re-verify first ---
+    "ann_bruteforce_cosine": ann_bruteforce_cosine,
+    "ann_lsh_cosine": ann_lsh_cosine,
+    "ann_ivf_cosine": ann_ivf_cosine,
+    "ann_ivf_fullprobe_cosine": ann_ivf_fullprobe_cosine,
+    "ann_lsh_fullbucket_cosine": ann_lsh_fullbucket_cosine,
+    "ann_pq_cosine": ann_pq_cosine,
+    "ann_pq_fullrerank_cosine": ann_pq_fullrerank_cosine,
+    "dedup_embedding_allpairs": dedup_embedding_allpairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic": dedup_semantic,
     "knn_classify_embeddings": knn_classify_embeddings,
     "snapshot_diff_events": snapshot_diff_events,
@@ -4794,16 +4805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "ann_bruteforce_cosine": ann_bruteforce_cosine,
-    "ann_lsh_cosine": ann_lsh_cosine,
-    "ann_ivf_cosine": ann_ivf_cosine,
-    "ann_ivf_fullprobe_cosine": ann_ivf_fullprobe_cosine,
-    "ann_lsh_fullbucket_cosine": ann_lsh_fullbucket_cosine,
-    "ann_pq_cosine": ann_pq_cosine,
-    "ann_pq_fullrerank_cosine": ann_pq_fullrerank_cosine,
-    "dedup_embedding_allpairs": dedup_embedding_allpairs,
     "dedup_simhash": dedup_simhash,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters_star": dedup_clusters_star,
     "window_rank_orders": window_rank_orders,
     "window_lag_events": window_lag_events,

@@ -81,6 +81,7 @@ def run_fixture_pipeline(
     fixture_dir: str,
     out_dir: str,
     config: PipelineConfig = DEFAULT_CONFIG,
+    retain_versions: int = 0,
 ) -> DataFrame:
     """End-to-end streaming run over JSON fixture directories
     (``{fixture_dir}/receipts`` etc.), multi-micro-batch via
@@ -88,6 +89,10 @@ def run_fixture_pipeline(
     state.  Returns the final balances read from the keyed upsert store
     fed by the update-mode streaming aggregate -- bit-identical to
     ``pipeline.run_batch`` (tight join window) on the same inputs.
+
+    ``retain_versions`` > 0 keeps per-micro-batch store history so
+    ``read_store_as_of`` / ``store_changelog`` can audit the balance
+    changelog after the run (the reference's compacted-topic replay).
     """
     r = read_fixture_stream(
         spark, f"{fixture_dir}/receipts", RECEIPTS_SCHEMA,
@@ -141,7 +146,11 @@ def run_fixture_pipeline(
     store = f"{out_dir}/token_balance_store"
     q2 = (
         token_balances(transfers_stream)
-        .writeStream.foreachBatch(foreach_batch_upsert("account", store))
+        .writeStream.foreachBatch(
+            foreach_batch_upsert(
+                "account", store, retain_versions=retain_versions
+            )
+        )
         .outputMode("update")
         .option("checkpointLocation", f"{out_dir}/ckpt_balances")
         .trigger(availableNow=True)

@@ -81,3 +81,47 @@ def test_streaming_equals_batch_pipeline(spark, fixture_dir, tmp_path):
     s_rows = {tuple(r) for r in streaming_balances.collect()}
     b_rows = {tuple(r) for r in batch_balances.collect()}
     assert s_rows == b_rows
+
+
+def test_streaming_store_history_auditable(spark, fixture_dir, tmp_path):
+    """retain_versions through the streaming shell: after the replay,
+    the balance store's micro-batch history is readable as-of each
+    retained commit and the cross-version changelog reconciles with
+    the final state (the reference's compacted-topic audit)."""
+    from nearscan_kafka_streams_spark.sinks.upsert import (
+        list_store_versions,
+        read_store_as_of,
+        store_changelog,
+    )
+
+    root, expected = fixture_dir
+    out_dir = str(tmp_path / "outv")
+    final = run_fixture_pipeline(
+        spark, str(root), out_dir, retain_versions=10
+    )
+    store = f"{out_dir}/token_balance_store"
+    versions = list_store_versions(store)
+    assert versions, "maxFilesPerTrigger=1 must commit retained versions"
+
+    last = {
+        r["account"]: r["balance"]
+        for r in read_store_as_of(spark, store, versions[-1]).collect()
+    }
+    assert last == expected["balances"]
+    assert last == {r["account"]: r["balance"] for r in final.collect()}
+
+    if len(versions) > 1:
+        # replaying the cross-run changelog over the first retained
+        # snapshot must land exactly on the final state
+        base = {
+            r["account"]: r["balance"]
+            for r in read_store_as_of(spark, store, versions[0]).collect()
+        }
+        for row in store_changelog(
+            spark, store, versions[0], versions[-1]
+        ).collect():
+            if row["change"] == "delete":
+                base.pop(row["account"])
+            else:
+                base[row["account"]] = row["after"]["balance"]
+        assert base == expected["balances"]
