@@ -236,3 +236,77 @@ def fingerprint(text: Column) -> Column:
     """
     normalized = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
     return F.xxhash64(normalized)
+
+
+def gopher_gates(text: Column) -> Column:
+    """The Gopher/MassiveText DOCUMENT-LEVEL quality gates (Rae et al.
+    2021, arXiv:2112.11446 A.1.1) as a struct of per-rule booleans plus
+    the combined verdict -- every threshold compared with INTEGER
+    cross-multiplication (``10*symbols <= n_words`` rather than
+    ``ratio <= 0.1``) so the flags are bit-identical across engines.
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio (# or ...) <= 0.1; <=90% of lines bullet-led;
+    <=30% of lines ellipsis-ended; >=80% of words contain an alphabetic
+    character; >=2 distinct required stop words present.
+
+    One narrow codegen pass per document -- no shuffle, no Python; the
+    gate composes with ``repetition_profile`` (the paper's other half)
+    for the full MassiveText filter.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    ws = F.filter(F.split(norm, " "), lambda w: w != "")
+    n_words = F.size(ws)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_symbols = (
+        F.size(F.split(text, r"#", -1))
+        - 1
+        + F.size(F.split(text, r"\.\.\.", -1))
+        - 1
+    ).cast("long")
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("•"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("...")))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    required = F.array(
+        *[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_required = F.size(F.array_intersect(F.array_distinct(ws), required))
+
+    word_count_ok = (n_words >= 50) & (n_words <= 100_000)
+    mean_len_ok = (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)
+    symbol_ok = 10 * n_symbols <= n_words.cast("long")
+    bullet_ok = 10 * n_bullet <= 9 * n_lines
+    ellipsis_ok = 10 * n_ellipsis <= 3 * n_lines
+    alpha_ok = 5 * n_alpha >= 4 * n_words
+    stopword_ok = n_required >= 2
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (
+            word_count_ok
+            & mean_len_ok
+            & symbol_ok
+            & bullet_ok
+            & ellipsis_ok
+            & alpha_ok
+            & stopword_ok
+        ).alias("passes_gopher"),
+    )

@@ -4677,6 +4677,132 @@ ORDER BY user_id
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension build from a changelog: collapse each
+    user's event stream into validity intervals -- one row per run of
+    equal ``event_type`` with ``valid_from`` / ``valid_to`` /
+    ``is_current`` -- the warehouse-standard history table a
+    point-in-time (as-of) join consumes.  Gaps-and-islands via a
+    change-marker running sum; every window is PARTITIONED by user
+    (never global), so the build is one shuffle on user_id and scales
+    with the key count."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (F.col("event_type") != prev), 1).otherwise(0)
+    seg = e.withColumn("seg", F.sum(chg).over(w))
+    runs = seg.groupBy("user_id", "seg").agg(
+        F.min("event_type").alias("event_type"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "user_id",
+            F.col("seg").cast("long").alias("version"),
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "n_events",
+            "is_current",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM marked
+), runs AS (
+  SELECT user_id, seg, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM seg GROUP BY user_id, seg
+)
+SELECT user_id, CAST(seg AS BIGINT) AS version, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+ORDER BY user_id, version
+"""
+
+
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document gate set (arXiv:2112.11446
+    A.1.1) over the corpus -- per-rule boolean flags plus the combined
+    verdict, all integer cross-multiplied so both engines agree
+    bit-for-bit.  See ``functions/text.py::gopher_gates``."""
+    from nearscan_kafka_streams_spark.functions.text import gopher_gates
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", gopher_gates(F.col("text")).alias("g")
+    ).select("doc_id", "g.*").orderBy("doc_id")
+
+
+GOPHER_GATES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)), '\s+',
+                                                 ' ', 'g'), ' '),
+                     w -> w <> '') AS ws,
+         len(string_split(text, '#')) - 1
+           + len(string_split(text, '...')) - 1 AS n_symbols,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+           AS sum_len,
+         CAST(n_symbols AS BIGINT) AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, ln -> trim(ln) LIKE '-%'
+                                   OR trim(ln) LIKE chr(8226) || '%'))
+           AS n_bullet,
+         len(list_filter(lines, ln -> trim(ln) LIKE '%...')) AS n_ellipsis,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(ws),
+                            ['the','be','to','of','and','that','have','with']))
+           AS n_required
+  FROM base
+)
+SELECT doc_id, n_words,
+       n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS mean_len_ok,
+       10 * n_symbols <= n_words AS symbol_ok,
+       10 * n_bullet <= 9 * n_lines AS bullet_ok,
+       10 * n_ellipsis <= 3 * n_lines AS ellipsis_ok,
+       5 * n_alpha >= 4 * n_words AS alpha_ok,
+       n_required >= 2 AS stopword_ok,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+         AND 10 * n_symbols <= n_words
+         AND 10 * n_bullet <= 9 * n_lines
+         AND 10 * n_ellipsis <= 3 * n_lines
+         AND 5 * n_alpha >= 4 * n_words
+         AND n_required >= 2 AS passes_gopher
+FROM m
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4697,6 +4823,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "ann_bruteforce_gemm": ann_bruteforce_gemm,
     "store_changelog_events": store_changelog_events,
+    "scd2_user_state": scd2_user_state,
+    "gopher_quality_gates": gopher_quality_gates,
     # --- similarity family: implementation changed this round (norm
     # precompute + GEMM refactor) -> must re-verify first ---
     "ann_bruteforce_cosine": ann_bruteforce_cosine,
@@ -4822,6 +4950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "store_changelog_events": STORE_CHANGELOG_SQL,
+    "scd2_user_state": SCD2_SQL,
+    "gopher_quality_gates": GOPHER_GATES_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "knn_classify_embeddings": KNN_CLASSIFY_SQL,
     "snapshot_diff_events": SNAPSHOT_DIFF_SQL,

@@ -242,3 +242,56 @@ class TestGemmTopk:
         )
         with _pytest.raises(ValueError, match="max_queries"):
             brute_force_topk_gemm(df, df, k=2, max_queries=5)
+
+
+class TestGopherGates:
+    def test_each_gate_fires_independently(self, spark):
+        from nearscan_kafka_streams_spark.functions.text import gopher_gates
+
+        good = " ".join(
+            ["the", "be", "to", "of", "and"] + ["word"] * 60
+        )  # 65 words, mean len ~3.5, all alpha, stopwords present
+        docs = [
+            (0, good),
+            (1, "the be " + "word " * 10),            # too few words
+            (2, " ".join(["the", "be"] + ["ab"] * 63)),   # mean len < 3
+            (3, good + " " + "#" * 20),               # symbol ratio (20 # vs 66+20... still words though)
+            (4, " ".join(["the", "be"] + ["12345"] * 63)),  # alpha < 80%
+            (5, " ".join(["zz"] * 60 + ["wordword"] * 10)),  # no required stopwords
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", gopher_gates(F.col("text")).alias("g")
+            ).select("doc_id", "g.*").collect()
+        }
+        assert out[0]["passes_gopher"] is True
+        assert out[1]["word_count_ok"] is False
+        assert out[2]["mean_len_ok"] is False
+        assert out[4]["alpha_ok"] is False
+        assert out[5]["stopword_ok"] is False
+        for i in (1, 2, 4, 5):
+            assert out[i]["passes_gopher"] is False
+
+    def test_symbol_and_line_gates(self, spark):
+        from nearscan_kafka_streams_spark.functions.text import gopher_gates
+
+        words = " ".join(["the", "be", "of"] + ["word"] * 50)
+        symbol_heavy = words + " " + "# # # # # # #"  # 7 '#' on ~60 words? ok
+        # 60 words -> 10*7=70 > 60 -> symbol_ok False... recount below
+        bullets = "\n".join(["- a bullet line"] * 10)  # 10/10 bullet lines
+        ellipses = "\n".join([words, "trailing..."])   # 1/2 ellipsis lines -> ok (10*1 <= 3*2 false!)
+        df = spark.createDataFrame(
+            [(0, symbol_heavy), (1, bullets), (2, ellipses)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", gopher_gates(F.col("text")).alias("g")
+            ).select("doc_id", "g.*").collect()
+        }
+        assert out[0]["symbol_ok"] is False  # 7 symbols vs 60 words
+        assert out[1]["bullet_ok"] is False  # 100% bullet lines
+        assert out[2]["ellipsis_ok"] is False  # 50% ellipsis-ended > 30%

@@ -140,7 +140,11 @@ def test_store_changelog_matches_dict_model(spark, tmp_path_factory, batches):
         "account", target, order_cols=["ts"], num_buckets=4,
         retain_versions=len(batches),
     )
-    state: dict[str, int] = {}
+    # model tracks the FULL stored row (balance, ts): the changelog
+    # compares whole rows, so a re-upsert with equal balance but newer
+    # ts is still an update (the stored state genuinely changed) --
+    # hypothesis caught a balance-only model missing exactly that
+    state: dict[str, tuple[int, int]] = {}
     snapshots = []
     for bid, batch in enumerate(batches):
         # last-writer-wins within the batch on ts=position
@@ -149,15 +153,15 @@ def test_store_changelog_matches_dict_model(spark, tmp_path_factory, batches):
             "account string, balance long, ts long",
         )
         upsert(df, bid)
-        for acc, val in batch:
-            state[acc] = val
+        for i, (acc, val) in enumerate(batch):
+            state[acc] = (val, i)
         snapshots.append(dict(state))
 
     got = {
         r["account"]: (
             r["change"],
-            r["before"]["balance"] if r["before"] else None,
-            r["after"]["balance"] if r["after"] else None,
+            (r["before"]["balance"], r["before"]["ts"]) if r["before"] else None,
+            (r["after"]["balance"], r["after"]["ts"]) if r["after"] else None,
         )
         for r in store_changelog(spark, target, 0, len(batches) - 1).collect()
     }
