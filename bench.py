@@ -87,6 +87,10 @@ HEADLINE = [
     "importance_reweight_documents",
     "hard_negative_mining",
     "ann_bruteforce_gemm",
+    # round-4 additions (fifth batch): warehouse/CDC shapes + gates
+    "store_changelog_events",
+    "scd2_user_state",
+    "gopher_quality_gates",
 ]
 
 

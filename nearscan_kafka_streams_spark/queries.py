@@ -4803,6 +4803,61 @@ ORDER BY doc_id
 """
 
 
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training PAIR DATASET assembly: positives = exact
+    near-duplicate pairs (cosine >= 0.40, the all-pairs verify), hard
+    negatives = each anchor's top-3 most-similar DIFFERENT-label
+    vectors -- the (anchor, other, is_positive) table a contrastive or
+    reranker loss trains on directly.  Pure composition of two
+    already-oracled shapes, so the assembled dataset itself is
+    hash-checked end-to-end."""
+    pos = dedup_embedding_allpairs(spark, sf_dir).select(
+        F.col("left_id").alias("anchor_id"),
+        F.col("right_id").alias("other_id"),
+        F.lit(True).alias("is_positive"),
+        "cosine",
+    )
+    neg = hard_negative_mining(spark, sf_dir).select(
+        "anchor_id",
+        F.col("negative_id").alias("other_id"),
+        F.lit(False).alias("is_positive"),
+        "cosine",
+    )
+    return pos.unionByName(neg).orderBy(
+        "anchor_id", "other_id", "is_positive"
+    )
+
+
+CONTRASTIVE_PAIRS_SQL = """
+SELECT anchor_id, other_id, is_positive, cosine FROM (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id,
+         TRUE AS is_positive,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.40
+  UNION ALL
+  SELECT anchor_id, other_id, FALSE AS is_positive, cosine FROM (
+    SELECT q.vec_id AS anchor_id, c.vec_id AS other_id,
+           round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+             AS cosine,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[]))
+                      DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings c, embeddings q
+    WHERE q.vec_id % 25 = 0 AND c.label <> q.label
+  ) WHERE rank <= 3
+)
+ORDER BY anchor_id, other_id, is_positive
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4825,6 +4880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_changelog_events": store_changelog_events,
     "scd2_user_state": scd2_user_state,
     "gopher_quality_gates": gopher_quality_gates,
+    "contrastive_pairs": contrastive_pairs,
     # --- similarity family: implementation changed this round (norm
     # precompute + GEMM refactor) -> must re-verify first ---
     "ann_bruteforce_cosine": ann_bruteforce_cosine,
@@ -4952,6 +5008,7 @@ ORACLES: dict[str, str] = {
     "store_changelog_events": STORE_CHANGELOG_SQL,
     "scd2_user_state": SCD2_SQL,
     "gopher_quality_gates": GOPHER_GATES_SQL,
+    "contrastive_pairs": CONTRASTIVE_PAIRS_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "knn_classify_embeddings": KNN_CLASSIFY_SQL,
     "snapshot_diff_events": SNAPSHOT_DIFF_SQL,
