@@ -4858,6 +4858,229 @@ ORDER BY anchor_id, other_id, is_positive
 """
 
 
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic Lloyd's K-Means over the embedding corpus
+    (k=8, 2 assignment passes, lowest-id seeding): the corpus-bucketing
+    primitive behind SemDeDup clustering and topic-balanced sampling.
+
+    Vectors quantize to an integer grid, so every distance and
+    centroid mean is exact -- the full iterate-update-reassign loop is
+    hash-checkable against a DuckDB oracle (same device as the
+    degenerate-sibling oracles for IVF/LSH/PQ).
+
+    Scale shape: assignment is MAP-ONLY (centroids folded into one
+    literal array, argmin via transform + array_min -- no join, no
+    shuffle); the update shuffles only k*dim partial-aggregated rows;
+    only centroids (k*dim bigints) ever reach the driver.  See
+    functions/clustering.py."""
+    from nearscan_kafka_streams_spark.functions.clustering import (
+        kmeans_fit,
+        quantize_vec,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    init = {
+        int(r["vec_id"]): list(r["qv"])
+        for r in q.where(F.col("vec_id") < 8).collect()
+    }
+    assigned, _ = kmeans_fit(q, init, n_iter=2)
+    return assigned.select("vec_id", "cluster_id", "d2").orderBy("vec_id")
+
+
+KMEANS_SQL = r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS val FROM q
+), c0 AS (
+  SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8
+), cd0 AS (
+  SELECT cid, generate_subscripts(cv, 1) AS dim, unnest(cv) AS val FROM c0
+), d0 AS (
+  SELECT qd.vec_id, cd0.cid,
+         sum((qd.val - cd0.val) * (qd.val - cd0.val)) AS d2
+  FROM qd JOIN cd0 USING (dim) GROUP BY 1, 2
+), asg0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d0) WHERE rn = 1
+), sums AS (
+  SELECT a.cid, qd.dim, sum(qd.val) AS s, count(*) AS n
+  FROM asg0 a JOIN qd ON qd.vec_id = a.vec_id GROUP BY 1, 2
+), c1 AS (
+  SELECT c0.cid, coalesce(u.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (
+    SELECT cid, list(s // n ORDER BY dim) AS cv FROM sums GROUP BY cid
+  ) u ON u.cid = c0.cid
+), cd1 AS (
+  SELECT cid, generate_subscripts(cv, 1) AS dim, unnest(cv) AS val FROM c1
+), d1 AS (
+  SELECT qd.vec_id, cd1.cid,
+         sum((qd.val - cd1.val) * (qd.val - cd1.val)) AS d2
+  FROM qd JOIN cd1 USING (dim) GROUP BY 1, 2
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster_id, CAST(d2 AS BIGINT) AS d2 FROM (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d1) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+def lm_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (arXiv:1911.00359): score every
+    document by mean negative log-probability under a smoothed unigram
+    model trained on the corpus itself.  Per-token log-probs quantize
+    to integer micro-nats BEFORE the per-doc sum, so the aggregate is
+    order-independent -- the same drift-proofing as the revenue
+    queries.  See functions/lm.py for the scale shapes (one vocab
+    groupBy + one token-key join + one partial-aggregated doc sum)."""
+    from nearscan_kafka_streams_spark.functions.lm import perplexity_score
+
+    return perplexity_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+LM_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks2 GROUP BY tok
+), totals AS (
+  SELECT sum(c) AS N, count(*) AS V FROM counts
+), model AS (
+  SELECT tok,
+         CAST(round(ln((c + 1) / CAST(N + V AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lp
+  FROM counts, totals
+)
+SELECT t.doc_id, count(*) AS tokens,
+       CAST(-(sum(m.lp) // count(*)) AS BIGINT) AS avg_nll_micro
+FROM toks2 t JOIN model m USING (tok)
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
+def salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salted JOIN (complements ``salted_hot_key_agg``'s
+    two-phase aggregate): the skewed fact side spreads each key over 8
+    salt buckets, the dim side replicates 8x via explode, and the join
+    runs on (key, salt) -- no single reducer ever owns a whole hot
+    key.  Semantics identical to the plain equi-join, which is exactly
+    what the oracle runs.  ``functions/skew.py:salted_join`` is the
+    reusable operator; AQE skew-split handles the milder cases
+    automatically (session.py)."""
+    from nearscan_kafka_streams_spark.functions.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(e, c, "user_id", salt_buckets=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.expr("cast(round(value * 10000) as bigint)"))
+                / 10000.0
+            ).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_JOIN_SQL = r"""
+SELECT c.c_mktsegment, count(*) AS n_events,
+       sum(CAST(round(e.value * 10000) AS BIGINT)) / 10000.0 AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def normalize_events_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization for ML feature prep: z-score,
+    min-max, and p05/p95 winsorization of event values within each
+    event_type.  Values quantize to an integer grid so the moment sums
+    (n, S, SS) are exact and order-independent; every downstream double
+    expression is then a deterministic function of exact integers, so
+    the oracle hash-matches bit-for-bit.  At production scale the
+    integer-SS budget gives way to Welford accumulation -- same plan
+    (one tiny stats aggregate broadcast back over the fact scan).
+
+    Winsorization bounds use ``F.percentile`` (exact interpolated) <->
+    DuckDB ``quantile_cont``, the pair proven by percentile_acctbal."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("qv"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+        F.min("qv").alias("mn"),
+        F.max("qv").alias("mx"),
+        F.percentile("qv", 0.05).alias("p05"),
+        F.percentile("qv", 0.95).alias("p95"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mu * mu
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("qv") - mu) / F.sqrt(var), 6).alias("zscore"),
+        F.round(
+            (F.col("qv") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")),
+            6,
+        ).alias("minmax"),
+        F.round(
+            F.least(
+                F.greatest(F.col("qv").cast("double"), F.col("p05")),
+                F.col("p95"),
+            )
+            / 10000.0,
+            6,
+        ).alias("winsorized"),
+    ).orderBy("event_id")
+
+
+NORMALIZE_SQL = r"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 10000) AS BIGINT) AS qv
+  FROM events
+), stats AS (
+  SELECT event_type, count(*) AS n, sum(qv) AS s, sum(qv * qv) AS ss,
+         min(qv) AS mn, max(qv) AS mx,
+         quantile_cont(qv, 0.05) AS p05, quantile_cont(qv, 0.95) AS p95
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.qv - CAST(s.s AS DOUBLE) / s.n)
+             / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                    - (CAST(s.s AS DOUBLE) / s.n)
+                      * (CAST(s.s AS DOUBLE) / s.n)),
+             6) AS zscore,
+       round(CAST(e.qv - s.mn AS DOUBLE) / (s.mx - s.mn), 6) AS minmax,
+       round(least(greatest(CAST(e.qv AS DOUBLE), s.p05), s.p95) / 10000.0, 6)
+         AS winsorized
+FROM e JOIN stats s USING (event_type)
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4875,6 +5098,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST; entries green in the immediately-previous round go last.
     #
     # --- new this round (never verified) ---
+    "kmeans_embeddings": kmeans_embeddings,
+    "lm_perplexity_documents": lm_perplexity_documents,
+    "salted_skew_join_events": salted_skew_join_events,
+    "normalize_events_features": normalize_events_features,
     "hard_negative_mining": hard_negative_mining,
     "ann_bruteforce_gemm": ann_bruteforce_gemm,
     "store_changelog_events": store_changelog_events,
@@ -5004,6 +5231,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kmeans_embeddings": KMEANS_SQL,
+    "lm_perplexity_documents": LM_PERPLEXITY_SQL,
+    "salted_skew_join_events": SALTED_JOIN_SQL,
+    "normalize_events_features": NORMALIZE_SQL,
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "store_changelog_events": STORE_CHANGELOG_SQL,
     "scd2_user_state": SCD2_SQL,
