@@ -91,6 +91,14 @@ HEADLINE = [
     "store_changelog_events",
     "scd2_user_state",
     "gopher_quality_gates",
+    # round-4 additions (sixth batch): clustering, graph ranking,
+    # LM quality gate, skew join, feature prep, time-decay window
+    "kmeans_embeddings",
+    "pagerank_events",
+    "lm_perplexity_documents",
+    "salted_skew_join_events",
+    "normalize_events_features",
+    "ewma_events",
 ]
 
 

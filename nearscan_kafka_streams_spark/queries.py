@@ -5081,6 +5081,142 @@ ORDER BY event_id
 """
 
 
+def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 iterations, d=0.85) over the user-interaction
+    graph derived from the event stream (src -> next user within each
+    event_type's timeline): the source/domain-authority weighting
+    primitive that feeds mixture sampling in curation stacks.
+
+    Ranks live on an integer fixed-point grid (10^12 = one unit of
+    mass), so every iteration is exact integer arithmetic and the
+    3-iteration unrolled DuckDB CTE reproduces it bit-for-bit -- the
+    same device as the connected-components oracles.  Scale shapes in
+    functions/graph.py (one edge-scan join + one partial agg per
+    iteration, lineage cut per round, nothing on the driver)."""
+    from nearscan_kafka_streams_spark.functions.graph import pagerank
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = e.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    ranks = pagerank(edges, n_iter=3, damping_pct=85)
+    return ranks.select(
+        F.col("node").alias("user_id"), "rank_fp"
+    ).orderBy("user_id")
+
+
+PAGERANK_SQL = r"""
+WITH pairs AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS dst
+  FROM events
+), e AS (
+  SELECT DISTINCT src, dst FROM pairs
+  WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), params AS (
+  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base FROM nodes
+), outdeg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, (SELECT base FROM params) AS rank_fp FROM nodes
+), c1 AS (
+  SELECT e.dst, sum(r.rank_fp // d.deg) AS inflow
+  FROM r0 r JOIN outdeg d ON d.src = r.node JOIN e ON e.src = d.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT n.node,
+         CAST((15 * (SELECT base FROM params)
+               + 85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN c1 c ON c.dst = n.node
+), c2 AS (
+  SELECT e.dst, sum(r.rank_fp // d.deg) AS inflow
+  FROM r1 r JOIN outdeg d ON d.src = r.node JOIN e ON e.src = d.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT n.node,
+         CAST((15 * (SELECT base FROM params)
+               + 85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN c2 c ON c.dst = n.node
+), c3 AS (
+  SELECT e.dst, sum(r.rank_fp // d.deg) AS inflow
+  FROM r2 r JOIN outdeg d ON d.src = r.node JOIN e ON e.src = d.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT n.node,
+         CAST((15 * (SELECT base FROM params)
+               + 85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN c3 c ON c.dst = n.node
+)
+SELECT node AS user_id, rank_fp FROM r3 ORDER BY user_id
+"""
+
+
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exponential smoothing (truncated EWMA, alpha=1/2 over
+    the trailing 8 events per user): the time-decayed feature the
+    reference's running-balance shape cannot express (it weights all
+    history equally).  Weights are powers of two over integer-quantized
+    values, renormalized over however many of the 8 lags exist, so
+    numerator and denominator are exact integers and the final division
+    is a deterministic double -- no float summation anywhere.
+
+    Scale shape: one window per user partition (8 lag expressions in a
+    single WindowExec pass, no self-join); identical cost profile to
+    moving_avg_events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    qx = F.round(F.col("value") * 10000).cast("bigint")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(8):
+        lagged = F.lag(qx, j).over(w)
+        weight = 1 << (7 - j)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(
+            F.lit(0)
+        )
+    return e.select(
+        "event_id",
+        "user_id",
+        (num / den / 10000.0).alias("ewma_value"),
+    ).orderBy("event_id")
+
+
+EWMA_SQL = r"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 10000) AS BIGINT) AS qx
+  FROM events
+)
+SELECT event_id, user_id,
+       (  coalesce(lag(qx, 0) OVER w * 128, 0)
+        + coalesce(lag(qx, 1) OVER w * 64, 0)
+        + coalesce(lag(qx, 2) OVER w * 32, 0)
+        + coalesce(lag(qx, 3) OVER w * 16, 0)
+        + coalesce(lag(qx, 4) OVER w * 8, 0)
+        + coalesce(lag(qx, 5) OVER w * 4, 0)
+        + coalesce(lag(qx, 6) OVER w * 2, 0)
+        + coalesce(lag(qx, 7) OVER w * 1, 0))
+       / (  CASE WHEN lag(qx, 0) OVER w IS NOT NULL THEN 128 ELSE 0 END
+          + CASE WHEN lag(qx, 1) OVER w IS NOT NULL THEN 64 ELSE 0 END
+          + CASE WHEN lag(qx, 2) OVER w IS NOT NULL THEN 32 ELSE 0 END
+          + CASE WHEN lag(qx, 3) OVER w IS NOT NULL THEN 16 ELSE 0 END
+          + CASE WHEN lag(qx, 4) OVER w IS NOT NULL THEN 8 ELSE 0 END
+          + CASE WHEN lag(qx, 5) OVER w IS NOT NULL THEN 4 ELSE 0 END
+          + CASE WHEN lag(qx, 6) OVER w IS NOT NULL THEN 2 ELSE 0 END
+          + CASE WHEN lag(qx, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END)
+       / 10000.0 AS ewma_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5098,6 +5234,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST; entries green in the immediately-previous round go last.
     #
     # --- new this round (never verified) ---
+    "pagerank_events": pagerank_events,
+    "ewma_events": ewma_events,
     "kmeans_embeddings": kmeans_embeddings,
     "lm_perplexity_documents": lm_perplexity_documents,
     "salted_skew_join_events": salted_skew_join_events,
@@ -5231,6 +5369,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pagerank_events": PAGERANK_SQL,
+    "ewma_events": EWMA_SQL,
     "kmeans_embeddings": KMEANS_SQL,
     "lm_perplexity_documents": LM_PERPLEXITY_SQL,
     "salted_skew_join_events": SALTED_JOIN_SQL,
