@@ -220,7 +220,35 @@ def main() -> None:
         generate_documents,
         generate_embeddings,
     )
+    from nearscan_kafka_streams_spark.functions.clustering import (
+        kmeans_fit,
+        quantize_vec,
+    )
+    from nearscan_kafka_streams_spark.functions.graph import pagerank
     from pyspark.sql import functions as SF
+
+    def _kmeans_thunk(embs):
+        q = embs.select(
+            "vec_id", quantize_vec(SF.col("embedding")).alias("qv")
+        )
+        init = {
+            int(r["vec_id"]): list(r["qv"])
+            for r in q.where(SF.col("vec_id") < 16).collect()
+        }
+        return kmeans_fit(q, init, n_iter=2)[0]
+
+    def _pagerank_thunk(embs, n_vecs):
+        # synthetic ring + hash-skip graph: 2 edges per node, linear in n
+        edges = embs.select(
+            SF.col("vec_id").alias("src"),
+            ((SF.col("vec_id") + 1) % n_vecs).alias("dst"),
+        ).unionByName(
+            embs.select(
+                SF.col("vec_id").alias("src"),
+                ((SF.col("vec_id") * 7 + 3) % n_vecs).alias("dst"),
+            )
+        )
+        return pagerank(edges, n_iter=3)
 
     def _stress_ops(n_docs: int, n_vecs: int) -> dict[str, float]:
         docs = generate_documents(spark, n_docs)
@@ -272,6 +300,8 @@ def main() -> None:
                     embs, embs.where(SF.col("vec_id") < 100), k=5
                 ),
             ),
+            ("kmeans", lambda: _kmeans_thunk(embs)),
+            ("pagerank", lambda: _pagerank_thunk(embs, n_vecs)),
             ("pack_training_sequences", lambda: pack_sequences(docs, 2048)),
             (
                 "dedup_repeated_chunks",

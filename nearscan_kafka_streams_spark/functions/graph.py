@@ -75,9 +75,15 @@ def pagerank(
             .select(
                 "node",
                 (
-                    (F.lit(100 - damping_pct) * F.lit(base))
-                    + F.lit(damping_pct)
-                    * F.coalesce(F.col("inflow"), F.lit(0))
+                    # explicit bigint literals: when n makes `base` fit
+                    # int32, constant folding would otherwise evaluate
+                    # (100-d) * base in 32-bit and overflow under ANSI
+                    (
+                        F.lit(100 - damping_pct).cast("bigint")
+                        * F.lit(base).cast("bigint")
+                    )
+                    + F.lit(damping_pct).cast("bigint")
+                    * F.coalesce(F.col("inflow"), F.lit(0).cast("bigint"))
                 )
                 .cast("bigint")
                 .alias("num"),

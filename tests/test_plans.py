@@ -300,3 +300,39 @@ def test_selection_family_plan_shapes(spark, sf_dir):
     s = plan_summary(ann_bruteforce_gemm(spark, sf_dir))
     assert s["python_eval"] == 2, s  # tree line + detail section
     assert s["nested_loop_join"] == 0, s
+
+
+def test_sixth_batch_plan_shapes(spark, sf_dir):
+    """Clustering / graph / LM / skew / normalize / EWMA batch: all
+    JVM-side (zero Python stages), no cartesian products; EWMA's 8
+    lags fold into ONE window pass; normalize broadcasts its tiny
+    stats aggregate back over the fact scan."""
+    from nearscan_kafka_streams_spark.plans.explain import plan_summary
+    from nearscan_kafka_streams_spark.queries import (
+        ewma_events,
+        kmeans_embeddings,
+        lm_perplexity_documents,
+        normalize_events_features,
+        pagerank_events,
+        salted_skew_join_events,
+    )
+
+    for q in (
+        kmeans_embeddings,
+        pagerank_events,
+        lm_perplexity_documents,
+        salted_skew_join_events,
+        normalize_events_features,
+        ewma_events,
+    ):
+        s = plan_summary(q(spark, sf_dir))
+        assert s["python_eval"] == 0, (q.__name__, s)
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+
+    # one WindowExec for the whole 8-lag EWMA expression
+    ewma_plan = formatted_plan(ewma_events(spark, sf_dir))
+    assert ewma_plan.count("Window") <= 3, ewma_plan  # tree + detail refs
+
+    norm_plan = formatted_plan(normalize_events_features(spark, sf_dir))
+    assert "BroadcastHashJoin" in norm_plan
