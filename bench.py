@@ -99,6 +99,8 @@ HEADLINE = [
     "salted_skew_join_events",
     "normalize_events_features",
     "ewma_events",
+    "fuzzy_match_parts",
+    "retrieval_eval_metrics",
 ]
 
 

@@ -5217,6 +5217,164 @@ ORDER BY event_id
 """
 
 
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match self-join (record linkage / entity
+    resolution): distinct part names pair up within a blocking key
+    (first token) when their Levenshtein distance is 1-4 -- near but
+    not identical (this corpus's adjective-noun vocabulary bottoms out
+    at distance 3, e.g. "red widget"/"red gadget").  Blocking is what makes edit-distance joins
+    tractable at scale: candidates are per-block pairs, never the full
+    cross product (same discipline as the LSH band join); production
+    swaps the first-token block for phonetic/prefix keys.
+    ``F.levenshtein`` <-> DuckDB ``levenshtein`` agree on the standard
+    unit-cost edit distance."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.split("name", " ")[0])
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(dist.between(1, 4))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_MATCH_SQL = r"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         string_split(p_name, ' ')[1] AS block
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist
+FROM names a JOIN names b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 4
+ORDER BY name_a, name_b
+"""
+
+
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a query: recall@5 and
+    first-relevant-rank (the MRR numerator) of a deliberately coarse
+    retriever -- cosine over 3-bit-quantized vectors (``round(x*8)``)
+    -- against the exact cosine top-5 ground truth.  This is the eval
+    harness every ANN deployment needs (sweeping nbits/nprobe against
+    truth), expressed as one DataFrame plan: both rankings are
+    broadcast-query scans over the unshuffled corpus, and all metric
+    outputs are integers (hits, recall percent, rank), so the whole
+    thing hash-checks against DuckDB.
+
+    Quantized cosines are exact-integer dot/norm ratios evaluated in
+    double (ties broken by neighbor id), so truth and system agree
+    bit-for-bit across engines."""
+    from nearscan_kafka_streams_spark.functions.clustering import quantize_vec
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("cid"),
+        F.col("rank").alias("t_rank"),
+    )
+    coarse_tbl = emb.select(
+        "vec_id",
+        quantize_vec(F.col("embedding"), scale=8)
+        .cast("array<double>")
+        .alias("qvec"),
+    )
+    coarse = brute_force_topk(
+        coarse_tbl,
+        coarse_tbl.where(F.col("vec_id") < 10),
+        k=5,
+        vec_col="qvec",
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("cid"),
+        F.col("rank").alias("s_rank"),
+    )
+    hits = coarse.join(exact, ["qid", "cid"])
+    per_q = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.min("s_rank").alias("first_hit_rank"),
+    )
+    all_q = exact.select("qid").distinct()
+    return (
+        all_q.join(per_q, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("hits"), F.lit(0))
+            .cast("int")
+            .alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * 20)
+            .cast("int")
+            .alias("recall_pct"),
+            F.coalesce(F.col("first_hit_rank"), F.lit(0))
+            .cast("int")
+            .alias("first_hit_rank"),
+        )
+        .orderBy("query_id")
+    )
+
+
+RETRIEVAL_EVAL_SQL = r"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(CAST(round(x * 8) AS BIGINT) AS DOUBLE))
+           AS qv
+  FROM embeddings
+), exact AS (
+  SELECT qid, cid, t_rank FROM (
+    SELECT q.vec_id AS qid, a.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(a.v, q.v) DESC,
+                      a.vec_id ASC) AS t_rank
+    FROM c a, c q WHERE q.vec_id < 10 AND a.vec_id <> q.vec_id
+  ) WHERE t_rank <= 5
+), coarse AS (
+  SELECT qid, cid, s_rank FROM (
+    SELECT q.vec_id AS qid, a.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(a.qv, q.qv) DESC,
+                      a.vec_id ASC) AS s_rank
+    FROM c a, c q WHERE q.vec_id < 10 AND a.vec_id <> q.vec_id
+  ) WHERE s_rank <= 5
+), hits AS (
+  SELECT s.qid, count(*) AS hits, min(s.s_rank) AS first_hit_rank
+  FROM coarse s JOIN exact t ON t.qid = s.qid AND t.cid = s.cid
+  GROUP BY s.qid
+)
+SELECT a.qid AS query_id,
+       CAST(coalesce(h.hits, 0) AS INT) AS hits,
+       CAST(coalesce(h.hits, 0) * 20 AS INT) AS recall_pct,
+       CAST(coalesce(h.first_hit_rank, 0) AS INT) AS first_hit_rank
+FROM (SELECT DISTINCT qid FROM exact) a
+LEFT JOIN hits h ON h.qid = a.qid
+ORDER BY query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5236,6 +5394,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (never verified) ---
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
+    "fuzzy_match_parts": fuzzy_match_parts,
+    "retrieval_eval_metrics": retrieval_eval_metrics,
     "kmeans_embeddings": kmeans_embeddings,
     "lm_perplexity_documents": lm_perplexity_documents,
     "salted_skew_join_events": salted_skew_join_events,
@@ -5371,6 +5531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
+    "fuzzy_match_parts": FUZZY_MATCH_SQL,
+    "retrieval_eval_metrics": RETRIEVAL_EVAL_SQL,
     "kmeans_embeddings": KMEANS_SQL,
     "lm_perplexity_documents": LM_PERPLEXITY_SQL,
     "salted_skew_join_events": SALTED_JOIN_SQL,
