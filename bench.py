@@ -101,6 +101,8 @@ HEADLINE = [
     "ewma_events",
     "fuzzy_match_parts",
     "retrieval_eval_metrics",
+    "group_split_documents",
+    "curriculum_bins_documents",
 ]
 
 

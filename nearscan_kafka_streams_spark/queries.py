@@ -5375,6 +5375,125 @@ ORDER BY query_id
 """
 
 
+def group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold assignment: the fold is a deterministic hash
+    of the GROUP key (source), not the row, so near-duplicate documents
+    from the same source can never straddle train/validation -- the
+    group-level split discipline every dedup-aware pipeline needs.
+    Same md5-nibble device as hash_sample_events / shuffle_shards:
+    a pure function of the key, reproducible across engines,
+    partitionings, and reruns (where ``randomSplit`` is none of
+    those).  Scan-side projection, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(5),
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        "source",
+        fold.alias("fold"),
+        (fold != 0).alias("is_train"),  # fold 0 held out
+    ).orderBy("doc_id")
+
+
+GROUP_SPLIT_SQL = r"""
+SELECT doc_id, source,
+       CAST(CAST('0x' || substring(md5(source), 1, 8) AS BIGINT) % 5
+            AS INT) AS fold,
+       CAST(CAST('0x' || substring(md5(source), 1, 8) AS BIGINT) % 5
+            AS INT) <> 0 AS is_train
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def curriculum_bins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering prep: bucket the corpus into 4 difficulty
+    tiers by LM perplexity, then report per-tier size and score
+    bounds -- the shape a curriculum scheduler consumes.
+
+    Deliberately NOT ``ntile`` over a global window: that is ONE task
+    holding the whole corpus (the q15 lesson).  Tier bounds are an
+    exact-percentile scalar aggregate (p25/p50/p75 of the integer
+    micro-nat scores, the proven ``F.percentile``<->``quantile_cont``
+    pair) broadcast back over the scored scan, so binning is map-side
+    and fully parallel; ties share a value-based tier, which is also
+    the semantics a reproducible curriculum wants."""
+    from nearscan_kafka_streams_spark.functions.lm import perplexity_score
+
+    scored = perplexity_score(_t(spark, sf_dir, "documents"))
+    bounds = scored.agg(
+        F.percentile("avg_nll_micro", 0.25).alias("p25"),
+        F.percentile("avg_nll_micro", 0.5).alias("p50"),
+        F.percentile("avg_nll_micro", 0.75).alias("p75"),
+    )
+    s = F.col("avg_nll_micro")
+    tier = (
+        F.lit(1)
+        + (s > F.col("p25")).cast("int")
+        + (s > F.col("p50")).cast("int")
+        + (s > F.col("p75")).cast("int")
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_nll_micro").alias("easiest"),
+            F.max("avg_nll_micro").alias("hardest"),
+            F.sum("tokens").alias("total_tokens"),
+        )
+        .orderBy("tier")
+    )
+
+
+CURRICULUM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks2 GROUP BY tok
+), totals AS (
+  SELECT sum(c) AS N, count(*) AS V FROM counts
+), model AS (
+  SELECT tok,
+         CAST(round(ln((c + 1) / CAST(N + V AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lp
+  FROM counts, totals
+), scored AS (
+  SELECT t.doc_id, count(*) AS tokens,
+         CAST(-(sum(m.lp) // count(*)) AS BIGINT) AS avg_nll_micro
+  FROM toks2 t JOIN model m USING (tok)
+  GROUP BY t.doc_id
+), bounds AS (
+  SELECT quantile_cont(avg_nll_micro, 0.25) AS p25,
+         quantile_cont(avg_nll_micro, 0.5) AS p50,
+         quantile_cont(avg_nll_micro, 0.75) AS p75
+  FROM scored
+), binned AS (
+  SELECT s.*,
+         1 + CAST(s.avg_nll_micro > b.p25 AS INT)
+           + CAST(s.avg_nll_micro > b.p50 AS INT)
+           + CAST(s.avg_nll_micro > b.p75 AS INT) AS tier
+  FROM scored s, bounds b
+)
+SELECT tier, count(*) AS n_docs,
+       min(avg_nll_micro) AS easiest,
+       max(avg_nll_micro) AS hardest,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens
+FROM binned
+GROUP BY tier
+ORDER BY tier
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5396,6 +5515,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
     "retrieval_eval_metrics": retrieval_eval_metrics,
+    "group_split_documents": group_split_documents,
+    "curriculum_bins_documents": curriculum_bins_documents,
     "kmeans_embeddings": kmeans_embeddings,
     "lm_perplexity_documents": lm_perplexity_documents,
     "salted_skew_join_events": salted_skew_join_events,
@@ -5533,6 +5654,8 @@ ORACLES: dict[str, str] = {
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
     "retrieval_eval_metrics": RETRIEVAL_EVAL_SQL,
+    "group_split_documents": GROUP_SPLIT_SQL,
+    "curriculum_bins_documents": CURRICULUM_SQL,
     "kmeans_embeddings": KMEANS_SQL,
     "lm_perplexity_documents": LM_PERPLEXITY_SQL,
     "salted_skew_join_events": SALTED_JOIN_SQL,

@@ -68,3 +68,33 @@ def test_retrieval_eval_exact_system_has_perfect_recall(spark, sf_dir):
     assert len(per_q) == 5
     for r in per_q:
         assert r["hits"] == 5 and r["fr"] == 1
+
+
+def test_group_split_no_leakage(spark, sf_dir):
+    """Every source lands wholly in one fold -- the property that
+    row-level splits violate when near-dups share a source."""
+    from nearscan_kafka_streams_spark.queries import group_split_documents
+
+    out = group_split_documents(spark, sf_dir).toPandas()
+    assert (out.groupby("source")["fold"].nunique() == 1).all()
+    assert out["fold"].between(0, 4).all()
+    assert (out["is_train"] == (out["fold"] != 0)).all()
+    # determinism: a rerun produces the identical assignment
+    again = group_split_documents(spark, sf_dir).toPandas()
+    assert out.equals(again)
+
+
+def test_curriculum_bins_partition_corpus(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import curriculum_bins_documents
+
+    out = curriculum_bins_documents(spark, sf_dir).toPandas()
+    assert list(out["tier"]) == [1, 2, 3, 4]
+    # tiers are value-ordered and jointly exhaustive
+    for i in range(3):
+        assert out.loc[i, "hardest"] <= out.loc[i + 1, "easiest"]
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("length(trim(text)) > 0")
+        .count()
+    )
+    assert out["n_docs"].sum() == n_docs
