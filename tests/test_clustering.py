@@ -225,3 +225,51 @@ def test_normalize_invariants(spark, sf_dir):
     lo, hi = out["winsorized"].min(), out["winsorized"].max()
     assert lo >= out["winsorized"].quantile(0.0)
     assert hi <= out["winsorized"].quantile(1.0)
+
+
+def test_kmeans_assignment_runs_under_structured_streaming(spark, tmp_path):
+    """The map-only claim, proven the strong way: a pure projection
+    needs no state, no watermark, no output-mode restrictions -- the
+    SAME assign_clusters expression runs unchanged on a file stream
+    (the online-inference / streaming-corpus-bucketing path)."""
+    import json
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    vecs = {i: [(i * 7 + d * 3) % 11 for d in range(4)] for i in range(20)}
+    with open(src / "a.json", "w") as fh:
+        for i in range(10):
+            fh.write(json.dumps({"vec_id": i, "qv": vecs[i]}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        for i in range(10, 20):
+            fh.write(json.dumps({"vec_id": i, "qv": vecs[i]}) + "\n")
+
+    cents = {0: vecs[0], 1: vecs[3], 2: vecs[9]}
+    stream = (
+        spark.readStream.schema("vec_id long, qv array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        assign_clusters(stream, cents)
+        .writeStream.format("memory")
+        .queryName("km_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["d2"])
+        for r in spark.sql("SELECT * FROM km_stream").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [Row(vec_id=i, qv=v) for i, v in vecs.items()]
+    )
+    want = {
+        r["vec_id"]: (r["cluster_id"], r["d2"])
+        for r in assign_clusters(batch, cents).collect()
+    }
+    assert got == want
