@@ -5494,6 +5494,206 @@ ORDER BY tier
 """
 
 
+def weighted_sample_documents(
+    spark: SparkSession, sf_dir: str, k: int = 500
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): sample 500 documents with inclusion
+    probability proportional to length -- the "sample by token budget,
+    not by row count" primitive a mixture builder needs.
+
+    Each row gets key = ln(u)/w where u is a uniform derived from
+    md5(doc_id) (pure function of the key, so reproducible across
+    engines, runs, and partitionings -- unlike ``rand()``-keyed
+    reservoirs) and w = n_chars; the top-k keys ARE an exact weighted
+    sample without replacement (Efraimidis & Spirakis 2006).
+
+    Scale: the key is a scan-side projection and the top-k is
+    TakeOrderedAndProject -- per-partition heaps, k rows per partition
+    to the driver, NO global sort, NO shuffle of the corpus.  The
+    float key is selection-only (not output): a 1-ulp ``ln``
+    divergence between engines can only matter if ranks k and k+1 are
+    within 1 ulp of each other, which md5-random keys never are."""
+    d = _t(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":ws"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", key.alias("_k"))
+        .orderBy(F.col("_k").desc(), "doc_id")
+        .limit(k)
+        .drop("_k")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = r"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT d.*,
+         ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+                                    1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+         / greatest(n_chars, 1) AS k
+  FROM documents d
+)
+ORDER BY k DESC, doc_id
+LIMIT 500
+"""
+
+
+# per-source training epochs for mixture_upsample_documents, expressed
+# exactly: (full integer copies, extra-copy threshold in 16ths).  A
+# fractional epoch count e = full + thr/16 means every doc is emitted
+# `full` times and docs whose md5 nibble < thr get one more -- i.e. a
+# deterministic hash-Bernoulli(thr/16) for the fractional epoch, the
+# standard upsampling spec of mixture recipes (Pile / RefinedWeb style).
+MIXTURE_EPOCHS: dict[str, tuple[int, int]] = {
+    "src0": (2, 4),   # 2.25 epochs
+    "src1": (1, 0),   # 1.0
+    "src2": (0, 8),   # 0.5  (downsample)
+}
+MIXTURE_EPOCHS_DEFAULT = (1, 8)  # 1.5 epochs for every other source
+
+
+def mixture_upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture upsampling with fractional epochs: replicate
+    each document per its source's epoch weight (see MIXTURE_EPOCHS),
+    emitting an epoch_copy index per replica.  The fractional part is
+    a deterministic md5-nibble Bernoulli, so the materialized mixture
+    is reproducible bit-for-bit.
+
+    Scale: pure map-side -- copies = CASE on source + one nibble
+    compare, replication via explode(sequence(1, copies)).  Zero
+    shuffles, zero state; output size = sum(epochs_s * n_s) by
+    construction.  At 100 TB this runs at scan speed and feeds the
+    deterministic global shuffle (`shuffle_shards`) downstream."""
+    d = _t(spark, sf_dir, "documents")
+    nib = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":mix"))), 1, 1),
+        16, 10,
+    ).cast("int")
+    full = F.lit(MIXTURE_EPOCHS_DEFAULT[0])
+    thr = F.lit(MIXTURE_EPOCHS_DEFAULT[1])
+    for src, (f_, t_) in MIXTURE_EPOCHS.items():
+        full = F.when(F.col("source") == src, F.lit(f_)).otherwise(full)
+        thr = F.when(F.col("source") == src, F.lit(t_)).otherwise(thr)
+    copies = full + (nib < thr).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                # sequence(1, 0) would DESCEND ([1, 0]); emit NULL for
+                # copies=0 instead -- explode drops null arrays
+                F.when(copies >= 1, F.sequence(F.lit(1), copies))
+            ).alias("epoch_copy"),
+        )
+    )
+
+
+MIXTURE_UPSAMPLE_SQL = r"""
+WITH c AS (
+  SELECT doc_id, source,
+         (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                      WHEN 'src2' THEN 0 ELSE 1 END)
+         + CAST(CAST('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1) AS INT)
+             < (CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 0
+                            WHEN 'src2' THEN 8 ELSE 8 END) AS INT)
+           AS copies
+  FROM documents
+)
+SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch_copy
+FROM c
+"""
+
+
+def bloom_prune_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-style join pruning, made explicit: before joining
+    the orders fact to a selectively-filtered customer dim, the fact
+    scan is pre-filtered by TWO broadcast hashed-position semi-joins
+    (xxhash64 mod 2^17 under two seeds -- a 2-hash bloom filter whose
+    "bitmap" is a broadcast distinct-position set, never collected to
+    the driver).  The prefilter is conservative (no false negatives;
+    modulo collisions = false positives), so the exact inner join
+    behind it returns precisely the plain-join answer -- the oracle IS
+    the plain join.
+
+    Scale: this is Spark's row-level runtime filtering expressed as an
+    operator.  At 100 TB the two position sets are ~KB broadcasts that
+    drop non-matching fact rows AT THE SCAN, before the (possibly
+    sort-merge) exact join pays shuffle for them.  With a 1%-selective
+    dim, ~99% of fact rows never leave their input partition."""
+    m = 1 << 17
+    cust = _t(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5)
+    )
+    fact = _t(spark, sf_dir, "orders")
+    for seed in (1, 2):
+        pos = cust.select(
+            F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(seed)), F.lit(m))
+            .alias("pos")
+        ).distinct()
+        fact = fact.join(
+            F.broadcast(pos),
+            F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(seed)), F.lit(m))
+            == F.col("pos"),
+            "left_semi",
+        )
+    joined = fact.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # integer cents: summation-order-proof (the q10 recipe)
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BLOOM_PRUNE_JOIN_SQL = r"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches-HLL distinct counts: per-(type, day)
+    sketches unioned up to per-type -- the two-level rollup shape a
+    100 TB pipeline uses so the expensive pass happens once and every
+    coarser grain is a cheap sketch merge (no re-scan).  HLL registers
+    are a max over hashed values: order- and partition-independent, so
+    the estimates are deterministic.  No oracle: DuckDB's HLL is a
+    different algorithm; accuracy and merge==direct equivalence are
+    pinned in tests/test_sketches.py."""
+    from nearscan_kafka_streams_spark.functions.sketches import (
+        hll_rollup_distinct,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return hll_rollup_distinct(
+        e, fine=["event_type", "day"], coarse=["event_type"],
+        value_col="user_id",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5511,6 +5711,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST; entries green in the immediately-previous round go last.
     #
     # --- new this round (never verified) ---
+    "weighted_sample_documents": weighted_sample_documents,
+    "mixture_upsample_documents": mixture_upsample_documents,
+    "bloom_prune_join_orders": bloom_prune_join_orders,
+    "hll_distinct_events": hll_distinct_events,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -5650,6 +5854,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
+    "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,
+    "bloom_prune_join_orders": BLOOM_PRUNE_JOIN_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
