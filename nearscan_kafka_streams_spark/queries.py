@@ -5694,6 +5694,73 @@ def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract on the orders table
+    (Deequ-style; see functions/checks.py): completeness, key
+    uniqueness, status domain, price positivity, and referential
+    integrity against customer -- the machine-checkable ingest gate a
+    100 TB pipeline runs before data enters.  All metrics are integer
+    violation counts, so the whole report is oracle-exact.
+
+    Plan: ONE partial-aggregated scan for the row-local checks, one
+    hash agg for uniqueness, one anti-join (broadcast parent keys) for
+    the FK -- no full-table shuffle for the row-local contract."""
+    from nearscan_kafka_streams_spark.functions.checks import (
+        TableChecks,
+        check_foreign_key,
+        check_table,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    report = check_table(
+        o,
+        TableChecks(
+            complete=["o_orderkey", "o_custkey", "o_orderdate"],
+            unique=[["o_orderkey"]],
+            in_domain={"o_orderstatus": ["O", "F", "P"]},
+            satisfies={"positive_price": F.col("o_totalprice") > 0},
+        ),
+    )
+    fk = check_foreign_key(o, "o_custkey", c, "c_custkey")
+    return report.unionByName(fk).orderBy("check_name")
+
+
+DATA_QUALITY_SQL = r"""
+WITH m AS (
+  SELECT
+    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS c_orderkey,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_custkey,
+    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS c_orderdate,
+    sum(CASE WHEN o_orderstatus IS NULL
+              OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+      AS dom_status,
+    sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END)
+      AS sat_price,
+    count(*) - count(DISTINCT o_orderkey) AS dup_orderkey
+  FROM orders
+), fk AS (
+  SELECT count(*) AS orphans
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+)
+SELECT check_name, CAST(observed AS BIGINT) AS observed,
+       CAST(0 AS BIGINT) AS expected, observed = 0 AS passed
+FROM (
+  SELECT 'complete:o_orderkey' AS check_name, c_orderkey AS observed FROM m
+  UNION ALL SELECT 'complete:o_custkey', c_custkey FROM m
+  UNION ALL SELECT 'complete:o_orderdate', c_orderdate FROM m
+  UNION ALL SELECT 'domain:o_orderstatus', dom_status FROM m
+  UNION ALL SELECT 'satisfies:positive_price', sat_price FROM m
+  UNION ALL SELECT 'unique:o_orderkey', dup_orderkey FROM m
+  UNION ALL SELECT 'fk:o_custkey', orphans FROM fk
+)
+ORDER BY check_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5715,6 +5782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_upsample_documents": mixture_upsample_documents,
     "bloom_prune_join_orders": bloom_prune_join_orders,
     "hll_distinct_events": hll_distinct_events,
+    "data_quality_orders": data_quality_orders,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -5857,6 +5925,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,
     "bloom_prune_join_orders": BLOOM_PRUNE_JOIN_SQL,
+    "data_quality_orders": DATA_QUALITY_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
