@@ -103,6 +103,15 @@ HEADLINE = [
     "retrieval_eval_metrics",
     "group_split_documents",
     "curriculum_bins_documents",
+    # round-4 additions (seventh batch): sampling/mixture/runtime-filter
+    # + quality-gate + sketch rollup
+    "weighted_sample_documents",
+    "mixture_upsample_documents",
+    "bloom_prune_join_orders",
+    "hll_distinct_events",
+    "data_quality_orders",
+    "interleave_mixture_schedule",
+    "chisq_lang_source",
 ]
 
 

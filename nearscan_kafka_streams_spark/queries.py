@@ -5761,6 +5761,140 @@ ORDER BY check_name
 """
 
 
+# stride weights for interleave_mixture_schedule, in 16ths; each weight
+# must divide 16 so the stride is an exact integer (16 // w).
+INTERLEAVE_WEIGHTS: dict[str, int] = {"src0": 8, "src1": 4, "src2": 2}
+INTERLEAVE_WEIGHT_DEFAULT = 2
+
+
+def interleave_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-scheduled training order: assign every
+    document a schedule key such that reading the corpus in key order
+    interleaves sources in proportion to their mixture weights
+    (stride scheduling, Waldspurger & Weihl OSDI '94 -- the same
+    discipline training loaders use so a batch window never sees one
+    source in a burst).
+
+    Each source's docs are ranked by a deterministic hash order
+    (md5, so the within-source order is itself a shuffle), then doc
+    rank r in a source of weight w gets key (2r-1)*(16/w): source
+    passes emit every 16/w ticks, giving every schedule prefix a
+    source composition within one doc of the weight ratio.  All
+    integer -- oracle-exact.
+
+    Scale: ONE partitioned window (rank within source -- parallel
+    across sources, and within a source it is the unavoidable
+    per-source sequence number) + map-side key arithmetic.  The
+    schedule KEY is the deliverable; the global order materializes
+    only at write time (range-partitioned by key), never as a
+    single-task sort here."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.lit(INTERLEAVE_WEIGHT_DEFAULT)
+    for src, wt in INTERLEAVE_WEIGHTS.items():
+        w = F.when(F.col("source") == src, F.lit(wt)).otherwise(w)
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        r.alias("rank_in_source"),
+        w.alias("weight16"),
+    ).withColumn(
+        "stride_key",
+        # 16/w is exact (w divides 16); stride stays all-integer
+        (2 * F.col("rank_in_source") - 1)
+        * (F.lit(16) / F.col("weight16")).cast("long"),
+    )
+
+
+INTERLEAVE_SQL = r"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank_in_source,
+         CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+                     WHEN 'src2' THEN 2 ELSE 2 END AS weight16
+  FROM documents
+)
+SELECT doc_id, source, rank_in_source, weight16,
+       CAST((2 * rank_in_source - 1) * (16 / weight16) AS BIGINT)
+         AS stride_key
+FROM ranked
+"""
+
+
+def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis of lang x source -- the
+    association test a corpus auditor runs to see whether language
+    composition differs across sources (feature/bias screening).
+
+    Per cell: observed n, and the chi-square contribution
+    (o - e)^2 / e computed as (o*N - row*col)^2 / (N*row*col) so the
+    numerator stays integral before ONE double division; quantized to
+    integer millionths, matching the engine and the oracle bit-for-bit
+    (identical operation sequence => identical IEEE rounding).
+
+    Scale: cells = one partial-aggregated groupBy of the corpus --
+    the ONLY pass over the data (plan-asserted single scan).
+    Row/col/grand totals are window sums OVER THE CELL TABLE, whose
+    size is |langs| x |sources| -- bounded by domain cardinality, not
+    data -- so even the unpartitioned grand-total window is a
+    few-hundred-row single task (the documented exception to the
+    no-global-window rule; re-aggregation joins instead would make
+    Catalyst re-scan the corpus once per total, measured 4 scans)."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    out = cells.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+    )
+    dev = (
+        F.col("n") * F.col("total_n") - F.col("row_n") * F.col("col_n")
+    ).cast("double")
+    denom = (
+        F.col("total_n") * F.col("row_n") * F.col("col_n")
+    ).cast("double")
+    return out.select(
+        "lang",
+        "source",
+        "n",
+        F.round(dev * dev / denom * 1e6).cast("long").alias("chi2_micro"),
+    ).orderBy("lang", "source")
+
+
+CHISQ_SQL = r"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+), rt AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY lang
+), ct AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS col_n FROM cells GROUP BY source
+), tt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_n FROM cells
+)
+SELECT c.lang, c.source, c.n,
+       CAST(round(
+         CAST(c.n * t.total_n - r.row_n * ct.col_n AS DOUBLE)
+         * CAST(c.n * t.total_n - r.row_n * ct.col_n AS DOUBLE)
+         / CAST(t.total_n * r.row_n * ct.col_n AS DOUBLE) * 1e6
+       ) AS BIGINT) AS chi2_micro
+FROM cells c
+JOIN rt r USING (lang)
+JOIN ct USING (source)
+CROSS JOIN tt t
+ORDER BY lang, source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5783,6 +5917,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join_orders": bloom_prune_join_orders,
     "hll_distinct_events": hll_distinct_events,
     "data_quality_orders": data_quality_orders,
+    "interleave_mixture_schedule": interleave_mixture_schedule,
+    "chisq_lang_source": chisq_lang_source,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -5926,6 +6062,8 @@ ORACLES: dict[str, str] = {
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,
     "bloom_prune_join_orders": BLOOM_PRUNE_JOIN_SQL,
     "data_quality_orders": DATA_QUALITY_SQL,
+    "interleave_mixture_schedule": INTERLEAVE_SQL,
+    "chisq_lang_source": CHISQ_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
