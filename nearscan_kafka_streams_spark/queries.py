@@ -5895,6 +5895,98 @@ ORDER BY lang, source
 """
 
 
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the SCD2 dimension -- the
+    consuming half of ``scd2_user_state``: for every 'click' event,
+    find the state interval that was valid AT that event's timestamp
+    (``valid_from <= ts < valid_to``, open-ended current row).
+
+    Scale: this is an EQUI-join on user_id with the interval bounds as
+    residual predicates -- a hash join (plan-asserted: no nested-loop),
+    never a full interval cross-product; per-user interval counts are
+    run-length-bounded.  The dimension rebuild is window-partitioned
+    by user (see scd2_user_state)."""
+    dim = scd2_user_state(spark, sf_dir).select(
+        "user_id",
+        F.col("version").alias("state_version"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    joined = probe.join(
+        dim,
+        (probe["user_id"] == dim["user_id"])
+        & (probe["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (probe["ts"] < dim["valid_to"])),
+    )
+    return joined.select(
+        "event_id",
+        probe["user_id"].alias("user_id"),
+        "ts",
+        "state_version",
+        "state_type",
+    ).orderBy("event_id", "state_version")
+
+
+SCD2_PIT_SQL = r"""
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS seg
+  FROM marked
+), runs AS (
+  SELECT user_id, seg, min(event_type) AS state_type,
+         min(ts) AS valid_from
+  FROM seg GROUP BY user_id, seg
+), dim AS (
+  SELECT user_id, CAST(seg AS BIGINT) AS state_version, state_type,
+         valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+           AS valid_to
+  FROM runs
+)
+SELECT p.event_id, p.user_id, p.ts, d.state_version, d.state_type
+FROM events p
+JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+WHERE p.event_type = 'click'
+ORDER BY p.event_id, d.state_version
+"""
+
+
+def bpe_zero_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-sibling oracle for the BPE tokenize kernel: with ZERO
+    learned merges, BPE segmentation is exactly one token per
+    non-whitespace character of the normalized text -- SQL-expressible,
+    so the whole mapInPandas Arrow path (normalization, word split,
+    per-word encode, memoization) gets a hash-matched check on its
+    exact skeleton.  The trained path (`bpe_token_stats`) shares every
+    line of that kernel and stays rows-only + property-tested."""
+    from nearscan_kafka_streams_spark.functions.bpe import bpe_tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_tokenize(d, merges=[]).select("doc_id", "n_tokens")
+
+
+BPE_ZERO_MERGE_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_replace(lower(trim(text)), '\s', '', 'g'))
+            AS INT) AS n_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5919,6 +6011,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_orders": data_quality_orders,
     "interleave_mixture_schedule": interleave_mixture_schedule,
     "chisq_lang_source": chisq_lang_source,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
+    "bpe_zero_merge_stats": bpe_zero_merge_stats,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6064,6 +6158,8 @@ ORACLES: dict[str, str] = {
     "data_quality_orders": DATA_QUALITY_SQL,
     "interleave_mixture_schedule": INTERLEAVE_SQL,
     "chisq_lang_source": CHISQ_SQL,
+    "scd2_point_in_time_join": SCD2_PIT_SQL,
+    "bpe_zero_merge_stats": BPE_ZERO_MERGE_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
