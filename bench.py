@@ -112,6 +112,8 @@ HEADLINE = [
     "data_quality_orders",
     "interleave_mixture_schedule",
     "chisq_lang_source",
+    "scd2_point_in_time_join",
+    "bpe_zero_merge_stats",
 ]
 
 
@@ -237,6 +239,9 @@ def main() -> None:
         kmeans_fit,
         quantize_vec,
     )
+    from nearscan_kafka_streams_spark.functions.decontam import (
+        contamination_report,
+    )
     from nearscan_kafka_streams_spark.functions.graph import pagerank
     from pyspark.sql import functions as SF
 
@@ -321,6 +326,15 @@ def main() -> None:
                 lambda: remove_repeated_chunks(docs, 10),
             ),
             ("shuffle_shards", lambda: shuffle_to_shards(docs, 64)),
+            (
+                # eval set fixed-size (50 docs) while train grows: the
+                # production shape -- cost must scale with the TRAIN
+                # explode only (eval grams stay a tiny broadcast)
+                "decontaminate",
+                lambda: contamination_report(
+                    docs, docs.where(SF.col("doc_id") < 50)
+                ),
+            ),
         ):
             t0 = time.perf_counter()
             try:
