@@ -227,6 +227,39 @@ def repetition_profile(
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """Unicode cleanup for web-scraped text (the C4/CCNet "fix the
+    bytes before filtering" step): strip control chars and zero-width
+    marks, fold unicode space variants to ASCII space, straighten
+    curly quotes, unify dashes, expand the ellipsis char, collapse
+    whitespace, trim.
+
+    Pure regexp_replace/translate chain -- whole-stage codegen, no
+    Python.  Patterns stay in the Java-regex ∩ RE2 subset (the
+    `\\x{...}` escape both engines accept) so the op is
+    DuckDB-oracle-checkable; step order matters and is mirrored
+    verbatim in the oracle SQL (queries.TEXT_NORMALIZE_SQL).
+    Note RE2's ``\\s`` excludes vertical-tab while Java's includes it:
+    the control strip (step 1) removes VT first, so the final
+    whitespace collapse agrees across engines."""
+    x = F.regexp_replace(
+        text,
+        "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]",
+        "",
+    )
+    x = F.regexp_replace(
+        x,
+        "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]",
+        " ",
+    )
+    x = F.regexp_replace(x, "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    x = F.translate(x, "‘’“”", "''\"\"")
+    x = F.translate(x, "–—―", "---")
+    x = F.regexp_replace(x, "\\x{2026}", "...")
+    x = F.regexp_replace(x, "\\s+", " ")
+    return F.trim(x)
+
+
 def fingerprint(text: Column) -> Column:
     """64-bit content fingerprint of whitespace-normalized lowercase text.
 

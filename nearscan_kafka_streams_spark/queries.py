@@ -5987,6 +5987,69 @@ FROM documents
 """
 
 
+def text_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (functions/text.py::normalize_text)
+    driven over a deterministically MESSIFIED corpus: the testdata is
+    plain ASCII, so the query first injects the unicode junk the op
+    exists to fix (NBSP for every space, plus a suffix carrying a
+    control char, em-dash, curly quotes, zero-width space, and an
+    ellipsis), then normalizes -- the oracle replays both steps, so
+    the hash-match exercises every unicode path cross-engine, not an
+    identity transform.
+
+    Scale: scan-side regexp/translate chain, codegen, zero shuffles."""
+    from nearscan_kafka_streams_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.translate(F.col("text"), " ", "\u00a0"),
+        F.lit(
+            "\u0007 \u2014 \u201cq\u201d \u2018s\u2019"
+            " x\u200by \u2026"
+        ),
+    )
+    norm = normalize_text(messy)
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length(norm) - F.length(messy)).alias("len_delta"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH messy AS (
+  SELECT doc_id,
+         translate(text, ' ', chr(160))
+           || chr(7) || ' ' || chr(8212) || ' ' || chr(8220) || 'q'
+           || chr(8221) || ' ' || chr(8216) || 's' || chr(8217)
+           || ' x' || chr(8203) || 'y ' || chr(8230) AS m
+  FROM documents
+), norm AS (
+  SELECT doc_id, m,
+    trim(regexp_replace(
+      regexp_replace(
+        translate(translate(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(m,
+                '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]',
+                '', 'g'),
+              '[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]',
+              ' ', 'g'),
+            '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+          chr(8216) || chr(8217) || chr(8220) || chr(8221),
+          '''' || '''' || '"' || '"'),
+        chr(8211) || chr(8212) || chr(8213), '---'),
+        '\\x{2026}', '...', 'g'),
+      '\\s+', ' ', 'g')) AS norm_text
+  FROM messy
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) - length(m) AS INT) AS len_delta
+FROM norm
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6013,6 +6076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chisq_lang_source": chisq_lang_source,
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "bpe_zero_merge_stats": bpe_zero_merge_stats,
+    "text_normalize_documents": text_normalize_documents,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6160,6 +6224,7 @@ ORACLES: dict[str, str] = {
     "chisq_lang_source": CHISQ_SQL,
     "scd2_point_in_time_join": SCD2_PIT_SQL,
     "bpe_zero_merge_stats": BPE_ZERO_MERGE_SQL,
+    "text_normalize_documents": TEXT_NORMALIZE_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
