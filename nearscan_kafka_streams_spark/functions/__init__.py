@@ -20,6 +20,16 @@ training-data-pipeline operators the north star asks for:
                     tokenization
 - ``quality_model`` -- hashed bag-of-words linear classifier scoring
                     (feature hashing, codegen'd dot product)
+- ``checks``     -- declarative data-quality constraints (Deequ-style;
+                    one-scan report + FK anti-joins)
+- ``sketches``   -- mergeable Datasketches-HLL distinct rollups
+- ``profiling``  -- one-pass column profiles, Misra-Gries heavy hitters
+- ``clustering`` / ``graph`` -- exact integer-grid K-Means, fixed-point
+                    PageRank
+- ``lm`` / ``importance`` -- unigram perplexity gate, DSIR reweighting
+- ``scan`` / ``skew`` / ``corpus_prep`` -- distributed prefix scan,
+                    salting + bucketed joins, sequence packing +
+                    repeated-chunk removal + deterministic shuffle
 
 All hot paths are built-in column expressions (JVM-side, whole-stage
 codegen); Pandas UDFs appear only where array-heavy math is genuinely
