@@ -7,6 +7,7 @@ from nearscan_kafka_streams_spark.sinks.kafka import (
     write_topic_stream,
 )
 from nearscan_kafka_streams_spark.sinks.layout import (
+    write_hive_partitioned,
     write_range_clustered,
     write_with_bloom_filters,
     write_zorder_clustered,
@@ -28,6 +29,7 @@ __all__ = [
     "read_store_as_of",
     "store_changelog",
     "topic_payload",
+    "write_hive_partitioned",
     "write_range_clustered",
     "write_with_bloom_filters",
     "write_zorder_clustered",

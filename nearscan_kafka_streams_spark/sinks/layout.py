@@ -225,3 +225,28 @@ def compact_parquet(
         .parquet(dst_path)
     )
     return n_out
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning (``col=value/`` subdirs) for
+    COARSE categorical keys -- the other half of the pruning story
+    next to range clustering:
+
+    - range/Z-order clustering prunes WITHIN files via footer min/max
+      (continuous keys, many distinct values);
+    - directory partitioning prunes whole directories at PLANNING time
+      (``PartitionFilters`` in the scan -- files under non-matching
+      ``col=value/`` dirs are never even listed into the plan).
+
+    Keep partition keys low-cardinality (lang, date, source-bucket):
+    at 100 TB, a 10k-value partition column means millions of tiny
+    files and a metadata-bound driver; cluster high-cardinality keys
+    inside files instead (`write_range_clustered`).  Partition columns
+    are removed from the data files (encoded in the path), so they
+    cost zero bytes per row."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
