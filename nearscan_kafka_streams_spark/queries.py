@@ -6050,6 +6050,80 @@ FROM norm
 """
 
 
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: group documents into fixed-size
+    training batches of SIMILAR token counts, so per-batch padding to
+    the batch max wastes little compute -- the "sorted batching" /
+    bucketing trick every sequence-model loader uses.
+
+    Documents hash into 8 length buckets (64-token bands, capped);
+    within a bucket a deterministic md5 order assigns positions, and
+    every 16 consecutive docs form a batch.  All-integer and a pure
+    function of (doc_id, token count): reproducible across engines
+    and partitionings.
+
+    Scale: ONE window partitioned by bucket (8-way parallel minimum;
+    at 100 TB pre-partition by bucket and the window is per-partition
+    sequential only within a bucket -- or shard the bucket key by
+    date for more parallelism).  No global sort; batches materialize
+    at write time via the same range-partition-on-key discipline as
+    the stride schedule."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    bucket = F.least(
+        F.floor(n_tok / 64).cast("int"), F.lit(7)
+    )
+    scored = d.select("doc_id", n_tok.alias("n_tokens"), bucket.alias("bucket"))
+    idx = (
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        - 1
+    )
+    return (
+        scored.withColumn("idx", idx)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            # integer div, not /: DuckDB CAST(double AS INT) rounds
+            # where Spark's cast truncates
+            F.expr("idx div 16").cast("int").alias("batch_in_bucket"),
+            (F.col("idx") % 16).cast("int").alias("pos_in_batch"),
+        )
+        .orderBy("bucket", "batch_in_bucket", "pos_in_batch")
+    )
+
+
+LENGTH_BUCKET_SQL = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+         least(CAST(floor(n_tokens / 64) AS INT), 7) AS bucket
+  FROM scored
+), pos AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS idx
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(idx // 16 AS INT) AS batch_in_bucket,
+       CAST(idx % 16 AS INT) AS pos_in_batch
+FROM pos
+ORDER BY bucket, batch_in_bucket, pos_in_batch
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6077,6 +6151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "bpe_zero_merge_stats": bpe_zero_merge_stats,
     "text_normalize_documents": text_normalize_documents,
+    "length_bucket_batches": length_bucket_batches,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6225,6 +6300,7 @@ ORACLES: dict[str, str] = {
     "scd2_point_in_time_join": SCD2_PIT_SQL,
     "bpe_zero_merge_stats": BPE_ZERO_MERGE_SQL,
     "text_normalize_documents": TEXT_NORMALIZE_SQL,
+    "length_bucket_batches": LENGTH_BUCKET_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
