@@ -114,6 +114,8 @@ HEADLINE = [
     "chisq_lang_source",
     "scd2_point_in_time_join",
     "bpe_zero_merge_stats",
+    "text_normalize_documents",
+    "length_bucket_batches",
 ]
 
 
