@@ -6124,6 +6124,122 @@ ORDER BY bucket, batch_in_bucket, pos_in_batch
 """
 
 
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE`` -- iterative queries expressed in
+    SQL text rather than a driver loop: walk the (synthetic but
+    deterministic) customer reporting chain ``manager = custkey div
+    10`` up to the root, emitting each customer's depth and root.
+
+    The engine's iterative operators (connected components, PageRank,
+    K-Means) are DataFrame loops with explicit lineage cuts; this
+    entry pins the SQL-native recursion path as an equivalent surface
+    (each recursion step is one distributed job; depth here is
+    log10(keys), so the plan is ~5 unions at any corpus size).
+
+    Oracle: DuckDB runs the SAME recursive SQL -- identical semantics,
+    exact hash-match."""
+    return spark.sql(
+        RECURSIVE_CTE_SQL.replace(
+            "FROM customer", f"FROM parquet.`{sf_dir}/customer.parquet`"
+        )
+    )
+
+
+RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain(custkey, anchor, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  -- floor-div spelled portably: Spark has `div` but not `//`,
+  -- DuckDB has `//` but `div` is a function; floor() runs on both
+  SELECT CAST(floor(custkey / 10.0) AS BIGINT), anchor, depth + 1
+  FROM chain WHERE custkey >= 10
+)
+SELECT anchor AS c_custkey,
+       max(depth) AS chain_depth,
+       min(custkey) AS root_key
+FROM chain
+GROUP BY anchor
+ORDER BY c_custkey
+"""
+
+
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT for semi-structured data: parse the ``props``
+    JSON into the binary VARIANT encoding and extract a typed field
+    with ``try_variant_get`` -- the shredded, predicate-pushable
+    representation a 100 TB lakehouse stores instead of JSON strings
+    (parse once at ingest, every reader skips string re-parsing).
+
+    Output is the extracted typed value + a per-type aggregate so the
+    oracle (DuckDB json_extract) hash-checks both row-level extraction
+    and downstream arithmetic on it."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(
+        F.parse_json(F.col("props")), "$.k", "int"
+    )
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+PSEUDO_SECRET = "corpus-v1"  # rotate per release; NOT a real secret here
+
+
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization for training-data privacy: replace
+    user_id with a salted-hash token that is IRREVERSIBLE without the
+    salt yet CONSISTENT across tables/runs, so joins, group-bys, and
+    per-user statistics still work on the pseudonymized corpus (the
+    property plain redaction destroys).
+
+    Token = first 16 hex of md5(salt || user_id): scan-side, zero
+    shuffle for the tokenization itself; the demo aggregate groups by
+    token and hash-matches DuckDB to prove cross-engine consistency
+    of the token function."""
+    e = _t(spark, sf_dir, "events")
+    token = F.substring(
+        F.md5(F.concat(F.lit(PSEUDO_SECRET + ":"),
+                       F.col("user_id").cast("string"))),
+        1, 16,
+    )
+    return (
+        e.select(token.alias("user_token"), "event_type")
+        .groupBy("user_token")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_token")
+    )
+
+
+PSEUDONYMIZE_SQL = f"""
+SELECT substring(md5('{PSEUDO_SECRET}:' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS user_token,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY user_token
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6152,6 +6268,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_zero_merge_stats": bpe_zero_merge_stats,
     "text_normalize_documents": text_normalize_documents,
     "length_bucket_batches": length_bucket_batches,
+    "recursive_cte_hierarchy": recursive_cte_hierarchy,
+    "variant_json_events": variant_json_events,
+    "pseudonymize_events": pseudonymize_events,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6301,6 +6420,9 @@ ORACLES: dict[str, str] = {
     "bpe_zero_merge_stats": BPE_ZERO_MERGE_SQL,
     "text_normalize_documents": TEXT_NORMALIZE_SQL,
     "length_bucket_batches": LENGTH_BUCKET_SQL,
+    "recursive_cte_hierarchy": RECURSIVE_CTE_SQL,
+    "variant_json_events": VARIANT_JSON_SQL,
+    "pseudonymize_events": PSEUDONYMIZE_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,

@@ -1,0 +1,84 @@
+"""Spark 4 surfaces: recursive CTEs, VARIANT, keyed pseudonymization."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nearscan_kafka_streams_spark.queries import (
+    PSEUDO_SECRET,
+    _t,
+    pseudonymize_events,
+    recursive_cte_hierarchy,
+    variant_json_events,
+)
+
+
+def test_recursive_hierarchy_matches_python_model(spark, sf_dir):
+    keys = [
+        r["c_custkey"]
+        for r in _t(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+
+    want = {}
+    for k in keys:
+        chain = [k]
+        while chain[-1] >= 10:
+            chain.append(chain[-1] // 10)
+        want[k] = (len(chain) - 1, min(chain))
+
+    got = {
+        r["c_custkey"]: (r["chain_depth"], r["root_key"])
+        for r in recursive_cte_hierarchy(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_variant_extraction_equals_json_path(spark, sf_dir):
+    """VARIANT extraction must agree row-for-row with the string-JSON
+    path (get_json_object) -- same data, different representation."""
+    e = _t(spark, sf_dir, "events")
+    both = e.select(
+        F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+        .alias("via_variant"),
+        F.get_json_object(F.col("props"), "$.k").cast("int")
+        .alias("via_string"),
+    )
+    assert both.where(
+        ~F.col("via_variant").eqNullSafe(F.col("via_string"))
+    ).count() == 0
+
+
+def test_pseudonym_tokens_consistent_across_derivations(spark, sf_dir):
+    """The token is a pure function of user_id: tokenizing two
+    DIFFERENT projections of the same users must produce joinable
+    tokens covering exactly the same user set."""
+    e = _t(spark, sf_dir, "events")
+
+    def tok(df):
+        return df.select(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(PSEUDO_SECRET + ":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1, 16,
+            ).alias("user_token")
+        ).distinct()
+
+    a = tok(e.where(F.col("event_type") == "click"))
+    b = tok(e)
+    # every click user's token resolves in the full token set
+    assert a.join(b, "user_token", "left_anti").count() == 0
+    # token count == user count (no collisions at this scale)
+    assert b.count() == e.select("user_id").distinct().count()
+
+
+def test_pseudonym_aggregate_preserves_event_counts(spark, sf_dir):
+    out = pseudonymize_events(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    assert out.agg(F.sum("n_events")).first()[0] == e.count()
+    assert out.count() == e.select("user_id").distinct().count()
