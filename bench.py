@@ -116,6 +116,9 @@ HEADLINE = [
     "bpe_zero_merge_stats",
     "text_normalize_documents",
     "length_bucket_batches",
+    "recursive_cte_hierarchy",
+    "variant_json_events",
+    "pseudonymize_events",
 ]
 
 

@@ -12,6 +12,10 @@ from nearscan_kafka_streams_spark.sinks.layout import (
     write_with_bloom_filters,
     write_zorder_clustered,
 )
+from nearscan_kafka_streams_spark.sinks.manifest import (
+    validate_manifest,
+    write_with_manifest,
+)
 from nearscan_kafka_streams_spark.sinks.upsert import (
     duckdb_merge_fn,
     foreach_batch_upsert,
@@ -29,6 +33,8 @@ __all__ = [
     "read_store_as_of",
     "store_changelog",
     "topic_payload",
+    "validate_manifest",
+    "write_with_manifest",
     "write_hive_partitioned",
     "write_range_clustered",
     "write_with_bloom_filters",
