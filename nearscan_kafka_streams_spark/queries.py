@@ -6240,6 +6240,55 @@ ORDER BY user_token
 """
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS -- the general form behind rollup/cube
+    (both already covered): totals by (status, priority), by status,
+    by priority, and grand total in ONE aggregate pass, with
+    GROUPING() ids disambiguating real NULLs from subtotal rows.
+
+    Plan: a single Expand + hash aggregate -- one scan however many
+    sets are requested; at 100 TB this replaces 4 separate
+    aggregation jobs with 1 (each input row expands to 4 grouping
+    tuples map-side, partials combine before the shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM gs_orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority),
+          (o_orderstatus),
+          (o_orderpriority),
+          ()
+        )
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority),
+  (o_orderstatus),
+  (o_orderpriority),
+  ()
+)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6271,6 +6320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_cte_hierarchy": recursive_cte_hierarchy,
     "variant_json_events": variant_json_events,
     "pseudonymize_events": pseudonymize_events,
+    "grouping_sets_orders": grouping_sets_orders,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6423,6 +6473,7 @@ ORACLES: dict[str, str] = {
     "recursive_cte_hierarchy": RECURSIVE_CTE_SQL,
     "variant_json_events": VARIANT_JSON_SQL,
     "pseudonymize_events": PSEUDONYMIZE_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,

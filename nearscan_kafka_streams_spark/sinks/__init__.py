@@ -18,6 +18,7 @@ from nearscan_kafka_streams_spark.sinks.manifest import (
 )
 from nearscan_kafka_streams_spark.sinks.upsert import (
     duckdb_merge_fn,
+    foreach_batch_additive,
     foreach_batch_upsert,
     list_store_versions,
     read_store,
@@ -27,6 +28,7 @@ from nearscan_kafka_streams_spark.sinks.upsert import (
 
 __all__ = [
     "duckdb_merge_fn",
+    "foreach_batch_additive",
     "foreach_batch_upsert",
     "list_store_versions",
     "read_store",

@@ -226,28 +226,110 @@ def foreach_batch_upsert(
         else:
             merged = batch
 
-        gen = f"gen-{batch_id:010d}-{uuid.uuid4().hex[:8]}"
-        (
-            merged.repartition(len(affected), _BUCKET)
-            .write.partitionBy(_BUCKET)
-            .mode("errorifexists")
-            .parquet(f"{target_path}/{gen}")
+        _commit_generation(
+            target_path, merged, affected, manifest, buckets,
+            key_col, batch_id, retain_versions,
         )
 
-        new_manifest = {
-            "num_buckets": buckets,
-            "key_col": key_col,
-            "version": batch_id,
-            "buckets": dict(manifest["buckets"]) if manifest else {},
-        }
-        for b in affected:
-            new_manifest["buckets"][str(b)] = gen
-        if retain_versions > 0:
-            _archive_version(target_path, new_manifest)
-        _swap_manifest(target_path, new_manifest)
-        _gc_generations(target_path, new_manifest, retain_versions)
-
     return _upsert
+
+
+def _commit_generation(
+    target_path: str,
+    merged: DataFrame,
+    affected: list[int],
+    manifest: dict | None,
+    buckets: int,
+    key_col: str,
+    batch_id: int,
+    retain_versions: int,
+) -> None:
+    """Write the merged touched buckets as a new generation and swap
+    the manifest atomically (shared tail of every store writer)."""
+    gen = f"gen-{batch_id:010d}-{uuid.uuid4().hex[:8]}"
+    (
+        merged.repartition(len(affected), _BUCKET)
+        .write.partitionBy(_BUCKET)
+        .mode("errorifexists")
+        .parquet(f"{target_path}/{gen}")
+    )
+
+    new_manifest = {
+        "num_buckets": buckets,
+        "key_col": key_col,
+        "version": batch_id,
+        "buckets": dict(manifest["buckets"]) if manifest else {},
+    }
+    for b in affected:
+        new_manifest["buckets"][str(b)] = gen
+    if retain_versions > 0:
+        _archive_version(target_path, new_manifest)
+    _swap_manifest(target_path, new_manifest)
+    _gc_generations(target_path, new_manifest, retain_versions)
+
+
+def foreach_batch_additive(
+    key_col: str,
+    target_path: str,
+    sum_cols: list[str],
+    num_buckets: int = 64,
+    retain_versions: int = 0,
+) -> Callable[[DataFrame, int], None]:
+    """Incremental aggregate maintenance (additive IVM): maintain
+    per-key SUMS in the bucketed store by merging each batch's partial
+    aggregates into only the touched buckets -- history is never
+    recomputed, cost per batch is O(touched buckets), and the stored
+    table always equals `groupBy(key).sum(...)` over everything ever
+    applied.
+
+    This is the other merge discipline next to ``foreach_batch_upsert``
+    (last-event-wins): upsert state REPLACES, additive state ADDS.
+    Because addition is not idempotent under foreachBatch re-delivery,
+    the manifest's committed version gates replays: a batch_id at or
+    below the committed version is a duplicate delivery and is skipped
+    (exactly-once effect for monotonically increasing batch ids --
+    Structured Streaming's contract).
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        manifest = _load_manifest(target_path)
+        if manifest is not None and batch_id <= manifest.get("version", -1):
+            return  # duplicate delivery: already folded in
+        batch = batch_df.groupBy(key_col).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+
+        buckets = manifest["num_buckets"] if manifest else num_buckets
+        batch = batch.withColumn(_BUCKET, _bucket_expr(key_col, buckets))
+        affected = sorted(
+            r[0] for r in batch.select(_BUCKET).distinct().collect()
+        )
+        if not affected:
+            return
+
+        if manifest:
+            old_paths = bucket_paths(target_path, manifest, affected)
+        else:
+            old_paths = []
+        if old_paths:
+            current = spark.read.parquet(*old_paths).withColumn(
+                _BUCKET, _bucket_expr(key_col, buckets)
+            )
+            merged = (
+                current.unionByName(batch)
+                .groupBy(key_col, _BUCKET)
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            )
+        else:
+            merged = batch
+
+        _commit_generation(
+            target_path, merged, affected, manifest, buckets,
+            key_col, batch_id, retain_versions,
+        )
+
+    return _merge
 
 
 def compact_store(
