@@ -92,3 +92,54 @@ def test_datasource_feeds_the_topology(spark, tmp_path):
         ["receipt_id"],
     )
     assert out.count() == len({r["receipt_id"] for r in rows})
+
+
+def test_streaming_source_resumes_from_checkpoint(spark, tmp_path):
+    """readStream over the custom source: the committed offset (a
+    per-file consumed-record map) survives a query restart -- the
+    second run emits ONLY records appended after the first run, the
+    exactly-once-offsets contract of the Kafka analog."""
+    import json as _json
+
+    path, rows = _stage_logs(spark, tmp_path, n_files=1)
+    spark.dataSource.register(ConfluentAvroDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "stream_out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("confluentavro")
+            .schema(RECEIPTS_SCHEMA)
+            .option("path", path)
+            .option(
+                "avro_schema",
+                _json.dumps(avro_value_schema("receipts")),
+            )
+            .load()
+            .select("receipt_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == len(rows)
+
+    # append a new immutable segment, restart from the checkpoint
+    codec = AvroCodec(avro_value_schema("receipts"))
+    extra = dict(rows[0])
+    extra["receipt_id"] = "rx-appended"
+    write_framed_log(
+        [confluent_frame(7, codec.encode(extra))],
+        path + "/part-99999.bin",
+    )
+    run_once()
+    after = spark.read.parquet(out)
+    assert after.count() == first + 1
+    assert (
+        after.where("receipt_id = 'rx-appended'").count() == 1
+    )
