@@ -6240,52 +6240,94 @@ ORDER BY user_token
 """
 
 
-def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS -- the general form behind rollup/cube
-    (both already covered): totals by (status, priority), by status,
-    by priority, and grand total in ONE aggregate pass, with
-    GROUPING() ids disambiguating real NULLs from subtotal rows.
+def range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: per user, the rolling sum and count of
+    the trailing 10 MINUTES of activity at every event -- a frame
+    defined by event-time distance, not row count (ROWS frames are
+    covered by the EWMA query; RANGE is the other frame family).
 
-    Plan: a single Expand + hash aggregate -- one scan however many
-    sets are requested; at 100 TB this replaces 4 separate
-    aggregation jobs with 1 (each input row expands to 4 grouping
-    tuples map-side, partials combine before the shuffle)."""
-    o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("gs_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               GROUPING(o_orderstatus) AS g_status,
-               GROUPING(o_orderpriority) AS g_priority,
-               count(*) AS n,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
-        FROM gs_orders
-        GROUP BY GROUPING SETS (
-          (o_orderstatus, o_orderpriority),
-          (o_orderstatus),
-          (o_orderpriority),
-          ()
-        )
-        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
-        """
+    Integer-quantized sums (the q10 recipe) keep the rolling totals
+    engine-exact.  Plan: one WindowExec partitioned by user -- the
+    frame bound is evaluated per row against the ordered partition,
+    no self-join."""
+    e = _t(spark, sf_dir, "events")
+    q = F.round(F.col("value") * 10000).cast("long")
+    # truncated epoch seconds: unix_micros div 1e6 on BOTH engines
+    # (timestamp->long casts disagree on sub-second handling)
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-600, 0)  # seconds: trailing 10 minutes
     )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(q).over(w) / 10000.0).alias("sum_10m"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+    ).orderBy("event_id")
 
 
-GROUPING_SETS_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       GROUPING(o_orderstatus) AS g_status,
-       GROUPING(o_orderpriority) AS g_priority,
-       count(*) AS n,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM orders
-GROUP BY GROUPING SETS (
-  (o_orderstatus, o_orderpriority),
-  (o_orderstatus),
-  (o_orderpriority),
-  ()
+RANGE_FRAME_SQL = """
+SELECT event_id, user_id, ts,
+       sum(CAST(round(value * 10000) AS BIGINT)) OVER w / 10000.0
+         AS sum_10m,
+       count(*) OVER w AS n_10m
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY epoch_us(ts) // 1000000
+  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
 )
-ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+ORDER BY event_id
+"""
+
+
+def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (`last_value ... IGNORE NULLS`): carry
+    each user's last observed value over gaps -- the standard
+    missing-feature repair for event/sensor series before training.
+    Gaps are injected deterministically (every 5th event id) so the
+    fill path is actually exercised on this data.
+
+    Plan: one user-partitioned WindowExec, running frame -- no joins,
+    no self-lookups; scales with the per-user sequence like every
+    other window op here."""
+    e = _t(spark, sf_dir, "events")
+    gappy = F.when(
+        F.col("event_id") % 5 == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("value"))
+    q = F.round(gappy * 10000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last(q, ignorenulls=True).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (q.isNull()).alias("was_gap"),
+        (filled / 10000.0).alias("value_filled"),
+    ).orderBy("event_id")
+
+
+FORWARD_FILL_SQL = """
+WITH gappy AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(round(value * 10000) AS BIGINT) END AS q
+  FROM events
+)
+SELECT event_id, user_id,
+       q IS NULL AS was_gap,
+       last_value(q IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) / 10000.0 AS value_filled
+FROM gappy
+ORDER BY event_id
 """
 
 
@@ -6320,7 +6362,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_cte_hierarchy": recursive_cte_hierarchy,
     "variant_json_events": variant_json_events,
     "pseudonymize_events": pseudonymize_events,
-    "grouping_sets_orders": grouping_sets_orders,
+    "range_frame_events": range_frame_events,
+    "forward_fill_events": forward_fill_events,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6473,7 +6516,8 @@ ORACLES: dict[str, str] = {
     "recursive_cte_hierarchy": RECURSIVE_CTE_SQL,
     "variant_json_events": VARIANT_JSON_SQL,
     "pseudonymize_events": PSEUDONYMIZE_SQL,
-    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "range_frame_events": RANGE_FRAME_SQL,
+    "forward_fill_events": FORWARD_FILL_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
