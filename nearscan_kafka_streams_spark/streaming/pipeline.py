@@ -108,7 +108,71 @@ def run_fixture_pipeline(
     )
 
     transfers = build_streaming_transfers(r, o, a, config)
+    return _run_two_query_tail(
+        spark, transfers, out_dir, retain_versions
+    )
 
+
+def run_wire_pipeline(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    retain_versions: int = 0,
+) -> DataFrame:
+    """The SAME topology fed from Confluent-framed Avro record logs
+    through the custom Python DataSource (`sources/pyds.py`) -- wire
+    bytes in, balance store out.  This is the closest in-sandbox
+    equivalent of the reference's Kafka consumption path: the value
+    bytes are the exact Confluent frames a Connect producer emits,
+    decoded executor-side by the spec-derived Avro codec, flowing into
+    the identical dedup -> interval-join -> flat-map -> aggregate
+    topology (TokenBalance.java:74-336).
+
+    Expects ``{log_dir}/receipts``, ``{log_dir}/execution_outcomes``,
+    ``{log_dir}/action_receipt_actions`` directories of length-prefixed
+    framed-record files."""
+    import json as _json
+
+    from nearscan_kafka_streams_spark.schemas import (
+        avro_value_schema,
+        with_event_time,
+    )
+    from nearscan_kafka_streams_spark.sources.pyds import (
+        ConfluentAvroDataSource,
+    )
+
+    spark.dataSource.register(ConfluentAvroDataSource)
+
+    def rd(topic: str, schema) -> DataFrame:
+        raw = (
+            spark.readStream.format("confluentavro")
+            .schema(schema)
+            .option("path", f"{log_dir}/{topic}")
+            .option("avro_schema", _json.dumps(avro_value_schema(topic)))
+            .load()
+        )
+        return with_event_time(raw, TOPIC_SCHEMAS[topic][1])
+
+    transfers = build_streaming_transfers(
+        rd("receipts", RECEIPTS_SCHEMA),
+        rd("execution_outcomes", EXECUTION_OUTCOMES_SCHEMA),
+        rd("action_receipt_actions", ACTION_RECEIPT_ACTIONS_SCHEMA),
+        config,
+    )
+    return _run_two_query_tail(
+        spark, transfers, out_dir, retain_versions
+    )
+
+
+def _run_two_query_tail(
+    spark: SparkSession,
+    transfers: DataFrame,
+    out_dir: str,
+    retain_versions: int,
+) -> DataFrame:
+    """Shared back half: append transfers to the bridge, then the
+    update-mode balance aggregate into the keyed upsert store."""
     transfer_path = f"{out_dir}/token_transfer"
     q1 = (
         transfers.writeStream.format("parquet")
