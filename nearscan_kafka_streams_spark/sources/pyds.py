@@ -29,8 +29,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 RECORD_LEN = _struct.Struct(">I")
@@ -127,6 +129,9 @@ class ConfluentAvroDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return ConfluentAvroStreamReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return ConfluentAvroWriter(schema, self.options, overwrite)
+
 
 class ConfluentAvroStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the source: files are immutable append-only
@@ -203,3 +208,70 @@ class ConfluentAvroStreamReader(SimpleDataSourceStreamReader):
                 start.get("consumed", {}), end.get("consumed", {})
             )
         )
+
+
+class _SegmentCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, n_records: int):
+        self.tmp_name = tmp_name
+        self.n_records = n_records
+
+
+class ConfluentAvroWriter(DataSourceWriter):
+    """Write leg: each task encodes its partition through the Avro
+    codec into a staged segment file; the driver commit RENAMES staged
+    segments into place (all-or-nothing at file granularity -- the
+    2-phase write every file sink uses).  Schema id for the frame
+    header comes from option `schema_id` (a real deployment fetches it
+    from the Schema Registry at startup, serde/registry.py)."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        self.spark_schema = schema
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("confluentavro: option 'path' is required")
+        self.avro_schema = options.get("avro_schema")
+        if not self.avro_schema:
+            raise ValueError(
+                "confluentavro: option 'avro_schema' (JSON) is required"
+            )
+        self.schema_id = int(options.get("schema_id", "1"))
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        from nearscan_kafka_streams_spark.serde.avro import (
+            AvroCodec,
+            confluent_frame,
+        )
+
+        codec = AvroCodec(self.avro_schema)
+        tmp_name = f"_staged-{_uuid.uuid4().hex}.bin"
+        n = 0
+        records = []
+        for row in iterator:
+            records.append(
+                confluent_frame(self.schema_id, codec.encode(row.asDict()))
+            )
+            n += 1
+        write_framed_log(records, os.path.join(self.dir, tmp_name))
+        return _SegmentCommit(tmp_name, n)
+
+    def commit(self, messages):
+        import shutil as _shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if not f.startswith("_staged-") and not f.startswith("."):
+                    os.remove(os.path.join(self.dir, f))
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.dir, f"part-{i:05d}.bin")
+            _shutil.move(os.path.join(self.dir, msg.tmp_name), final)
+
+    def abort(self, messages):
+        for msg in messages:
+            if msg is None:
+                continue
+            staged = os.path.join(self.dir, msg.tmp_name)
+            if os.path.exists(staged):
+                os.remove(staged)

@@ -143,3 +143,42 @@ def test_streaming_source_resumes_from_checkpoint(spark, tmp_path):
     assert (
         after.where("receipt_id = 'rx-appended'").count() == 1
     )
+
+
+def test_write_leg_round_trips(spark, tmp_path):
+    """df.write.format('confluentavro') -> read back with the same
+    format: the engine-native SINK leg (S3's wire serialization)
+    through the 2-phase staged-segment commit."""
+    import json as _json
+
+    from fixtures_near import to_dataframes
+
+    r, _, _, _ = to_dataframes(spark)
+    spark.dataSource.register(ConfluentAvroDataSource)
+    d = str(tmp_path / "written")
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    (
+        r.repartition(3)
+        .write.format("confluentavro")
+        .option("path", d)
+        .option("avro_schema", _json.dumps(avro_value_schema("receipts")))
+        .option("schema_id", "42")
+        .mode("append")
+        .save()
+    )
+    files = [f for f in _os.listdir(d) if f.startswith("part-")]
+    assert len(files) == 3
+    assert not any(f.startswith("_staged-") for f in _os.listdir(d))
+
+    back = (
+        spark.read.format("confluentavro")
+        .schema(RECEIPTS_SCHEMA)
+        .option("path", d)
+        .option("avro_schema", _json.dumps(avro_value_schema("receipts")))
+        .load()
+    )
+    assert sorted(x["receipt_id"] for x in back.collect()) == sorted(
+        x["receipt_id"] for x in r.collect()
+    )
