@@ -119,6 +119,9 @@ HEADLINE = [
     "recursive_cte_hierarchy",
     "variant_json_events",
     "pseudonymize_events",
+    "grouping_sets_orders",
+    "range_frame_events",
+    "forward_fill_events",
 ]
 
 

@@ -6331,6 +6331,63 @@ ORDER BY event_id
 """
 
 
+def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ ``@udtf``): one row per sentence with
+    its index and word count -- the table-function surface for
+    imperative row GENERATION when a case genuinely needs Python
+    (this one doesn't -- the engine's own chunker is pure explode --
+    but the UDTF lane must exist and be verified for the ones that
+    do, e.g. stateful parsers).
+
+    The UDTF runs per-row on executors via Arrow; LATERAL-joined to
+    the corpus scan so docs stay partition-parallel.  Oracle: the
+    same split replayed with regexp_split + unnest in DuckDB."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sent_idx int, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            parts = [
+                p.strip() for p in text.split(". ") if p.strip()
+            ]
+            for i, p in enumerate(parts):
+                yield i, len(p.split(" "))
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.n_words
+        FROM udtf_docs d, LATERAL sentence_split(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )
+
+
+SENTENCE_UDTF_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\. ')) AS p,
+         generate_subscripts(regexp_split_to_array(text, '\. '), 1) - 1
+           AS raw_idx
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, trim(p) AS p,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1
+           AS sent_idx
+  FROM parts
+  WHERE length(trim(p)) > 0
+)
+SELECT doc_id, sent_idx,
+       len(string_split(p, ' ')) AS n_words
+FROM cleaned
+ORDER BY doc_id, sent_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6364,6 +6421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pseudonymize_events": pseudonymize_events,
     "range_frame_events": range_frame_events,
     "forward_fill_events": forward_fill_events,
+    "sentence_split_udtf": sentence_split_udtf,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6518,6 +6576,7 @@ ORACLES: dict[str, str] = {
     "pseudonymize_events": PSEUDONYMIZE_SQL,
     "range_frame_events": RANGE_FRAME_SQL,
     "forward_fill_events": FORWARD_FILL_SQL,
+    "sentence_split_udtf": SENTENCE_UDTF_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,

@@ -82,3 +82,36 @@ def test_pseudonym_aggregate_preserves_event_counts(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     assert out.agg(F.sum("n_events")).first()[0] == e.count()
     assert out.count() == e.select("user_id").distinct().count()
+
+
+def test_udtf_sentence_split_handcrafted(spark):
+    """The corpus fixture is single-sentence; pin the interesting
+    cases (multi-sentence, empty segments, nulls) by hand."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            parts = [p.strip() for p in text.split(". ") if p.strip()]
+            for i, p in enumerate(parts):
+                yield i, len(p.split(" "))
+
+    spark.udtf.register("sentence_split_t", SentenceSplit)
+    spark.createDataFrame(
+        [(1, "one two. three.  . four five six"), (2, None), (3, "")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("udtf_t")
+    rows = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT d.doc_id, s.sent_idx, s.n_words "
+                "FROM udtf_t d, LATERAL sentence_split_t(d.text) s"
+            ).collect(),
+        )
+    )
+    # split on '. ' -> ['one two', 'three', ' ', 'four five six'];
+    # strip drops the blank: (2w), (1w), (3w).  Null/empty docs emit 0.
+    assert rows == [(1, 0, 2), (1, 1, 1), (1, 2, 3)]
