@@ -84,3 +84,38 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
         .first()
     )
     assert row["n"] == 2
+
+
+def test_additive_random_batches_property(spark, tmp_path):
+    """Hypothesis-style randomized check (seeded, deterministic): for
+    arbitrary batch splits and key collisions, the store equals the
+    one-shot aggregate of everything applied."""
+    import random
+
+    rng = random.Random(42)
+    store = str(tmp_path / "agg_prop")
+    merge = foreach_batch_additive(
+        "user_id", store, ["n", "amount"], num_buckets=4
+    )
+    want: dict[int, tuple[int, int]] = {}
+    bid = 0
+    for _ in range(5):
+        rows = [
+            (rng.randrange(6), rng.randrange(1, 4), rng.randrange(100))
+            for _ in range(rng.randrange(1, 8))
+        ]
+        for uid, n, amount in rows:
+            cur = want.get(uid, (0, 0))
+            want[uid] = (cur[0] + n, cur[1] + amount)
+        merge(_batch(spark, rows), bid)
+        bid += 1
+        # occasional duplicate delivery of the batch just committed:
+        # must be a no-op
+        if rng.random() < 0.5:
+            merge(_batch(spark, rows), bid - 1)
+
+    got = {
+        r["user_id"]: (r["n"], r["amount"])
+        for r in read_store(spark, store).collect()
+    }
+    assert got == want
