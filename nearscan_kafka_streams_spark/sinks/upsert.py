@@ -243,6 +243,7 @@ def _commit_generation(
     key_col: str,
     batch_id: int,
     retain_versions: int,
+    extra: dict | None = None,
 ) -> None:
     """Write the merged touched buckets as a new generation and swap
     the manifest atomically (shared tail of every store writer)."""
@@ -262,6 +263,8 @@ def _commit_generation(
     }
     for b in affected:
         new_manifest["buckets"][str(b)] = gen
+    if extra:
+        new_manifest.update(extra)
     if retain_versions > 0:
         _archive_version(target_path, new_manifest)
     _swap_manifest(target_path, new_manifest)
@@ -294,7 +297,13 @@ def foreach_batch_additive(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         manifest = _load_manifest(target_path)
-        if manifest is not None and batch_id <= manifest.get("version", -1):
+        # guard on the dedicated streaming-batch tracker, NOT the
+        # manifest version: compaction bumps `version` (it commits as
+        # the next as-of view) and must not make the next real batch
+        # look like a replay
+        if manifest is not None and batch_id <= manifest.get(
+            "last_batch_id", -1
+        ):
             return  # duplicate delivery: already folded in
         batch = batch_df.groupBy(key_col).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
@@ -327,6 +336,7 @@ def foreach_batch_additive(
         _commit_generation(
             target_path, merged, affected, manifest, buckets,
             key_col, batch_id, retain_versions,
+            extra={"last_batch_id": batch_id},
         )
 
     return _merge
@@ -380,6 +390,9 @@ def compact_store(
         "key_col": key_col,
         "buckets": {b: gen for b in sorted(written, key=int)},
     }
+    if "last_batch_id" in manifest:
+        # additive stores: the replay guard survives compaction
+        new_manifest["last_batch_id"] = manifest["last_batch_id"]
     # versioned store: compaction commits as the next version and keeps
     # every retained as-of view readable (their generations stay live)
     versions = list_store_versions(path)

@@ -119,3 +119,24 @@ def test_additive_random_batches_property(spark, tmp_path):
         for r in read_store(spark, store).collect()
     }
     assert got == want
+
+
+def test_additive_store_survives_compaction_and_further_merges(spark, tmp_path):
+    """compact_store works on additive stores unchanged (it rewrites
+    the manifest's consistent view), and merges continue correctly
+    after the rewrite."""
+    from nearscan_kafka_streams_spark.sinks.upsert import compact_store
+
+    store = str(tmp_path / "agg_compact")
+    merge = foreach_batch_additive(
+        "user_id", store, ["n", "amount"], num_buckets=4
+    )
+    merge(_batch(spark, [(1, 1, 10), (2, 2, 20)]), 0)
+    merge(_batch(spark, [(1, 3, 30), (3, 1, 5)]), 1)
+    compact_store(spark, store, num_buckets=2)  # also re-buckets
+    merge(_batch(spark, [(2, 1, 1)]), 2)
+    got = {
+        r["user_id"]: (r["n"], r["amount"])
+        for r in read_store(spark, store).collect()
+    }
+    assert got == {1: (4, 40), 2: (3, 21), 3: (1, 5)}

@@ -115,3 +115,23 @@ def test_udtf_sentence_split_handcrafted(spark):
     # split on '. ' -> ['one two', 'three', ' ', 'four five six'];
     # strip drops the blank: (2w), (1w), (3w).  Null/empty docs emit 0.
     assert rows == [(1, 0, 2), (1, 1, 1), (1, 2, 3)]
+
+
+def test_variant_survives_parquet_round_trip(spark, tmp_path, sf_dir):
+    """VARIANT is a storable column type: parse once at ingest, write
+    parquet, and every later reader extracts without re-parsing the
+    JSON string -- the lakehouse contract the query relies on."""
+    e = _t(spark, sf_dir, "events").limit(200)
+    p = str(tmp_path / "variant_pq")
+    e.select(
+        "event_id", F.parse_json(F.col("props")).alias("props_v")
+    ).write.parquet(p)
+    back = spark.read.parquet(p)
+    assert dict(back.dtypes)["props_v"] == "variant"
+    joined = back.join(e, "event_id")
+    mismatches = joined.where(
+        ~F.try_variant_get(F.col("props_v"), "$.k", "int").eqNullSafe(
+            F.get_json_object(F.col("props"), "$.k").cast("int")
+        )
+    ).count()
+    assert mismatches == 0
