@@ -6388,6 +6388,52 @@ ORDER BY doc_id, sent_idx
 """
 
 
+def listagg_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (LISTAGG): each
+    customer's order keys as one date-ordered CSV -- the feature/audit
+    string a per-entity history column needs.
+
+    The recipe matters more than the query: ``collect_list`` ingests
+    in PARTITION order (nondeterministic across runs), so the list is
+    built as structs carrying the sort key and ``array_sort``-ed
+    BEFORE ``concat_ws`` -- same output on any partitioning, exactly
+    what the DuckDB ``string_agg(... ORDER BY)`` oracle demands.
+
+    Scale: one groupBy with map-side partial ``collect_list``; per-key
+    payload is that key's history (cap with slice() when entities are
+    unbounded)."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(pairs)),
+                    lambda s: s["k"].cast("string"),
+                ),
+            ).alias("order_history"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+LISTAGG_SQL = """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_orderdate, o_orderkey) AS order_history,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6422,6 +6468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame_events": range_frame_events,
     "forward_fill_events": forward_fill_events,
     "sentence_split_udtf": sentence_split_udtf,
+    "listagg_order_history": listagg_order_history,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6577,6 +6624,7 @@ ORACLES: dict[str, str] = {
     "range_frame_events": RANGE_FRAME_SQL,
     "forward_fill_events": FORWARD_FILL_SQL,
     "sentence_split_udtf": SENTENCE_UDTF_SQL,
+    "listagg_order_history": LISTAGG_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,

@@ -135,3 +135,34 @@ def test_variant_survives_parquet_round_trip(spark, tmp_path, sf_dir):
         )
     ).count()
     assert mismatches == 0
+
+
+def test_listagg_deterministic_across_partitionings(spark, sf_dir):
+    """The struct-sort-before-concat recipe: identical history strings
+    whatever the physical layout (raw collect_list would not be)."""
+    from nearscan_kafka_streams_spark.queries import listagg_order_history
+
+    a = sorted(map(tuple, listagg_order_history(spark, sf_dir).collect()))
+    o = _t(spark, sf_dir, "orders").repartition(13, "o_orderkey")
+    o.createOrReplaceTempView("__listagg_alt")
+    pairs = F.struct(
+        F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k")
+    )
+    b = sorted(
+        map(
+            tuple,
+            o.groupBy("o_custkey")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(pairs)),
+                        lambda s: s["k"].cast("string"),
+                    ),
+                ).alias("order_history"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .collect(),
+        )
+    )
+    assert a == b
