@@ -122,6 +122,8 @@ HEADLINE = [
     "grouping_sets_orders",
     "range_frame_events",
     "forward_fill_events",
+    "sentence_split_udtf",
+    "listagg_order_history",
 ]
 
 
