@@ -6434,6 +6434,82 @@ ORDER BY o_custkey
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit: for every source pair, how many
+    distinct document fingerprints they SHARE -- the redundancy matrix
+    a mixture designer reads before setting per-source epochs (two
+    mirrors of the same crawl should not both get weight 2.0).
+
+    Overlap unit = word 5-gram shingles (whole-document fingerprints
+    find only perfect mirrors; shingles expose shared boilerplate and
+    partial copies, the thing that actually skews mixtures).
+
+    Plan: shingle once (scan-side explode) -> distinct (shingle,
+    source) -> self-join ON the shingle hash with src_a < src_b ->
+    pair counts.  Join groups are bounded by the SOURCE count per
+    shingle (<= n_sources rows), so pair expansion is at most
+    C(n_sources, 2) per shingle -- never a cross product however hot
+    the shingle."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    grams = d.select("source", words.alias("ws")).where(
+        F.size("ws") >= 5
+    ).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 4),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at("ws", i + j) for j in range(5)],
+                    )
+                ),
+            )
+        ).alias("fp"),
+    )
+    fp = grams.select("fp", "source").distinct()
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = r"""
+WITH w AS (
+  SELECT source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT source,
+         unnest([md5(array_to_string(ws[i:i+4], ' '))
+                 for i in range(1, greatest(len(ws) - 4, 0) + 1)]) AS fp
+  FROM w WHERE len(ws) >= 5
+), fp AS (
+  SELECT DISTINCT fp, source FROM g
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6469,6 +6545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forward_fill_events": forward_fill_events,
     "sentence_split_udtf": sentence_split_udtf,
     "listagg_order_history": listagg_order_history,
+    "source_overlap_matrix": source_overlap_matrix,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6625,6 +6702,7 @@ ORACLES: dict[str, str] = {
     "forward_fill_events": FORWARD_FILL_SQL,
     "sentence_split_udtf": SENTENCE_UDTF_SQL,
     "listagg_order_history": LISTAGG_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
