@@ -253,3 +253,24 @@ def bpe_tokenize(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def save_merges(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist a trained merge list as a rank-ordered parquet artifact
+    -- the tokenizer IS this table.  Training happens once per corpus
+    release; every downstream job (packing, token counting, serving
+    parity checks) loads the artifact instead of retraining, and the
+    artifact diffs/versions like any other table."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING"
+    ).repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge artifact back into the exact training-order list
+    (rank restores order -- parquet row order is not contractual)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -185,3 +185,29 @@ def test_max_words_truncation_is_deterministic(spark):
         r["word"] for r in word_frequencies(df, max_words=2).collect()
     )
     assert top2 == ["alpha", "beta"]  # equal freqs -> lexicographic
+
+
+def test_merge_artifact_round_trip(spark, tmp_path):
+    """save_merges/load_merges: the reloaded tokenizer reproduces the
+    in-memory one token-for-token (order restored by rank, not by
+    parquet row order)."""
+    from nearscan_kafka_streams_spark.functions.bpe import (
+        bpe_tokenize,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer new newest")],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe(df, n_merges=12)
+    path = str(tmp_path / "tokenizer")
+    save_merges(spark, merges, path)
+    reloaded = load_merges(spark, path)
+    assert reloaded == merges
+
+    a = {r["doc_id"]: r["tokens"] for r in bpe_tokenize(df, merges).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in bpe_tokenize(df, reloaded).collect()}
+    assert a == b
