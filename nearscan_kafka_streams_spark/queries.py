@@ -6510,6 +6510,43 @@ ORDER BY source_a, source_b
 """
 
 
+def token_accounting_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card accounting: documents / whitespace tokens / characters
+    per (source, lang) with rollup subtotals and the grand total --
+    the composition table every corpus release ships and every
+    mixture-weight decision starts from.  All integer counts; one
+    partial-aggregated scan (rollup = Expand, same single-pass
+    discipline as grouping sets)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "lang",
+            token_count(F.col("text")).alias("toks"),
+            F.length("text").alias("chars"),
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+TOKEN_ACCOUNTING_SQL = r"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+            AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+ORDER BY source, lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6546,6 +6583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_split_udtf": sentence_split_udtf,
     "listagg_order_history": listagg_order_history,
     "source_overlap_matrix": source_overlap_matrix,
+    "token_accounting_documents": token_accounting_documents,
     "pagerank_events": pagerank_events,
     "ewma_events": ewma_events,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -6703,6 +6741,7 @@ ORACLES: dict[str, str] = {
     "sentence_split_udtf": SENTENCE_UDTF_SQL,
     "listagg_order_history": LISTAGG_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "token_accounting_documents": TOKEN_ACCOUNTING_SQL,
     "pagerank_events": PAGERANK_SQL,
     "ewma_events": EWMA_SQL,
     "fuzzy_match_parts": FUZZY_MATCH_SQL,
