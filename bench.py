@@ -124,6 +124,8 @@ HEADLINE = [
     "forward_fill_events",
     "sentence_split_udtf",
     "listagg_order_history",
+    "source_overlap_matrix",
+    "token_accounting_documents",
 ]
 
 
