@@ -440,6 +440,142 @@ def jaccard_similarity_join(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.9,
+    min_inner_size: int = 8,
+    materialize: bool = True,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """EXACT asymmetric set-CONTAINMENT self-join: pairs where the
+    smaller document's n-gram set is mostly inside the larger's,
+    ``|A.grams ∩ B.grams| / |A.grams| >= threshold`` with
+    ``|A| <= |B|`` (ties broken by id).
+
+    This is the duplicate class symmetric Jaccard structurally MISSES:
+    a short document quoted verbatim inside a much longer one has
+    containment ~1.0 but Jaccard ~|A|/|B| -> 0, so no Jaccard
+    threshold catches it without flooding on unrelated pairs.  Corpus
+    dedup pipelines run both (near-dup = Jaccard, quote/subset-dup =
+    containment).
+
+    Candidate generation adapts the AllPairs prefix bound to the
+    asymmetric predicate: with required overlap ``α = ceil(t*|A|)``,
+    any qualifying pair must collide between A's df-rarest PREFIX of
+    length ``|A| - α + 1`` and B's FULL gram list (if no prefix gram
+    of A is in B, the intersection fits inside A's last ``α - 1``
+    grams < α).  Only the small side is prefix-indexed -- the big
+    side has no size-ratio prune under containment, so it contributes
+    every gram, positioned, and the PPJoin positional cap
+    ``1 + min(|A|-i, |B|-j) >= α`` prunes pre-shuffle.  Prefix grams
+    are globally rarest, so the full-side posting lists they probe
+    are short by construction.
+
+    All threshold arithmetic is integer (``threshold`` as p/q), the
+    same float-ceil-off-by-one discipline as
+    :func:`jaccard_similarity_join`.  ``min_inner_size`` floors the
+    inner set size: a document shorter than ``shingle_n`` has one
+    gram and is trivially "contained" everywhere; mirror the floor in
+    any oracle.
+
+    Output: (inner_id, outer_id, inter_size, inner_size) -- integers,
+    exact, so a naive all-pairs SQL oracle matches bit-for-bit.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    p, q = frac.numerator, frac.denominator
+    sets = (
+        _spread(df)
+        .select(F.col(id_col), shingle_strings(text_col, shingle_n).alias("grams"))
+        .withColumn("sz", F.size("grams"))
+        .where(F.col("sz") >= min_inner_size)
+    )
+    if materialize:
+        # read by the df-count pass, the prefix build, the full-side
+        # index, and both verify sides
+        sets = _persist_tracked(sets)
+    sets_hashed = sets.withColumn(
+        "hg", F.transform("grams", lambda g: F.xxhash64(g))
+    )
+
+    tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
+    gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    gdf_b = F.broadcast(gdf)
+    # every doc's grams ordered by global df (rarest first), positioned
+    ordered = (
+        tok.join(gdf_b, "g")
+        .groupBy(id_col, "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ordered"))
+        .select(
+            id_col,
+            "sz",
+            F.posexplode("ordered").alias("pos0", "pg"),
+        )
+        .select(
+            id_col,
+            "sz",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("pg.g").alias("g"),
+        )
+    )
+    if materialize:
+        ordered = _persist_tracked(ordered)
+    # inner prefix: plen = sz - ceil(p*sz/q) + 1, integer ceil
+    plen = (
+        F.col("sz")
+        - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
+        + 1
+    )
+    prefixes = ordered.where(F.col("pos") <= plen)
+
+    l, r = prefixes.alias("l"), ordered.alias("r")
+    lid, rid = f"l.{id_col}", f"r.{id_col}"
+    # positional cap on achievable overlap vs required α = ceil(p*szA/q):
+    # q*(1 + min(szA - i, szB - j)) >= p*szA
+    pos_cap = F.lit(1) + F.least(
+        F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
+    )
+    cands = (
+        l.join(
+            r,
+            (F.col("l.g") == F.col("r.g"))
+            & (
+                (F.col("l.sz") < F.col("r.sz"))
+                | ((F.col("l.sz") == F.col("r.sz")) & (F.col(lid) < F.col(rid)))
+            )
+            & (F.lit(q) * pos_cap >= F.lit(p) * F.col("l.sz")),
+        )
+        .select(F.col(lid).alias("inner_id"), F.col(rid).alias("outer_id"))
+        .distinct()
+    )
+
+    hint = F.broadcast if broadcast_verify else (lambda x: x)
+    inner_sets = sets_hashed.select(
+        F.col(id_col).alias("inner_id"),
+        F.col("hg").alias("g_i"),
+        F.col("sz").alias("sz_i"),
+    )
+    outer_sets = sets_hashed.select(
+        F.col(id_col).alias("outer_id"), F.col("hg").alias("g_o")
+    )
+    return (
+        cands.join(hint(inner_sets), "inner_id")
+        .join(hint(outer_sets), "outer_id")
+        .withColumn("inter_size", F.size(F.array_intersect("g_i", "g_o")))
+        .where(F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("sz_i"))
+        .select(
+            "inner_id",
+            "outer_id",
+            F.col("inter_size").cast("int").alias("inter_size"),
+            F.col("sz_i").cast("int").alias("inner_size"),
+        )
+    )
+
+
 def _cut_lineage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` AND truncate its logical plan (persist does
     neither of the latter -- iterative algorithms double their plan per

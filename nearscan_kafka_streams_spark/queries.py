@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nearscan_kafka_streams_spark.functions.dedup import (
+    containment_join,
     jaccard_similarity_join,
     minhash_lsh_candidates,
     simhash_pairs,
@@ -3213,6 +3214,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and tests/test_dedup_family.py.)"""
     d = _t(spark, sf_dir, "documents")
     return jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric 5-gram CONTAINMENT pairs (|A∩B|/|A| >= 0.9,
+    smaller doc as A): the quote/subset-duplicate class that symmetric
+    Jaccard misses (a short doc verbatim inside a long one has J ~
+    |A|/|B| -> 0 but containment ~1).  Engine: small-side-only prefix
+    filtering against a positioned full-gram index (AllPairs bound
+    adapted to the asymmetric predicate) -- exact, so the naive
+    all-pairs DuckDB oracle hash-matches."""
+    d = _t(spark, sf_dir, "documents")
+    return containment_join(d, threshold=0.9, broadcast_verify=True)
+
+
+NGRAM_CONTAINMENT_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 5)
+                        for i in range(1, greatest(length(t) - 4, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+),
+f AS (SELECT * FROM g WHERE length(grams) >= 8),
+p AS (
+  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+         length(list_intersect(a.grams, b.grams)) AS inter_size,
+         length(a.grams) AS la
+  FROM f a JOIN f b
+    ON (length(a.grams) < length(b.grams)
+        OR (length(a.grams) = length(b.grams) AND a.doc_id < b.doc_id))
+)
+SELECT inner_id, outer_id,
+       CAST(inter_size AS INT) AS inter_size,
+       CAST(la AS INT) AS inner_size
+FROM p WHERE 10 * inter_size >= 9 * la
+"""
 
 
 NGRAM_JACCARD_SQL = r"""
@@ -6564,6 +6602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST; entries green in the immediately-previous round go last.
     #
     # --- new this round (never verified) ---
+    "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
     "mixture_upsample_documents": mixture_upsample_documents,
     "bloom_prune_join_orders": bloom_prune_join_orders,
@@ -6723,6 +6762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,
     "bloom_prune_join_orders": BLOOM_PRUNE_JOIN_SQL,

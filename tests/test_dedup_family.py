@@ -205,6 +205,75 @@ def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
     assert want and got == want
 
 
+def test_containment_join_exact_vs_bruteforce(spark):
+    """Asymmetric prefix filtering must be lossless: output == python
+    brute-force all-pairs containment over 5-gram sets."""
+    import re as _re
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        containment_join,
+        release_cached,
+    )
+
+    long = (
+        "in the beginning the corpus held many documents and each "
+        "document held many sentences of varied shape and length " * 3
+    )
+    quote = "each document held many sentences of varied shape"
+    docs = (
+        [(0, long), (1, quote), (2, quote + " entirely")]
+        + [(3 + i, f"unrelated text about topic number {i} with filler") for i in range(10)]
+    )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["inner_id"], r["outer_id"], r["inter_size"], r["inner_size"])
+        for r in containment_join(df, threshold=0.9).collect()
+    }
+    release_cached()
+
+    def grams(t):
+        t = _re.sub(r"\s+", " ", t.lower().strip())
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+    gs = {i: grams(t) for i, t in docs if len(grams(t)) >= 8}
+    want = set()
+    ids = sorted(gs)
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            la, lb = len(gs[a]), len(gs[b])
+            if la > lb or (la == lb and a >= b):
+                continue
+            inter = len(gs[a] & gs[b])
+            if 10 * inter >= 9 * la:
+                want.add((a, b, inter, la))
+    # the quote is inside the long doc (the pair Jaccard misses)
+    assert any(p[:2] == (1, 0) for p in want)
+    assert want and got == want
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ~1 but
+    Jaccard ~|A|/|B| -- the symmetric join must NOT emit it at the same
+    threshold while the containment join does."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        containment_join,
+        jaccard_similarity_join,
+        release_cached,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    quote = "delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(0, long), (1, quote)], ["doc_id", "text"])
+    contained = containment_join(df, threshold=0.9).collect()
+    release_cached()
+    jacc = jaccard_similarity_join(df, shingle_n=5, threshold=0.9).collect()
+    release_cached()
+    assert [(r["inner_id"], r["outer_id"]) for r in contained] == [(1, 0)]
+    assert jacc == []
+
+
 def test_connected_components_known_graph(spark):
     """Chain, triangle, and isolated pair resolve to min-id labels
     regardless of edge order/partitioning."""
