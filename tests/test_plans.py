@@ -59,6 +59,21 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, q.__name__
 
 
+def test_containment_join_plan_shape(spark, sf_dir):
+    """The asymmetric containment join must stay equi-join shaped: the
+    prefix-vs-full-index candidate join keys on the gram (never a
+    cartesian), and broadcast_verify=True broadcasts both set sides."""
+    from nearscan_kafka_streams_spark.functions.dedup import release_cached
+    from nearscan_kafka_streams_spark.queries import dedup_ngram_containment
+
+    df = dedup_ngram_containment(spark, sf_dir)
+    plan = formatted_plan(df)
+    broadcasts = has_broadcast_hash_join(df)
+    release_cached()
+    assert "CartesianProduct" not in plan
+    assert broadcasts
+
+
 def test_observe_counts(spark, sf_dir):
     from nearscan_kafka_streams_spark.queries import _t
 
