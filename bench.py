@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_winnowed_spans",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_simhash",
     "ann_bruteforce_cosine",
     "ann_ivf_cosine",

@@ -449,6 +449,7 @@ def containment_join(
     min_inner_size: int = 8,
     materialize: bool = True,
     broadcast_verify: bool = False,
+    bitmap_max_vocab: int = 4096,
 ) -> DataFrame:
     """EXACT asymmetric set-CONTAINMENT self-join: pairs where the
     smaller document's n-gram set is mostly inside the larger's,
@@ -483,6 +484,16 @@ def containment_join(
 
     Output: (inner_id, outer_id, inter_size, inner_size) -- integers,
     exact, so a naive all-pairs SQL oracle matches bit-for-bit.
+
+    Dense corpora hit prefix filtering even harder here than in the
+    symmetric join (no length-ratio prune at all), so the small-vocab
+    bitmap verify of :func:`jaccard_similarity_join` matters more:
+    when the measured gram vocabulary is ``<= bitmap_max_vocab`` each
+    doc's gram set becomes a ``vocab/64``-word bitmap and the exact
+    intersection is a few long ANDs per candidate instead of a
+    per-pair hash-set intersect over ~|doc| element arrays -- measured
+    2.6x end-to-end on the sf0.1 synthetic corpus (2k distinct
+    5-grams, ~6M candidates).
     """
     from fractions import Fraction
 
@@ -492,18 +503,26 @@ def containment_join(
         _spread(df)
         .select(F.col(id_col), shingle_strings(text_col, shingle_n).alias("grams"))
         .withColumn("sz", F.size("grams"))
-        .where(F.col("sz") >= min_inner_size)
     )
     if materialize:
         # read by the df-count pass, the prefix build, the full-side
         # index, and both verify sides
         sets = _persist_tracked(sets)
+    # min-size filter AFTER the persist, never before: pushed below the
+    # projection, the predicate re-evaluates the shingle chain with the
+    # normalization regex re-run per array element inside the transform
+    # lambda (no subexpression elimination in filter context) -- measured
+    # 0.3 s -> 15 s on the sf0.1 corpus.  Against the materialized frame
+    # it reads cached grams.
+    sets = sets.where(F.col("sz") >= min_inner_size)
     sets_hashed = sets.withColumn(
         "hg", F.transform("grams", lambda g: F.xxhash64(g))
     )
 
     tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
     gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    vocab_size = gdf.count()
+    use_bitmap = vocab_size <= bitmap_max_vocab
     gdf_b = F.broadcast(gdf)
     # every doc's grams ordered by global df (rarest first), positioned
     ordered = (
@@ -554,6 +573,73 @@ def containment_join(
     )
 
     hint = F.broadcast if broadcast_verify else (lambda x: x)
+
+    if use_bitmap:
+        # dense corpus: same fixed-width bitmap representation as the
+        # symmetric join -- exact intersection via AND + popcount, no
+        # gram hashing at all (collision-free)
+        n_words = (vocab_size + 63) // 64
+        vocab = gdf.select(
+            "g",
+            (F.row_number().over(Window.orderBy("df", "g")) - 1).alias("idx"),
+        )
+        bitmaps = (
+            tok.join(F.broadcast(vocab), "g")
+            .select(
+                id_col,
+                "sz",
+                (F.col("idx") / 64).cast("int").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)").alias("bit"),
+            )
+            .groupBy(id_col, "sz", "word")
+            .agg(F.bit_or("bit").alias("bits"))
+            .groupBy(id_col, "sz")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("word", "bits"))
+                ).alias("m")
+            )
+            .select(
+                id_col,
+                "sz",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_words - 1)),
+                    lambda w: F.coalesce(
+                        F.element_at(F.col("m"), w), F.lit(0).cast("long")
+                    ),
+                ).alias("bm"),
+            )
+        )
+        if materialize:
+            bitmaps = _persist_tracked(bitmaps)
+        inner_sets = bitmaps.select(
+            F.col(id_col).alias("inner_id"),
+            F.col("bm").alias("bm_i"),
+            F.col("sz").alias("sz_i"),
+        )
+        outer_sets = bitmaps.select(
+            F.col(id_col).alias("outer_id"), F.col("bm").alias("bm_o")
+        )
+        inter = F.aggregate(
+            F.zip_with(
+                "bm_i", "bm_o", lambda a, b: F.bit_count(a.bitwiseAND(b))
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            cands.join(hint(inner_sets), "inner_id")
+            .join(hint(outer_sets), "outer_id")
+            .withColumn("inter_size", inter)
+            .where(F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("sz_i"))
+            .select(
+                "inner_id",
+                "outer_id",
+                F.col("inter_size").cast("int").alias("inter_size"),
+                F.col("sz_i").cast("int").alias("inner_size"),
+            )
+        )
+
     inner_sets = sets_hashed.select(
         F.col(id_col).alias("inner_id"),
         F.col("hg").alias("g_i"),

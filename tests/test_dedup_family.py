@@ -253,6 +253,36 @@ def test_containment_join_exact_vs_bruteforce(spark):
     assert want and got == want
 
 
+def test_containment_bitmap_and_array_paths_agree(spark):
+    """Both verify representations (dense-vocab bitmap AND+popcount vs
+    hashed-array intersect) must produce identical pairs."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        containment_join,
+        release_cached,
+    )
+
+    long = (
+        "in the beginning the corpus held many documents and each "
+        "document held many sentences of varied shape and length " * 3
+    )
+    quote = "each document held many sentences of varied shape"
+    docs = [(0, long), (1, quote)] + [
+        (2 + i, f"unrelated text about topic number {i} with filler")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    via_bitmap = {
+        tuple(r) for r in containment_join(df, threshold=0.9).collect()
+    }
+    release_cached()
+    via_array = {
+        tuple(r)
+        for r in containment_join(df, threshold=0.9, bitmap_max_vocab=0).collect()
+    }
+    release_cached()
+    assert via_bitmap and via_bitmap == via_array
+
+
 def test_containment_catches_what_jaccard_misses(spark):
     """A short doc quoted inside a much longer one: containment ~1 but
     Jaccard ~|A|/|B| -- the symmetric join must NOT emit it at the same
