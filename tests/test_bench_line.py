@@ -1,0 +1,54 @@
+"""The bench stdout contract: the driver tail-reads ~2 KB of stdout,
+splits on newlines, and ``json.loads`` the FINAL line.  Rounds 2-4 lost
+their bench numbers because the final line embedded ~90 per-query
+timings (~3.3 KB) and overflowed that window -- this test simulates the
+driver's exact parse against a worst-case-sized suite so the line can
+never regress past the window again."""
+
+from __future__ import annotations
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, final_line  # noqa: E402
+
+
+def _driver_tail_parse(stdout: str) -> dict:
+    """What the round driver does: keep the last 2000 bytes, take the
+    final non-empty line, json.loads it."""
+    tail = stdout.encode()[-2000:].decode(errors="replace")
+    lines = [ln for ln in tail.splitlines() if ln.strip()]
+    return json.loads(lines[-1])
+
+
+def test_final_line_fits_driver_tail_window():
+    # worst case: every headline query timed, long names, plus a pile of
+    # errors and noisy preceding stdout (Spark WARN spew)
+    timings = {name: 123.456 for name in HEADLINE}
+    timings.update({f"extra_query_with_a_long_name_{i:03d}": 9.99 for i in range(40)})
+    errors = {f"err_query_{i}": "SomeException: boom" for i in range(20)}
+
+    line = final_line(timings, errors, 0.1)
+    assert len(line.encode()) < 500, f"final line is {len(line)} bytes"
+
+    noise = "\n".join(f"26/08/14 12:00:{i:02d} WARN Executor: spill {i}" for i in range(60))
+    stdout = noise + "\n" + line + "\n"
+
+    parsed = _driver_tail_parse(stdout)
+    assert parsed["metric"] == "headline-suite wall time"
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["n_queries"] == len(timings)
+    assert parsed["error_count"] == len(errors)
+    assert isinstance(parsed["value"], float)
+    # the per-query dict must NOT be on the line -- it lives in the side file
+    assert "queries" not in parsed
+    assert "stress_10x_ratio" not in parsed
+
+
+def test_final_line_zero_queries_still_parses():
+    parsed = json.loads(final_line({}, {}, "0.01"))
+    assert parsed["value"] == 0 and parsed["n_queries"] == 0
