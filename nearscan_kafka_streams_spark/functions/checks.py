@@ -38,7 +38,10 @@ class TableChecks:
     """Constraint set for one table.
 
     ``complete``    -- columns that must never be null.
-    ``unique``      -- column tuples that must be row-unique.
+    ``unique``      -- column tuples that must be row-unique among rows
+                       whose key is fully non-null (null keys are a
+                       completeness concern -- declare the column under
+                       ``complete`` to flag them).
     ``in_domain``   -- column -> allowed literal values.
     ``satisfies``   -- name -> boolean Column that every row must pass.
     """
@@ -47,6 +50,13 @@ class TableChecks:
     unique: list[list[str]] = field(default_factory=list)
     in_domain: dict[str, list[str]] = field(default_factory=dict)
     satisfies: dict[str, Column] = field(default_factory=dict)
+
+
+def _all_not_null(key: list[str]) -> Column:
+    cond = F.col(key[0]).isNotNull()
+    for k in key[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return cond
 
 
 def check_table(df: DataFrame, checks: TableChecks) -> DataFrame:
@@ -81,9 +91,31 @@ def check_table(df: DataFrame, checks: TableChecks) -> DataFrame:
             F.sum((~F.coalesce(cond, F.lit(False))).cast("long")),
         )
     for key in checks.unique:
+        # count_distinct drops tuples containing a null, so the delta is
+        # taken over fully-non-null-keyed rows only: a null key is a
+        # COMPLETENESS concern (declare it under `complete`), not a
+        # uniqueness violation -- otherwise checking a nullable column
+        # for uniqueness alone would count every null row as a dup.
+        non_null = F.count(
+            F.when(
+                F.lit(True)
+                if not key
+                else _all_not_null(key),
+                F.lit(1),
+            )
+        )
         add(
             "unique:" + ",".join(key),
-            F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in key]),
+            non_null - F.count_distinct(*[F.col(k) for k in key]),
+        )
+    if not aggs:
+        # empty constraint set: df.agg() with zero expressions (and
+        # stack(0)) are invalid SQL -- return a valid empty report
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            "check_name string, observed long, expected long, "
+            "passed boolean",
         )
     wide = df.agg(*aggs)
     stack = F.expr(

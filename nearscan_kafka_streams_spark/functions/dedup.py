@@ -482,8 +482,17 @@ def containment_join(
     gram and is trivially "contained" everywhere; mirror the floor in
     any oracle.
 
-    Output: (inner_id, outer_id, inter_size, inner_size) -- integers,
-    exact, so a naive all-pairs SQL oracle matches bit-for-bit.
+    Output: (inner_id, outer_id, inter_size, inner_size) -- integers.
+    Exactness: the bitmap verify path (measured vocab <=
+    ``bitmap_max_vocab``) intersects over exact per-vocab bit
+    positions and matches a naive all-pairs SQL oracle bit-for-bit.
+    The large-vocab path intersects xxhash64-hashed grams, so it is
+    exact modulo 64-bit hash collisions between distinct grams of one
+    document pair (probability ~|doc|^2 / 2^64 per pair; at a billion
+    docs of 10k grams each, ~1e-5 affected pairs corpus-wide).  Claim
+    bit-for-bit parity only under the bitmap path, or intersect raw
+    gram strings (3-4x the verify bytes) where absolute exactness is
+    required at large vocab.
 
     Dense corpora hit prefix filtering even harder here than in the
     symmetric join (no length-ratio prune at all), so the small-vocab

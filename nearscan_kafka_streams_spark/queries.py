@@ -5775,7 +5775,7 @@ WITH m AS (
       AS dom_status,
     sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END)
       AS sat_price,
-    count(*) - count(DISTINCT o_orderkey) AS dup_orderkey
+    count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_orderkey
   FROM orders
 ), fk AS (
   SELECT count(*) AS orphans

@@ -412,6 +412,7 @@ def duckdb_merge_fn(
     table: str,
     key_col: str,
     order_cols: list[str] | None = None,
+    max_batch_rows: int = 5_000_000,
 ) -> Callable[[DataFrame, int], None]:
     """Reference ``merge_fn``: true SQL UPSERT into a DuckDB table,
     mirroring the reference's JDBC sink connector contract
@@ -420,6 +421,14 @@ def duckdb_merge_fn(
     Collects each micro-batch through Arrow on the driver -- correct for
     changelog batches (bounded by keys changed per trigger), the same
     shape the reference's connector consumes from the compacted topic.
+
+    Batch-size contract: update-mode changelog batches are bounded by
+    the number of DISTINCT KEYS changed per trigger, not raw event
+    volume, so driver materialization is safe at commit-interval rates.
+    ``max_batch_rows`` enforces that contract -- a batch past the bound
+    raises an actionable error instead of silently OOMing the driver
+    (shorten the trigger interval, or use ``foreach_batch_upsert`` --
+    the distributed parquet store -- for unbounded key spaces).
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -430,7 +439,22 @@ def duckdb_merge_fn(
             if order_cols
             else batch_df
         )
+        # persist: the size guard and the Arrow collect below would
+        # otherwise each recompute the dedupe window
+        batch = batch.persist()
+        n = batch.limit(max_batch_rows + 1).count()
+        if n > max_batch_rows:
+            batch.unpersist()
+            raise ValueError(
+                f"duckdb_merge_fn: micro-batch {batch_id} exceeds "
+                f"max_batch_rows={max_batch_rows} after key-dedupe; the "
+                f"JDBC-mirror sink materializes batches on the driver "
+                f"and is sized for changelog rates. Shorten the trigger "
+                f"interval or switch to foreach_batch_upsert (the "
+                f"distributed keyed store) for this key cardinality."
+            )
         pdf = batch.toPandas()
+        batch.unpersist()
         con = duckdb.connect(db_path)
         try:
             con.register("_batch", pdf)

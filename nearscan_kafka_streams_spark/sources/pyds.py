@@ -259,14 +259,31 @@ class ConfluentAvroWriter(DataSourceWriter):
 
     def commit(self, messages):
         import shutil as _shutil
+        import uuid as _uuid
 
+        # Committed names carry a per-commit id so mode("append") into a
+        # directory with earlier commits can never collide with (and
+        # silently overwrite) their part files.  Staged segments move
+        # into place FIRST; overwrite deletes the superseded files only
+        # AFTER every new segment is live, so a crash mid-commit leaves
+        # old+new (a retry converges) instead of an emptied directory.
+        commit_id = _uuid.uuid4().hex[:12]
+        finals: set[str] = set()
+        for i, msg in enumerate(m for m in messages if m is not None):
+            fname = f"part-{commit_id}-{i:05d}.bin"
+            _shutil.move(
+                os.path.join(self.dir, msg.tmp_name),
+                os.path.join(self.dir, fname),
+            )
+            finals.add(fname)
         if self.overwrite:
             for f in os.listdir(self.dir):
-                if not f.startswith("_staged-") and not f.startswith("."):
-                    os.remove(os.path.join(self.dir, f))
-        for i, msg in enumerate(m for m in messages if m is not None):
-            final = os.path.join(self.dir, f"part-{i:05d}.bin")
-            _shutil.move(os.path.join(self.dir, msg.tmp_name), final)
+                if (
+                    f.startswith(("_staged-", "."))
+                    or f in finals
+                ):
+                    continue
+                os.remove(os.path.join(self.dir, f))
 
     def abort(self, messages):
         for msg in messages:

@@ -81,6 +81,35 @@ def test_data_quality_orders_green_on_testdata(spark):
     assert all(obs == 0 and ok for obs, ok in rep.values()), rep
 
 
+def test_empty_checks_returns_empty_report(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    rep = check_table(df, TableChecks())
+    assert rep.columns == ["check_name", "observed", "expected", "passed"]
+    assert rep.count() == 0
+
+
+def test_unique_ignores_null_keys(spark):
+    # two null-keyed rows are NOT uniqueness violations (that's a
+    # completeness concern); the duplicated non-null key is one
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (None, "z"), (None, "w"), (2, "v")],
+        "id int, v string",
+    )
+    rep = _report(check_table(df, TableChecks(unique=[["id"]])))
+    assert rep["unique:id"] == (1, False)
+    rep2 = _report(
+        check_table(df, TableChecks(complete=["id"], unique=[["id"]]))
+    )
+    assert rep2["complete:id"] == (2, False)
+
+    # multi-column key: a row with ANY null key component is excluded
+    df3 = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, None), (2, None)], "k1 int, k2 string"
+    )
+    rep3 = _report(check_table(df3, TableChecks(unique=[["k1", "k2"]])))
+    assert rep3["unique:k1,k2"] == (1, False)
+
+
 def test_check_table_single_scan(spark):
     """The WHOLE report -- row-local checks AND uniqueness -- must be
     one aggregate over one scan (stack unpivot of a single row), never

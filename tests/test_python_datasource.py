@@ -182,3 +182,79 @@ def test_write_leg_round_trips(spark, tmp_path):
     assert sorted(x["receipt_id"] for x in back.collect()) == sorted(
         x["receipt_id"] for x in r.collect()
     )
+
+
+def test_write_leg_append_twice_keeps_both_commits(spark, tmp_path):
+    """mode('append') into a directory that already has committed
+    segments must not collide with (and overwrite) them: committed
+    names carry a per-commit id, so both writes' records survive."""
+    import json as _json
+    import os as _os
+
+    from fixtures_near import to_dataframes
+
+    r, _, _, _ = to_dataframes(spark)
+    spark.dataSource.register(ConfluentAvroDataSource)
+    d = str(tmp_path / "appended")
+    _os.makedirs(d, exist_ok=True)
+
+    def wr(df):
+        (
+            df.repartition(2)
+            .write.format("confluentavro")
+            .option("path", d)
+            .option("avro_schema", _json.dumps(avro_value_schema("receipts")))
+            .mode("append")
+            .save()
+        )
+
+    wr(r)
+    wr(r)  # second commit: same partition count, same would-be names
+    files = [f for f in _os.listdir(d) if f.startswith("part-")]
+    assert len(files) == 4, files
+
+    back = (
+        spark.read.format("confluentavro")
+        .schema(RECEIPTS_SCHEMA)
+        .option("path", d)
+        .option("avro_schema", _json.dumps(avro_value_schema("receipts")))
+        .load()
+    )
+    assert back.count() == 2 * r.count()
+
+
+def test_write_leg_overwrite_replaces_prior_commit(spark, tmp_path):
+    """mode('overwrite'): superseded segments are removed only AFTER
+    the new ones are in place, and the surviving contents equal exactly
+    the new commit."""
+    import json as _json
+    import os as _os
+
+    from fixtures_near import to_dataframes
+
+    r, _, _, _ = to_dataframes(spark)
+    spark.dataSource.register(ConfluentAvroDataSource)
+    d = str(tmp_path / "overwritten")
+    _os.makedirs(d, exist_ok=True)
+
+    def wr(df, mode):
+        (
+            df.repartition(2)
+            .write.format("confluentavro")
+            .option("path", d)
+            .option("avro_schema", _json.dumps(avro_value_schema("receipts")))
+            .mode(mode)
+            .save()
+        )
+
+    wr(r, "append")
+    subset = r.limit(2)
+    wr(subset, "overwrite")
+    back = (
+        spark.read.format("confluentavro")
+        .schema(RECEIPTS_SCHEMA)
+        .option("path", d)
+        .option("avro_schema", _json.dumps(avro_value_schema("receipts")))
+        .load()
+    )
+    assert back.count() == 2

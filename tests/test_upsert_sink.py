@@ -191,6 +191,30 @@ def test_duckdb_merge_fn_upsert(spark, tmp_path):
     assert rows == {"a": 15, "b": 5, "c": 1}
 
 
+def test_duckdb_merge_fn_oversized_batch_raises(spark, tmp_path):
+    """The JDBC-mirror sink materializes each micro-batch on the
+    driver; a batch past max_batch_rows must raise actionably instead
+    of OOMing, and must leave the store untouched."""
+    import duckdb
+
+    db = str(tmp_path / "store.duckdb")
+    merge = duckdb_merge_fn(db, "balances", "account", max_batch_rows=2)
+    big = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1), ("c", 3, 1)], ["account", "balance", "ts"]
+    )
+    try:
+        merge(big, 0)
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "max_batch_rows" in str(exc)
+        assert "foreach_batch_upsert" in str(exc)
+    # nothing was written
+    con = duckdb.connect(db)
+    tables = [t[0] for t in con.execute("SHOW TABLES").fetchall()]
+    con.close()
+    assert "balances" not in tables
+
+
 def test_dedupe_latest_deterministic(spark):
     df = spark.createDataFrame(
         [("a", 1, 1), ("a", 2, 1), ("a", 3, 2)], ["k", "v", "ord"]
