@@ -254,6 +254,58 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["token_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # wire flagship: the SAME topology fed from Confluent-framed Avro
+    # record logs through the custom Python DataSource -- wire bytes in,
+    # balance store out (streaming/pipeline.py:run_wire_pipeline).  This
+    # is the closest in-sandbox equivalent of the reference's production
+    # Kafka workload, so it gets a reference-parity headline number.
+    # Staging (generate + distributed Avro-encode via the write leg) is
+    # untimed producer work; the timed span is the availableNow run.
+    try:
+        import json as _json
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from nearscan_kafka_streams_spark.schemas import avro_value_schema
+        from nearscan_kafka_streams_spark.sources.pyds import (
+            ConfluentAvroDataSource,
+        )
+        from nearscan_kafka_streams_spark.streaming.pipeline import (
+            run_wire_pipeline,
+        )
+
+        spark.dataSource.register(ConfluentAvroDataSource)
+        n_wire = max(int(200_000 * float(sf)), 2000)
+        wr, wo, wa = generate_near_tables(spark, n_wire)
+        wire_root = _tempfile.mkdtemp(prefix="bench_wire_")
+        try:
+            for topic, df in (
+                ("receipts", wr),
+                ("execution_outcomes", wo),
+                ("action_receipt_actions", wa),
+            ):
+                (
+                    df.repartition(8)
+                    .write.format("confluentavro")
+                    .option("path", f"{wire_root}/logs/{topic}")
+                    .option(
+                        "avro_schema",
+                        _json.dumps(avro_value_schema(topic)),
+                    )
+                    .mode("append")
+                    .save()
+                )
+            t0 = time.perf_counter()
+            balances = run_wire_pipeline(
+                spark, f"{wire_root}/logs", f"{wire_root}/out"
+            )
+            balances.write.format("noop").mode("overwrite").save()
+            timings["wire_pipeline"] = round(time.perf_counter() - t0, 3)
+        finally:
+            _shutil.rmtree(wire_root, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["wire_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # scale stress: the dedup/ANN families on a generated corpus at 1x
     # and 10x the sf0.1 documents/embeddings cardinality, so the side
     # file records a MEASURED scaling factor per family instead of a

@@ -6761,6 +6761,62 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg_orders": distinct_agg_orders,
 }
 
+# ROUND-5 ROTATION (ordering contract above): after four rounds the
+# ~50-query/round driver budget has never reached these 27 entries --
+# each round's ~37 new entries claimed the front.  Round 5 adds few new
+# entries precisely so backlog + changed + new fits inside one budget:
+# first the never-driver-sampled backlog, then entries whose
+# implementation changed this round, then round-5 additions (appended
+# to _ROUND5_NEW as they land), then everything already green.
+_NEVER_SAMPLED_BACKLOG = [
+    # SURVEY-§2-relevant stragglers first (judge priority)
+    "sliding_window_events",
+    "session_window_events",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q21_latest_shippers",
+    "pack_training_sequences",
+    "dedup_repeated_chunks",
+    "shuffle_shards",
+    "ann_ivf_append_fullprobe",
+    "ann_ivf_persisted_fullprobe",
+    "grouping_sets_orders",
+    "range_join_pricebands",
+    "window_distribution_orders",
+    "heavy_hitters_words",
+    "resample_gapfill_events",
+    "outliers_iqr_events",
+    "bm25_retrieval",
+    "bigram_coverage_score",
+    "funnel_events",
+    "retention_cohorts_events",
+    "full_outer_join_nations",
+    "moving_avg_events",
+]
+_CHANGED_R5 = [
+    # brute_force_topk gained a query-side guard; knn_classify now
+    # broadcasts the nn side; check_table uniqueness null semantics
+    "ann_bruteforce_cosine",
+    "knn_classify_embeddings",
+    "data_quality_orders",
+]
+_ROUND5_NEW: list[str] = []
+_FRONT = [
+    *_NEVER_SAMPLED_BACKLOG,
+    *_CHANGED_R5,
+    *_ROUND5_NEW,
+]
+assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
+QUERIES = {
+    **{k: QUERIES[k] for k in _FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_FRONT)},
+}
+
 ORACLES: dict[str, str] = {
     "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
