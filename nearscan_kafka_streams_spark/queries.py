@@ -6603,6 +6603,12 @@ def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole seconds BEFORE any arithmetic, so numerator/denominator are
     exact integer sums and the final figure is one integer division --
     hash-stable against any engine (the float-sum association recipe).
+    Division sign contract: Spark's ``div`` and DuckDB's integer ``//``
+    BOTH truncate toward zero (verified: ``SELECT -7//2`` -> -3 in the
+    pinned DuckDB), and the numerator is non-negative anyway --
+    durations are ordered (>= 0) and event values are magnitudes
+    (min observed 0.01; a signed-value feed would still hash-match
+    because the two engines share truncation semantics).
 
     Scale: one window (lead) and one aggregate, both partitioned by
     user_id -- a single shuffle; AQE reuses the partitioning between
@@ -6676,13 +6682,30 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); the triangle join chains the deduped edge list against
     itself twice on single-key equi-joins.  Edge lists are orders of
     magnitude smaller than the event log, and the oriented u<v<w
-    form counts each triangle exactly once with no post-dedup."""
+    form counts each triangle exactly once with no post-dedup.
+
+    Blow-up guard (the self-join is quadratic IN BUCKET MEMBERSHIP):
+    buckets with more than ``bucket_cap`` distinct users are dropped
+    before pair generation -- a bucket that hot is a flash crowd
+    whose clique links everyone to everyone and carries no community
+    signal, and at 100x data it would otherwise emit cap^2 pairs.
+    The cap is part of the query semantics, mirrored exactly in the
+    oracle; sf0.01 buckets peak at 10 members, so the default 1000
+    changes nothing on the test corpora while bounding the worst
+    bucket to ~500k pairs at any scale."""
+    bucket_cap = 1000
     e = _t(spark, sf_dir, "events")
     b = e.select(
         "user_id",
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("bh"),
     ).distinct()
+    wcap = Window.partitionBy("event_type", "bh")
+    b = (
+        b.withColumn("bsize", F.count(F.lit(1)).over(wcap))
+        .where(F.col("bsize") <= bucket_cap)
+        .drop("bsize")
+    )
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(
@@ -6719,9 +6742,14 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_SQL = r"""
-WITH b AS (
+WITH b0 AS (
   SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS bh
   FROM events
+), b AS (
+  SELECT user_id, event_type, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY event_type, bh) AS bsize
+        FROM b0)
+  WHERE bsize <= 1000
 ), pairs AS (
   SELECT l.user_id AS u, r.user_id AS v, count(*) AS n_shared
   FROM b l JOIN b r
@@ -6768,11 +6796,15 @@ def collocation_lift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode -> two hash aggregates (bigram + unigram counts,
     both combine map-side) and two equi-joins of the bigram table
     against the unigram table; the corpus is never re-scanned (the
-    token frame is shared), and the final sort ranks only bigrams
+    token frame is persisted via the tracked cache -- released by
+    ``release_cached()`` between bench queries, same lifecycle as the
+    staged LSH intermediates), and the final sort ranks only bigrams
     with support >= 5."""
+    from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(_word_tokens().alias("t")).where(F.size("t") >= 2)
-    toks = toks.persist()
+    toks = _persist_tracked(toks)
     bigrams = toks.select(
         F.explode(
             F.expr(
@@ -6848,7 +6880,11 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, char) hash aggregate with map-side combine, one per-doc
     sum -- both shuffles keyed by doc_id, no global state."""
     d = _t(spark, sf_dir, "documents")
-    chars = d.select(
+    # empty-text guard: Spark's sequence(1, 0) infers step -1 and
+    # yields [1, 0] (two phantom rows) where DuckDB's
+    # generate_series(1, 0) is empty -- filter empties in BOTH engines
+    # so zero-length documents are consistently absent from the report
+    chars = d.where(F.length("text") > 0).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -6886,6 +6922,7 @@ WITH chars AS (
   SELECT doc_id, substr(text, CAST(g AS INT), 1) AS ch
   FROM documents,
        LATERAL (SELECT unnest(generate_series(1, length(text))) AS g)
+  WHERE length(text) > 0
 ), per_class AS (
   SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
 ), with_n AS (
@@ -7164,7 +7201,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash-verified (or whose implementation changed this round) must come
     # FIRST; entries green in the immediately-previous round go last.
     #
-    # --- new this round (never verified) ---
+    # --- round-6 additions (never verified) ---
+    "twap_events": twap_events,
+    "triangle_count_users": triangle_count_users,
+    "collocation_lift_documents": collocation_lift_documents,
+    "char_entropy_documents": char_entropy_documents,
+    "inverted_index_terms": inverted_index_terms,
+    "dedup_cross_doc_sentences": dedup_cross_doc_sentences,
+    "k_anonymity_documents": k_anonymity_documents,
+    "equidepth_histogram_orders": equidepth_histogram_orders,
+    "asof_nearest_events": asof_nearest_events,
+    # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
     "mixture_upsample_documents": mixture_upsample_documents,
@@ -7324,55 +7371,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg_orders": distinct_agg_orders,
 }
 
-# ROUND-5 ROTATION (ordering contract above): after four rounds the
-# ~50-query/round driver budget has never reached these 27 entries --
-# each round's ~37 new entries claimed the front.  Round 5 adds few new
-# entries precisely so backlog + changed + new fits inside one budget:
-# first the never-driver-sampled backlog, then entries whose
-# implementation changed this round, then round-5 additions (appended
-# to _ROUND5_NEW as they land), then everything already green.
-_NEVER_SAMPLED_BACKLOG = [
-    # SURVEY-§2-relevant stragglers first (judge priority)
-    "sliding_window_events",
-    "session_window_events",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q21_latest_shippers",
-    "pack_training_sequences",
-    "dedup_repeated_chunks",
-    "shuffle_shards",
-    "ann_ivf_append_fullprobe",
-    "ann_ivf_persisted_fullprobe",
-    "grouping_sets_orders",
-    "range_join_pricebands",
-    "window_distribution_orders",
-    "heavy_hitters_words",
-    "resample_gapfill_events",
-    "outliers_iqr_events",
-    "bm25_retrieval",
-    "bigram_coverage_score",
-    "funnel_events",
-    "retention_cohorts_events",
-    "full_outer_join_nations",
-    "moving_avg_events",
+# ROUND-6 ROTATION (ordering contract above): every oracle-bearing
+# entry is cumulatively driver-green after round 5, so the front is
+# exactly (a) the nine round-5 snapshot queries registered this round
+# -- never driver-sampled -- and (b) entries whose implementation
+# changed in round 6 (appended to _CHANGED_R6 as edits land); the
+# already-green remainder follows in prior order.
+_ROUND6_NEW = [
+    "twap_events",
+    "triangle_count_users",
+    "collocation_lift_documents",
+    "char_entropy_documents",
+    "inverted_index_terms",
+    "dedup_cross_doc_sentences",
+    "k_anonymity_documents",
+    "equidepth_histogram_orders",
+    "asof_nearest_events",
 ]
-_CHANGED_R5 = [
-    # brute_force_topk gained a query-side guard; knn_classify now
-    # broadcasts the nn side; check_table uniqueness null semantics
-    "ann_bruteforce_cosine",
-    "knn_classify_embeddings",
-    "data_quality_orders",
-]
-_ROUND5_NEW: list[str] = []
+_CHANGED_R6: list[str] = []
 _FRONT = [
-    *_NEVER_SAMPLED_BACKLOG,
-    *_CHANGED_R5,
-    *_ROUND5_NEW,
+    *_ROUND6_NEW,
+    *_CHANGED_R6,
 ]
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 QUERIES = {
@@ -7381,6 +7400,15 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "twap_events": TWAP_SQL,
+    "triangle_count_users": TRIANGLE_SQL,
+    "collocation_lift_documents": COLLOCATION_SQL,
+    "char_entropy_documents": CHAR_ENTROPY_SQL,
+    "inverted_index_terms": INVERTED_INDEX_SQL,
+    "dedup_cross_doc_sentences": CROSS_DOC_SENTENCES_SQL,
+    "k_anonymity_documents": K_ANONYMITY_SQL,
+    "equidepth_histogram_orders": EQUIDEPTH_SQL,
+    "asof_nearest_events": ASOF_NEAREST_SQL,
     "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,

@@ -440,21 +440,24 @@ def duckdb_merge_fn(
             else batch_df
         )
         # persist: the size guard and the Arrow collect below would
-        # otherwise each recompute the dedupe window
+        # otherwise each recompute the dedupe window; the finally
+        # guarantees the micro-batch cache never outlives this call
+        # even when the guard or the collect raises
         batch = batch.persist()
-        n = batch.limit(max_batch_rows + 1).count()
-        if n > max_batch_rows:
+        try:
+            n = batch.limit(max_batch_rows + 1).count()
+            if n > max_batch_rows:
+                raise ValueError(
+                    f"duckdb_merge_fn: micro-batch {batch_id} exceeds "
+                    f"max_batch_rows={max_batch_rows} after key-dedupe; the "
+                    f"JDBC-mirror sink materializes batches on the driver "
+                    f"and is sized for changelog rates. Shorten the trigger "
+                    f"interval or switch to foreach_batch_upsert (the "
+                    f"distributed keyed store) for this key cardinality."
+                )
+            pdf = batch.toPandas()
+        finally:
             batch.unpersist()
-            raise ValueError(
-                f"duckdb_merge_fn: micro-batch {batch_id} exceeds "
-                f"max_batch_rows={max_batch_rows} after key-dedupe; the "
-                f"JDBC-mirror sink materializes batches on the driver "
-                f"and is sized for changelog rates. Shorten the trigger "
-                f"interval or switch to foreach_batch_upsert (the "
-                f"distributed keyed store) for this key cardinality."
-            )
-        pdf = batch.toPandas()
-        batch.unpersist()
         con = duckdb.connect(db_path)
         try:
             con.register("_batch", pdf)

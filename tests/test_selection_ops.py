@@ -154,9 +154,28 @@ class TestKnnClassify:
         data = _vecs(spark, [(i, [1.0, i / 10.0], i % 2) for i in range(8)])
         out = knn_classify(data, data.where(F.col("vec_id") == 0), k=3)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
-        # optimizer plan: the ResolvedHint/broadcast must wrap the
-        # window/rank subtree (nn), not the bare corpus Project
-        assert "rank" in plan
+        lines = plan.splitlines()
+        # locate the corpus label projection (the only `AS _nlabel` site)
+        (i_corpus,) = [i for i, l in enumerate(lines) if "AS _nlabel" in l]
+        # the label-attach join is the nearest Join ABOVE it; the corpus
+        # projection must be its LEFT (streamed) side -- so the hint must
+        # be rightHint=broadcast and no leftHint may appear
+        i_join = max(
+            i for i, l in enumerate(lines[:i_corpus]) if "Join Inner" in l
+        )
+        assert "rightHint=(strategy=broadcast)" in lines[i_join], lines[i_join]
+        assert "leftHint" not in lines[i_join], lines[i_join]
+        # and the broadcast (right) subtree is the windowed nn frame:
+        # the rank<=k filter appears BELOW the corpus projection, inside
+        # the right child of that join
+        join_indent = lines[i_join].index("Join Inner")
+        right_block = []
+        for l in lines[i_corpus + 1 :]:
+            right_block.append(l)
+            # right child ends when indentation returns to the join level
+            if l[:join_indent].strip() not in ("", ":", ":-", "+-"):
+                break
+        assert any("rank" in l and "Filter" in l for l in right_block), plan
         got = {r["vec_id"]: r["predicted"] for r in out.collect()}
         assert 0 in got
 
