@@ -18,6 +18,15 @@ Scale shape: planning lists files; ONE InputPartition per file, so a
 analog), each streaming through its file without materializing it.
 Decode uses the pure-Python Avro codec (`serde/avro.py`, written from
 the Avro spec) -- the identical bytes-level path the wire tests pin.
+
+Transfer shape: both the batch and the streaming reader yield
+`pyarrow.RecordBatch`es (records decoded executor-side, batched
+ARROW_BATCH_SIZE at a time), not per-record Python tuples -- the
+Python<->JVM boundary is crossed once per batch, the same vectorized
+lane Pandas UDFs use.  `option("arrow", "false")` restores the
+row-at-a-time tuple lane (kept for A/B measurement).  On a real
+cluster the JVM path (kafka source + substring(value, 6) + from_avro)
+replaces this source entirely -- see MIGRATION.md.
 """
 
 from __future__ import annotations
@@ -29,13 +38,71 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
 RECORD_LEN = _struct.Struct(">I")
+
+# records per yielded pyarrow.RecordBatch; bounds executor memory to
+# ~batch * record-size while amortizing the per-batch Arrow IPC cost
+ARROW_BATCH_SIZE = 4096
+
+
+def _count_records(path: str) -> int:
+    """Record count of a framed log by seeking header-to-header (reads
+    4 bytes per record, never the bodies) -- the driver-side offset
+    probe for `latestOffset`."""
+    n = 0
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        pos = 0
+        while pos < size:
+            head = fh.read(4)
+            if len(head) < 4:
+                raise EOFError(f"{path}: truncated length header at {pos}")
+            (length,) = RECORD_LEN.unpack(head)
+            pos += 4 + length
+            fh.seek(pos)
+            n += 1
+    return n
+
+
+def _decode_rows(framed_iter, codec, names):
+    from nearscan_kafka_streams_spark.serde.avro import confluent_unframe
+
+    for framed in framed_iter:
+        _schema_id, body = confluent_unframe(framed)
+        rec = codec.decode(body)
+        yield {n: rec.get(n) for n in names}
+
+
+def _arrow_schema_for(spark_schema):
+    """Arrow image of the Spark schema, computed DRIVER-side: the
+    pyspark.sql.pandas.types import pulls pandas in, which costs ~1 s
+    of cold import per executor worker if done inside read() -- the
+    pa.Schema itself pickles to tasks for free."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def _arrow_batches(framed_iter, codec, names, arrow_schema, batch_size):
+    """Decode framed records into `pyarrow.RecordBatch`es of
+    ``batch_size`` rows, typed by the Spark schema's Arrow image (so
+    decimals land as decimal128 and nothing re-infers per batch)."""
+    import pyarrow as pa
+
+    rows: list[dict] = []
+    for row in _decode_rows(framed_iter, codec, names):
+        rows.append(row)
+        if len(rows) >= batch_size:
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+            rows = []
+    if rows:
+        yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
 
 def write_framed_log(
@@ -50,20 +117,29 @@ def write_framed_log(
             fh.write(rec)
 
 
-def read_framed_log(path: str) -> Iterator[bytes]:
+def read_framed_log(
+    path: str, skip: int = 0, stop: int | None = None
+) -> Iterator[bytes]:
+    """Stream records [skip, stop) of a framed log; skipped records are
+    seeked over (headers only), not read."""
     with open(path, "rb") as fh:
-        while True:
+        i = 0
+        while stop is None or i < stop:
             head = fh.read(4)
             if not head:
                 return
             (n,) = RECORD_LEN.unpack(head)
-            body = fh.read(n)
-            if len(body) != n:
-                raise EOFError(
-                    f"{path}: truncated record (wanted {n} bytes, "
-                    f"got {len(body)})"
-                )
-            yield body
+            if i < skip:
+                fh.seek(n, os.SEEK_CUR)
+            else:
+                body = fh.read(n)
+                if len(body) != n:
+                    raise EOFError(
+                        f"{path}: truncated record (wanted {n} bytes, "
+                        f"got {len(body)})"
+                    )
+                yield body
+            i += 1
 
 
 class _FilePartition(InputPartition):
@@ -83,6 +159,12 @@ class ConfluentAvroReader(DataSourceReader):
             raise ValueError(
                 "confluentavro: option 'avro_schema' (JSON) is required"
             )
+        self.arrow = options.get("arrow", "true").lower() != "false"
+        self.batch_size = int(
+            options.get("arrow_batch_size", str(ARROW_BATCH_SIZE))
+        )
+        self.names = [f.name for f in schema.fields]
+        self.arrow_schema = _arrow_schema_for(schema) if self.arrow else None
 
     def partitions(self):
         files = sorted(
@@ -94,17 +176,17 @@ class ConfluentAvroReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         # imports INSIDE read: this body executes on executors
-        from nearscan_kafka_streams_spark.serde.avro import (
-            AvroCodec,
-            confluent_unframe,
-        )
+        from nearscan_kafka_streams_spark.serde.avro import AvroCodec
 
         codec = AvroCodec(self.avro_schema)
-        names = [f.name for f in self.spark_schema.fields]
-        for framed in read_framed_log(partition.path):
-            _schema_id, body = confluent_unframe(framed)
-            rec = codec.decode(body)
-            yield tuple(rec.get(n) for n in names)
+        framed = read_framed_log(partition.path)
+        if self.arrow:
+            yield from _arrow_batches(
+                framed, codec, self.names, self.arrow_schema, self.batch_size
+            )
+        else:
+            for row in _decode_rows(framed, codec, self.names):
+                yield tuple(row[n] for n in self.names)
 
 
 class ConfluentAvroDataSource(DataSource):
@@ -126,38 +208,51 @@ class ConfluentAvroDataSource(DataSource):
     def reader(self, schema) -> ConfluentAvroReader:
         return ConfluentAvroReader(schema, self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return ConfluentAvroStreamReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool):
         return ConfluentAvroWriter(schema, self.options, overwrite)
 
 
-class ConfluentAvroStreamReader(SimpleDataSourceStreamReader):
-    """Streaming half of the source: files are immutable append-only
-    segments (the Kafka-segment analog); the offset is a per-file
-    consumed-record map, so restarts resume exactly where the last
-    committed micro-batch ended (checkpoint-backed, replayable via
-    readBetweenOffsets).
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, skip: int, stop: int):
+        self.path = path
+        self.skip = skip
+        self.stop = stop
 
-    The Simple stream reader path materializes batches driver-side by
-    design (Spark caches them for replay) -- right for control-plane
-    rates; the batch reader above is the bulk path."""
+
+class ConfluentAvroStreamReader(DataSourceStreamReader):
+    """Streaming half of the source (full partition-based
+    DataSourceStreamReader): files are immutable append-only segments
+    (the Kafka-segment analog); the offset is a per-file
+    consumed-record map, so restarts resume exactly where the last
+    committed micro-batch ended.
+
+    Division of labor mirrors the Kafka source: the DRIVER only probes
+    offsets (`latestOffset` seeks header-to-header, 4 bytes/record,
+    no bodies) and plans one InputPartition per (file, record-range);
+    EXECUTORS decode their range and ship it as pyarrow.RecordBatches
+    -- no driver-side materialization, no per-record Python tuples.
+    Replay between checkpointed offsets re-plans the identical ranges
+    over the immutable segments (exactly-once offsets contract)."""
 
     def __init__(self, schema, options):
         self.spark_schema = schema
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("confluentavro: option 'path' is required")
-        avro_schema = options.get("avro_schema")
-        if not avro_schema:
+        self.avro_schema = options.get("avro_schema")
+        if not self.avro_schema:
             raise ValueError(
                 "confluentavro: option 'avro_schema' (JSON) is required"
             )
-        from nearscan_kafka_streams_spark.serde.avro import AvroCodec
-
-        self._codec = AvroCodec(avro_schema)
-        self._names = [f.name for f in schema.fields]
+        self.arrow = options.get("arrow", "true").lower() != "false"
+        self.batch_size = int(
+            options.get("arrow_batch_size", str(ARROW_BATCH_SIZE))
+        )
+        self.names = [f.name for f in schema.fields]
+        self.arrow_schema = _arrow_schema_for(schema) if self.arrow else None
 
     def initialOffset(self) -> dict:
         return {"consumed": {}}
@@ -169,45 +264,46 @@ class ConfluentAvroStreamReader(SimpleDataSourceStreamReader):
             f for f in os.listdir(self.dir) if not f.startswith(("_", "."))
         )
 
-    def _decode(self, framed: bytes):
-        from nearscan_kafka_streams_spark.serde.avro import confluent_unframe
+    def latestOffset(self) -> dict:
+        return {
+            "consumed": {
+                f: _count_records(os.path.join(self.dir, f))
+                for f in self._files()
+            }
+        }
 
-        _sid, body = confluent_unframe(framed)
-        rec = self._codec.decode(body)
-        return tuple(rec.get(n) for n in self._names)
+    def partitions(self, start: dict, end: dict):
+        consumed = start.get("consumed", {})
+        out = []
+        for fname, stop in sorted(end.get("consumed", {}).items()):
+            skip = int(consumed.get(fname, 0))
+            if int(stop) > skip:
+                out.append(
+                    _RangePartition(
+                        os.path.join(self.dir, fname), skip, int(stop)
+                    )
+                )
+        return out
 
-    def _read_range(self, consumed_start: dict, consumed_end: dict | None):
-        for fname in self._files():
-            skip = int(consumed_start.get(fname, 0))
-            stop = (
-                int(consumed_end.get(fname, 0))
-                if consumed_end is not None
-                else None
-            )
-            for i, framed in enumerate(
-                read_framed_log(os.path.join(self.dir, fname))
-            ):
-                if i < skip:
-                    continue
-                if stop is not None and i >= stop:
-                    break
-                yield fname, self._decode(framed)
+    def read(self, partition: _RangePartition):
+        # executor-side: decode only this partition's record range
+        from nearscan_kafka_streams_spark.serde.avro import AvroCodec
 
-    def read(self, start: dict):
-        consumed = dict(start.get("consumed", {}))
-        rows = []
-        for fname, row in self._read_range(consumed, None):
-            rows.append(row)
-            consumed[fname] = consumed.get(fname, 0) + 1
-        return iter(rows), {"consumed": consumed}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return (
-            row
-            for _f, row in self._read_range(
-                start.get("consumed", {}), end.get("consumed", {})
-            )
+        codec = AvroCodec(self.avro_schema)
+        framed = read_framed_log(
+            partition.path, partition.skip, partition.stop
         )
+        if self.arrow:
+            yield from _arrow_batches(
+                framed, codec, self.names, self.arrow_schema, self.batch_size
+            )
+        else:
+            for row in _decode_rows(framed, codec, self.names):
+                yield tuple(row[n] for n in self.names)
+
+    def commit(self, end: dict) -> None:
+        # segments are immutable; nothing to clean up at offset commit
+        pass
 
 
 class _SegmentCommit(WriterCommitMessage):

@@ -160,8 +160,16 @@ def run_wire_pipeline(
         rd("action_receipt_actions", ACTION_RECEIPT_ACTIONS_SCHEMA),
         config,
     )
+    # throughput headline: drain the bridge in one balance micro-batch
+    # (per-file replay is the fixture pipeline's state-exercise mode)
+    # -- unless per-batch version history was asked for, which only
+    # exists at micro-batch granularity
     return _run_two_query_tail(
-        spark, transfers, out_dir, retain_versions
+        spark,
+        transfers,
+        out_dir,
+        retain_versions,
+        bridge_files_per_trigger=1 if retain_versions else None,
     )
 
 
@@ -170,9 +178,19 @@ def _run_two_query_tail(
     transfers: DataFrame,
     out_dir: str,
     retain_versions: int,
+    bridge_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Shared back half: append transfers to the bridge, then the
-    update-mode balance aggregate into the keyed upsert store."""
+    update-mode balance aggregate into the keyed upsert store.
+
+    ``bridge_files_per_trigger`` sets the balance replay's micro-batch
+    granularity: 1 (the fixture-pipeline default) forces one micro-batch
+    per bridge file so tests exercise real multi-batch upsert state and
+    per-batch version retention; None lets availableNow drain the whole
+    bridge in one batch -- each micro-batch costs a full checkpoint
+    commit + state round-trip (~seconds of fixed overhead), so replaying
+    an N-file bridge one file at a time is N× that overhead with an
+    identical final store (last-writer-wins per key)."""
     transfer_path = f"{out_dir}/token_transfer"
     q1 = (
         transfers.writeStream.format("parquet")
@@ -202,11 +220,10 @@ def _run_two_query_tail(
         read_store,
     )
 
-    transfers_stream = (
-        spark.readStream.schema(TOKEN_TRANSFER_SCHEMA)
-        .option("maxFilesPerTrigger", 1)  # multi-batch: real upsert state
-        .parquet(transfer_path)
-    )
+    reader = spark.readStream.schema(TOKEN_TRANSFER_SCHEMA)
+    if bridge_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", bridge_files_per_trigger)
+    transfers_stream = reader.parquet(transfer_path)
     store = f"{out_dir}/token_balance_store"
     q2 = (
         token_balances(transfers_stream)
