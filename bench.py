@@ -363,10 +363,17 @@ def main() -> None:
         )
         return pagerank(edges, n_iter=3)
 
+    # candidate-stage counts per stress scale (the super-linear term in
+    # exact set similarity is candidate growth, not verify cost -- make
+    # it observable next to the timing ratio); keyed "<op>@<n_docs>"
+    stress_diag: dict[str, dict] = {}
+
     def _stress_ops(n_docs: int, n_vecs: int) -> dict[str, float]:
         docs = generate_documents(spark, n_docs)
         embs = generate_embeddings(spark, n_vecs)
         out: dict[str, float] = {}
+        jac_stats: dict = {}
+        stress_diag[f"dedup_ngram_jaccard@{n_docs}"] = jac_stats
         for op_name, thunk in (
             ("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs)),
             (
@@ -380,7 +387,10 @@ def main() -> None:
                 # diagnosis.
                 "dedup_ngram_jaccard",
                 lambda: jaccard_similarity_join(
-                    docs, threshold=0.9, broadcast_verify=True
+                    docs,
+                    threshold=0.9,
+                    broadcast_verify=True,
+                    stats_out=jac_stats,
                 ),
             ),
             (
@@ -477,6 +487,7 @@ def main() -> None:
         "plans": plans,
         "errors": errors,
         "scale_stress": stress,
+        "stress_diag": stress_diag,
         "sf": sf_val,
         "total_sec": total,
     }

@@ -216,8 +216,16 @@ def jaccard_similarity_join(
     materialize: bool = True,
     broadcast_verify: bool = False,
     bitmap_max_vocab: int = 4096,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via AllPairs prefix filtering.
+
+    ``stats_out``: pass a dict to have the candidate-generation stages
+    COUNTED into it (vocab_size, use_bitmap, n_candidates_raw,
+    n_candidates_distinct) -- the super-linear term in exact set
+    similarity is candidate growth, so any scale-stress harness should
+    record these next to the timing (costs one extra action; the
+    counted frame is persisted and reused by the verify stage).
 
     Emits EVERY pair with n-gram-set Jaccard >= threshold -- unlike the
     probabilistic MinHash path, which trades borderline recall for
@@ -339,6 +347,19 @@ def jaccard_similarity_join(
         ),
     ).select(F.col(lid).alias("left_id"), F.col(rid).alias("right_id"))
 
+    # candidate dedup is shared by both verify paths; when the caller
+    # asked for stats, persist+count here so the observability action
+    # and the verify stage share one candidate materialization
+    if stats_out is not None:
+        stats_out["vocab_size"] = vocab_size
+        stats_out["use_bitmap"] = use_bitmap
+        raw_cands = _persist_tracked(raw_cands)
+        stats_out["n_candidates_raw"] = raw_cands.count()
+    cands = raw_cands.distinct()
+    if stats_out is not None:
+        cands = _persist_tracked(cands)
+        stats_out["n_candidates_distinct"] = cands.count()
+
     # verify: clusters make candidate pairs quadratic while gram sets
     # stay linear, so when the per-doc set table fits in memory,
     # broadcast_verify=True joins the sets map-side instead of
@@ -404,7 +425,7 @@ def jaccard_similarity_join(
             lambda acc, v: acc + v,
         )
         return (
-            raw_cands.distinct()
+            cands
             .join(hint(left_sets), "left_id")
             .join(hint(right_sets), "right_id")
             .withColumn("inter_size", inter)
@@ -415,9 +436,8 @@ def jaccard_similarity_join(
             .select("left_id", "right_id", "inter_size", "union_size")
         )
 
-    # large vocabulary: per-pair verify is a hash-set intersect, so
-    # dedup candidates BEFORE paying it
-    cands = raw_cands.distinct()
+    # large vocabulary: per-pair verify is a hash-set intersect, on the
+    # deduped candidates (cands above)
     left_sets = sets_hashed.select(
         F.col(id_col).alias("left_id"),
         F.col("hg").alias("g_l"),

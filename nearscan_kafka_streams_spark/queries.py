@@ -7388,7 +7388,15 @@ _ROUND6_NEW = [
     "equidepth_histogram_orders",
     "asof_nearest_events",
 ]
-_CHANGED_R6: list[str] = []
+_CHANGED_R6: list[str] = [
+    # jaccard_similarity_join refactor (shared deduped-candidate frame +
+    # opt-in stats_out counting) -- every registry entry that routes
+    # through it must re-verify
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "corpus_clean_pipeline",
+]
 _FRONT = [
     *_ROUND6_NEW,
     *_CHANGED_R6,

@@ -205,6 +205,42 @@ def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
     assert want and got == want
 
 
+def test_jaccard_stats_out_counts_candidates(spark):
+    """stats_out must record the candidate-stage cardinalities (the
+    super-linear term the scale-stress harness tracks) without changing
+    the result set."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        jaccard_similarity_join,
+        release_cached,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = [(i, base + f" tail-{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    plain = {
+        tuple(r) for r in jaccard_similarity_join(df, threshold=0.8).collect()
+    }
+    release_cached()
+    stats: dict = {}
+    counted = {
+        tuple(r)
+        for r in jaccard_similarity_join(
+            df, threshold=0.8, stats_out=stats
+        ).collect()
+    }
+    release_cached()
+    assert counted == plain
+    assert stats["vocab_size"] > 0
+    assert isinstance(stats["use_bitmap"], bool)
+    # every emitted pair was once a distinct candidate; raw >= distinct
+    assert (
+        stats["n_candidates_raw"]
+        >= stats["n_candidates_distinct"]
+        >= len(plain)
+        > 0
+    )
+
+
 def test_containment_join_exact_vs_bruteforce(spark):
     """Asymmetric prefix filtering must be lossless: output == python
     brute-force all-pairs containment over 5-gram sets."""

@@ -8,11 +8,15 @@ Accepts either bench artifact shape:
   - the BENCH_PLANS_r{NN}.json side file  {"queries", "plans", ...}
 (plans live in the side file since round 4; older rounds embedded them)
 
-Regressions that trip the nonzero exit:
-  - a query slower by >25% AND >0.5 s
+Regressions that trip the nonzero exit (PLAN-SHAPE ONLY):
   - a broadcast join lost to sort-merge (broadcast count down, SMJ up)
   - new python_eval nodes (a built-in expression fell back to Python)
   - new nested-loop joins
+Timing deltas are reported as prose WARNINGs but never affect the exit
+code: per-query run-to-run variance on this box is up to 4x on
+sub-second queries (documented in BENCH notes), so a timing-based exit
+cried wolf every round and trained readers to ignore exit 2.  Plan
+fingerprints are deterministic -- drift there is a real signal.
 Other plan drift (exchange counts, scan counts) is reported but
 informational -- AQE and staged persists legitimately move those.
 """
@@ -52,8 +56,9 @@ def main() -> int:
         a, b = oq.get(name), nq.get(name)
         notes: list[str] = []
         if a is not None and b is not None and b > a * 1.25 and b - a > 0.5:
-            notes.append(f"SLOWER {a} -> {b} s")
-            regressions.append(f"{name}: slower {a} -> {b} s")
+            # timing-only: warn, never exit nonzero (4x run-to-run
+            # variance on sub-second queries makes this pure noise)
+            notes.append(f"WARN slower {a} -> {b} s (timing only)")
         if name in op and name in np_ and op[name] != np_[name]:
             o, n = op[name], np_[name]
             changed = {
