@@ -301,6 +301,31 @@ def main() -> None:
             )
             balances.write.format("noop").mode("overwrite").save()
             timings["wire_pipeline"] = round(time.perf_counter() - t0, 3)
+
+            # all-JVM control: the identical topology from
+            # parquet-staged decoded frames (file-stream sources, no
+            # Python in the data path) -- wire_pipeline minus this is
+            # the Python-decode + custom-source overhead, and this is
+            # the migration-target number for the real-cluster
+            # kafka+from_avro path (MIGRATION.md)
+            from nearscan_kafka_streams_spark.streaming.pipeline import (
+                run_parquet_pipeline,
+            )
+
+            for topic, df in (
+                ("receipts", wr),
+                ("execution_outcomes", wo),
+                ("action_receipt_actions", wa),
+            ):
+                df.repartition(8).write.mode("overwrite").parquet(
+                    f"{wire_root}/pq/{topic}"
+                )
+            t0 = time.perf_counter()
+            balances = run_parquet_pipeline(
+                spark, f"{wire_root}/pq", f"{wire_root}/out_pq"
+            )
+            balances.write.format("noop").mode("overwrite").save()
+            timings["wire_pipeline_jvm"] = round(time.perf_counter() - t0, 3)
         finally:
             _shutil.rmtree(wire_root, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001

@@ -173,6 +173,47 @@ def run_wire_pipeline(
     )
 
 
+def run_parquet_pipeline(
+    spark: SparkSession,
+    parquet_dir: str,
+    out_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    retain_versions: int = 0,
+) -> DataFrame:
+    """The SAME topology as ``run_wire_pipeline`` fed from
+    parquet-staged (already-decoded) topic frames -- the all-JVM
+    variant: file-stream sources, zero Python in the data path.  Bench
+    runs it next to the wire variant so the headline separates "Avro
+    decode through the Python DataSource" from "topology cost"; it is
+    also the shape a real cluster runs after the Kafka+`from_avro`
+    swap (MIGRATION.md), so its number is the migration target.
+
+    Expects ``{parquet_dir}/receipts`` etc. written as parquet with the
+    topic StructTypes."""
+    from nearscan_kafka_streams_spark.schemas import with_event_time
+
+    def rd(topic: str, schema) -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .parquet(f"{parquet_dir}/{topic}")
+        )
+        return with_event_time(raw, TOPIC_SCHEMAS[topic][1])
+
+    transfers = build_streaming_transfers(
+        rd("receipts", RECEIPTS_SCHEMA),
+        rd("execution_outcomes", EXECUTION_OUTCOMES_SCHEMA),
+        rd("action_receipt_actions", ACTION_RECEIPT_ACTIONS_SCHEMA),
+        config,
+    )
+    return _run_two_query_tail(
+        spark,
+        transfers,
+        out_dir,
+        retain_versions,
+        bridge_files_per_trigger=1 if retain_versions else None,
+    )
+
+
 def _run_two_query_tail(
     spark: SparkSession,
     transfers: DataFrame,

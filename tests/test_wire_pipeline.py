@@ -58,3 +58,36 @@ def test_wire_topology_matches_batch(spark, tmp_path):
         row["account"]: str(row["balance"]) for row in want_df.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_parquet_topology_matches_wire(spark, tmp_path):
+    """run_parquet_pipeline (the all-JVM control / migration-target
+    shape) must produce the identical balance store as the wire path on
+    the same inputs."""
+    from fixtures_near import to_dataframes
+
+    from nearscan_kafka_streams_spark.streaming.pipeline import (
+        run_parquet_pipeline,
+    )
+
+    r, o, a, _ = to_dataframes(spark)
+    logs = tmp_path / "logs"
+    _stage_topic(r, "receipts", logs)
+    _stage_topic(o, "execution_outcomes", logs)
+    _stage_topic(a, "action_receipt_actions", logs)
+    for topic, df in (
+        ("receipts", r),
+        ("execution_outcomes", o),
+        ("action_receipt_actions", a),
+    ):
+        df.write.mode("overwrite").parquet(str(tmp_path / "pq" / topic))
+
+    wire = run_wire_pipeline(spark, str(logs), str(tmp_path / "out_wire"))
+    jvm = run_parquet_pipeline(
+        spark, str(tmp_path / "pq"), str(tmp_path / "out_pq")
+    )
+    got_wire = {
+        row["account"]: str(row["balance"]) for row in wire.collect()
+    }
+    got_jvm = {row["account"]: str(row["balance"]) for row in jvm.collect()}
+    assert got_wire == got_jvm and len(got_jvm) > 0
