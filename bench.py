@@ -128,6 +128,18 @@ HEADLINE = [
     "listagg_order_history",
     "source_overlap_matrix",
     "token_accounting_documents",
+    # round-6 additions: tick-stream aggregate, graph census, phrase
+    # mining, information-theoretic quality, retrieval index stats,
+    # cross-doc boilerplate, privacy audit, layout stats, nearest as-of
+    "twap_events",
+    "triangle_count_users",
+    "collocation_lift_documents",
+    "char_entropy_documents",
+    "inverted_index_terms",
+    "dedup_cross_doc_sentences",
+    "k_anonymity_documents",
+    "equidepth_histogram_orders",
+    "asof_nearest_events",
 ]
 
 
