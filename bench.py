@@ -140,6 +140,13 @@ HEADLINE = [
     "k_anonymity_documents",
     "equidepth_histogram_orders",
     "asof_nearest_events",
+    # round-6 second wave: skyline, communities, sequence mining,
+    # attribution, string-distance dedup
+    "pareto_frontier_orders",
+    "label_propagation_users",
+    "markov_transitions_events",
+    "attribution_events",
+    "dedup_edit_distance_titles",
 ]
 
 

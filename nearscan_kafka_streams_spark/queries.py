@@ -7186,6 +7186,426 @@ ORDER BY click_id
 
 
 # --------------------------------------------------------------------------
+# round-6 second wave: skyline, graph communities, sequence mining,
+# attribution, and string-distance dedup
+# --------------------------------------------------------------------------
+
+
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of orders maximizing BOTH
+    o_totalprice and o_orderdate: an order is on the frontier iff no
+    other order has price >= AND date >= with at least one strict.
+    The multi-objective top-k primitive (best-effort candidate
+    selection without a scalarized score).
+
+    Scale shape: never the quadratic dominance anti-join.  Distinct
+    prices aggregate to (price, max_date); dominance by a strictly
+    HIGHER price reduces to a running max of date over prices
+    descending.  That scan is distributed by bucketing prices
+    (floor(price/10k)): the in-bucket running max is a window
+    partitioned by bucket (parallel), and the cross-bucket carry-in
+    is a running max over per-bucket maxima -- a frame with one row
+    per bucket, the same distributed-prefix-scan shape as
+    pack_training_sequences (scan.py:28).  Any price in a higher
+    bucket is strictly greater than any price in a lower one, so
+    carry-in + local running max == the global strictly-higher-price
+    running max."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("pmax"))
+    g = g.withColumn(
+        "bkt", F.floor(F.col("o_totalprice") / F.lit(10000.0))
+    )
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g1 = g.withColumn("local_best", F.max("pmax").over(wloc))
+    wbkt = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        g.groupBy("bkt")
+        .agg(F.max("pmax").alias("bmax"))
+        .withColumn("carry", F.max("bmax").over(wbkt))
+        .select("bkt", "carry")
+    )
+    # greatest() skips nulls; null best_higher == nothing strictly
+    # pricier exists
+    g2 = g1.join(carry, "bkt").withColumn(
+        "best_higher", F.greatest("local_best", "carry")
+    )
+    return (
+        o.join(
+            g2.select("o_totalprice", "pmax", "best_higher"),
+            "o_totalprice",
+        )
+        .where(
+            (F.col("o_orderdate") == F.col("pmax"))
+            & (
+                F.col("best_higher").isNull()
+                | (F.col("best_higher") < F.col("o_orderdate"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+PARETO_FRONTIER_SQL = r"""
+WITH g AS (
+  SELECT o_totalprice AS price, max(o_orderdate) AS pmax
+  FROM orders GROUP BY 1
+), g2 AS (
+  SELECT price, pmax,
+         max(pmax) OVER (ORDER BY price DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS best_higher
+  FROM g
+)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN g2 ON o.o_totalprice = g2.price
+WHERE o.o_orderdate = g2.pmax
+  AND (g2.best_higher IS NULL OR g2.best_higher < o.o_orderdate)
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+def label_propagation_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels on the user co-occurrence graph by THREE
+    synchronous min-label propagation rounds: every node starts
+    labelled with its own id; each round a node takes the min of its
+    own label and its neighbors' labels.  Fixed round count makes the
+    result deterministic and oracle-expressible (the fixpoint variant
+    is the connected-components family, covered by dedup_clusters).
+
+    Edges reuse the triangle_count construction -- users co-acting in
+    the same (event_type, hour) bucket at least twice, bucket_cap
+    guarding the quadratic pair blow-up (see triangle_count_users).
+
+    Scale shape: each round is one equi-join edge->label plus a
+    min-aggregate -- hash-partitioned on user id, no broadcast of the
+    label frame needed since both sides shuffle on the same key; the
+    edge list is persisted once and orders of magnitude smaller than
+    the event log."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
+    bucket_cap = 1000
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bh"),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "bh")
+    b = (
+        b.withColumn("bsize", F.count(F.lit(1)).over(wcap))
+        .where(F.col("bsize") <= bucket_cap)
+        .drop("bsize")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    edges = _persist_tracked(
+        l.join(
+            r,
+            (F.col("l.event_type") == F.col("r.event_type"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.user_id") < F.col("r.user_id")),
+        )
+        .groupBy(
+            F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("u", "v")
+    )
+    # self-loops fold "min of own and neighbors' labels" into ONE
+    # aggregate, so each round references the label frame exactly
+    # once -- Catalyst re-plans a derived frame per use, and the
+    # two-reference least()-form doubles the physical plan every
+    # iteration (2^rounds lineage blow-up, measured at 390 exchanges
+    # for 3 rounds before this shape)
+    sym = edges.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    nodes = sym.select("s").distinct()
+    symself = _persist_tracked(
+        sym.unionAll(nodes.select("s", F.col("s").alias("d")))
+    )
+    lab = nodes.select(
+        F.col("s").alias("user_id"), F.col("s").alias("label")
+    )
+    for _ in range(3):
+        lab = (
+            symself.alias("e")
+            .join(lab.alias("nl"), F.col("e.d") == F.col("nl.user_id"))
+            .groupBy(F.col("e.s").alias("user_id"))
+            .agg(F.min("nl.label").alias("label"))
+        )
+    return lab.select(
+        "user_id", F.col("label").cast("long").alias("label")
+    ).orderBy("user_id")
+
+
+LABEL_PROPAGATION_SQL = r"""
+WITH b0 AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS bh
+  FROM events
+), b AS (
+  SELECT user_id, event_type, bh FROM (
+    SELECT *, count(*) OVER (PARTITION BY event_type, bh) AS bsize
+    FROM b0
+  ) WHERE bsize <= 1000
+), edges AS (
+  SELECT l.user_id AS u, r.user_id AS v
+  FROM b l JOIN b r
+    ON l.event_type = r.event_type AND l.bh = r.bh
+   AND l.user_id < r.user_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+  SELECT u AS s, v AS d FROM edges
+  UNION ALL SELECT v, u FROM edges
+), l0 AS (
+  SELECT DISTINCT s AS user_id, s AS label FROM sym
+), l1 AS (
+  SELECT p.user_id, least(p.label, min(q.label)) AS label
+  FROM l0 p JOIN sym e ON e.s = p.user_id JOIN l0 q ON q.user_id = e.d
+  GROUP BY p.user_id, p.label
+), l2 AS (
+  SELECT p.user_id, least(p.label, min(q.label)) AS label
+  FROM l1 p JOIN sym e ON e.s = p.user_id JOIN l1 q ON q.user_id = e.d
+  GROUP BY p.user_id, p.label
+), l3 AS (
+  SELECT p.user_id, least(p.label, min(q.label)) AS label
+  FROM l2 p JOIN sym e ON e.s = p.user_id JOIN l2 q ON q.user_id = e.d
+  GROUP BY p.user_id, p.label
+)
+SELECT user_id, CAST(label AS BIGINT) AS label FROM l3 ORDER BY user_id
+"""
+
+
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences: for each (src, dst) pair, the transition count and the
+    conditional probability P(dst | src) in exact integer parts-per-
+    million (count * 1e6 div row_total) -- behavioral sequence mining
+    (next-event prediction features, funnel leakage).
+
+    Determinism: per-user ordering breaks timestamp ties by event_id
+    in both engines.  Scale shape: one window partitioned by user_id
+    (lead), one hash aggregate on (src, dst) -- cardinality bounded
+    by |event_type|^2 -- and the per-src total via a window over that
+    tiny aggregate, never a second scan of the log."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    t = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+    )
+    agg = t.groupBy(F.col("event_type").alias("src"), "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wsrc = Window.partitionBy("src")
+    return (
+        agg.withColumn("src_total", F.sum("n").over(wsrc))
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n_trans"),
+            F.expr("(n * 1000000) div src_total")
+            .cast("long")
+            .alias("ppm"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+MARKOV_TRANSITIONS_SQL = r"""
+WITH t AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst
+  FROM events
+), a AS (
+  SELECT src, dst, count(*) AS n
+  FROM t WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n_trans,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
+         AS ppm
+FROM a ORDER BY src, dst
+"""
+
+
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution over 30-minute-gap sessions: each
+    session containing a purchase is attributed to its FIRST event's
+    type; per first-touch type, the conversion count and the exact
+    integer mean time-to-convert in ms (sum of first-purchase-minus-
+    session-start, div by n*1000) -- the marketing-attribution shape
+    layered on the sessionize primitive (operators/sessionize.py).
+
+    Scale shape: one window partitioned by user_id builds session ids
+    (running sum of gap flags), a second per-(user, session) window
+    takes the first touch, then a two-level aggregate; nothing global
+    until the final |event_type|-row result."""
+    e = _t(spark, sf_dir, "events")
+    t = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    worder = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    t = t.withColumn(
+        "ns",
+        F.when(
+            F.col("tus") - F.lag("tus").over(worder) > 1_800_000_000, 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("ns").over(
+            worder.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wses = Window.partitionBy("user_id", "sid").orderBy(
+        "tus", "event_id"
+    )
+    t = t.withColumn("first_touch", F.first("event_type").over(wses))
+    g = (
+        t.groupBy("user_id", "sid", "first_touch")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("tus"))
+            ).alias("conv_tus"),
+            F.min("tus").alias("start_tus"),
+        )
+        .where(F.col("conv_tus").isNotNull())
+    )
+    return (
+        g.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.expr(
+                "sum(conv_tus - start_tus) div (count(1) * 1000)"
+            )
+            .cast("long")
+            .alias("avg_ms"),
+        )
+        .orderBy("first_touch")
+    )
+
+
+ATTRIBUTION_SQL = r"""
+WITH f AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+), s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+), s2 AS (
+  SELECT *, first_value(event_type)
+              OVER (PARTITION BY user_id, sid
+                    ORDER BY tus, event_id) AS first_touch
+  FROM s
+), g AS (
+  SELECT user_id, sid, first_touch,
+         min(CASE WHEN event_type = 'purchase' THEN tus END) AS conv_tus,
+         min(tus) AS start_tus
+  FROM s2 GROUP BY 1, 2, 3
+)
+SELECT first_touch, CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(conv_tus - start_tus) // (count(*) * 1000) AS BIGINT)
+         AS avg_ms
+FROM g WHERE conv_tus IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def dedup_edit_distance_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-duplicate mining by Levenshtein distance on document
+    titles (first 32 chars): the 20 most-similar ASCII title pairs
+    within (lang, first-word) blocks, ordered (distance, doc_a,
+    doc_b) -- the string-edit member of the dedup family
+    (complements token-set jaccard/containment and hash-based
+    minhash/simhash, which all miss single-character typos).
+
+    ASCII gate: Spark's levenshtein counts CODEPOINTS while the
+    oracle engine's counts BYTES, so the two agree exactly only on
+    ASCII; the gate is oracle-parity only -- the Spark side is
+    codepoint-correct on any input.
+
+    Blow-up guard (same contract as triangle_count_users): the
+    in-block self-join is quadratic in block membership, so blocks
+    with more than ``block_cap`` titles are dropped -- a block that
+    hot means the blocking key has collapsed and pairs from it carry
+    no typo signal.  sf0.1 blocks peak at ~120 members; the default
+    5000 changes nothing on the test corpora while bounding any
+    block to ~12.5M cheap 32-char comparisons.  Top-k resolves via
+    TakeOrdered, never a global sort."""
+    block_cap = 5000
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 32).alias("title"),
+        F.substring_index("text", " ", 1).alias("w1"),
+    ).where(F.col("title").rlike("^[ -~]*$"))
+    wb = Window.partitionBy("lang", "w1")
+    t = (
+        t.withColumn("bsize", F.count(F.lit(1)).over(wb))
+        .where(F.col("bsize") <= block_cap)
+        .drop("bsize")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein("a.title", "b.title")
+            .cast("long")
+            .alias("dist"),
+        )
+        .orderBy("dist", "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+EDIT_DISTANCE_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, lang, substr(text, 1, 32) AS title,
+         split_part(text, ' ', 1) AS w1
+  FROM documents
+), t1 AS (
+  SELECT * FROM t0 WHERE regexp_matches(title, '^[ -~]*$')
+), t AS (
+  SELECT doc_id, lang, title, w1 FROM (
+    SELECT *, count(*) OVER (PARTITION BY lang, w1) AS bsize FROM t1
+  ) WHERE bsize <= 5000
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.w1 = b.w1 AND a.doc_id < b.doc_id
+ORDER BY dist, doc_a, doc_b LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -7211,6 +7631,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_documents": k_anonymity_documents,
     "equidepth_histogram_orders": equidepth_histogram_orders,
     "asof_nearest_events": asof_nearest_events,
+    # --- round-6 second wave (never verified) ---
+    "pareto_frontier_orders": pareto_frontier_orders,
+    "label_propagation_users": label_propagation_users,
+    "markov_transitions_events": markov_transitions_events,
+    "attribution_events": attribution_events,
+    "dedup_edit_distance_titles": dedup_edit_distance_titles,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -7387,6 +7813,12 @@ _ROUND6_NEW = [
     "k_anonymity_documents",
     "equidepth_histogram_orders",
     "asof_nearest_events",
+    # second wave, added mid-round-6
+    "pareto_frontier_orders",
+    "label_propagation_users",
+    "markov_transitions_events",
+    "attribution_events",
+    "dedup_edit_distance_titles",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -7417,6 +7849,11 @@ ORACLES: dict[str, str] = {
     "k_anonymity_documents": K_ANONYMITY_SQL,
     "equidepth_histogram_orders": EQUIDEPTH_SQL,
     "asof_nearest_events": ASOF_NEAREST_SQL,
+    "pareto_frontier_orders": PARETO_FRONTIER_SQL,
+    "label_propagation_users": LABEL_PROPAGATION_SQL,
+    "markov_transitions_events": MARKOV_TRANSITIONS_SQL,
+    "attribution_events": ATTRIBUTION_SQL,
+    "dedup_edit_distance_titles": EDIT_DISTANCE_SQL,
     "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,
