@@ -314,3 +314,97 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert len(emitted_real) == 4
     for k in got:
         assert expect[k] == got[k]
+
+def test_watermark_late_data_semantics(spark, tmp_path):
+    """THE watermark semantic difference vs the reference topology
+    (SURVEY.md section 2.8 / section 7): Kafka Streams windowed
+    aggregates keep updating on late records until state retention
+    expires, while a Spark watermark eventually DROPS late records.
+    Spark's guarantee is one-way and two-phased -- pinned here
+    empirically (Spark 4.1, RocksDB state store):
+
+    1. a late record whose window state is STILL LIVE (the window has
+       not yet been evicted by the watermark) is MERGED -- "delayed
+       within the threshold is guaranteed aggregated, delayed beyond
+       it may or may not be";
+    2. a late record arriving AFTER its window was evicted+emitted is
+       DROPPED (numRowsDroppedByWatermark), and the window is never
+       re-emitted -- append mode emits each window exactly once.
+
+    A reference user migrating a Kafka Streams topology must know
+    both halves; state-store retention there corresponds to phase 2.
+    """
+    import os
+
+    def ev(eid, **delta):
+        return (eid, T0 + dt.timedelta(**delta), eid, "click", 1.0)
+
+    files = [
+        # batch 0: two on-time W0=[0:00,1:00) events + a head event
+        # pushing the watermark to 2:20, far past W0's end
+        [ev(0, minutes=5), ev(1, minutes=10), ev(2, hours=2, minutes=30)],
+        # batch 1: late W0 row while W0 state is still live (eviction
+        # happens at the END of this batch) -> MERGED, plus a head
+        # event advancing the watermark further
+        [ev(3, minutes=15), ev(4, hours=3)],
+        # batch 2: late W0 row AFTER W0 was evicted+emitted -> DROPPED
+        [ev(5, minutes=20), ev(6, hours=5)],
+    ]
+    df = spark.createDataFrame(
+        [r for f in files for r in f],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    pdf = df.toPandas()
+    lo = 0
+    for i, f in enumerate(files):
+        path = src / f"{chr(ord('a') + i)}.json"
+        pdf.iloc[lo : lo + len(f)].to_json(
+            path, orient="records", lines=True, date_format="iso"
+        )
+        # file source orders by modification time: force a < b < c
+        os.utime(path, (1_000_000_000 + 100 * i,) * 2)
+        lo += len(f)
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .writeStream.format("memory")
+        .queryName("late_sem_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM late_sem_out").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["window_start"], []).append(r["n"])
+
+    # W0 emitted exactly once: the still-live late row (event 3)
+    # merged, the post-eviction late row (event 5) did not
+    assert got[T0] == [3], got
+    # the drop is observable in the progress metrics of some batch
+    dropped = sum(
+        (p["stateOperators"][0] or {}).get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    # batch form (no watermark) counts every record including both
+    # late arrivals -- the gap a migrating reference user must know
+    batch = {
+        r["window_start"]: r["n"]
+        for r in df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    assert batch[T0] == 4
