@@ -231,7 +231,39 @@ def _run_two_query_tail(
     bridge in one batch -- each micro-batch costs a full checkpoint
     commit + state round-trip (~seconds of fixed overhead), so replaying
     an N-file bridge one file at a time is N× that overhead with an
-    identical final store (last-writer-wins per key)."""
+    identical final store (last-writer-wins per key).
+
+    One-shot mode (``bridge_files_per_trigger=None``) also disables
+    no-data micro-batches for the duration of the two queries: after
+    the last data batch the advanced watermark otherwise schedules one
+    more batch purely to EVICT join/dedup state (measured 9 s for an
+    empty batch -- a RocksDB load+commit per state store per shuffle
+    partition).  Eviction emits nothing for these inner interval joins
+    and the checkpoint is throwaway in a one-shot replay, so the pass
+    is pure overhead; the fixture mode keeps the default so resumable
+    checkpoints stay compacted."""
+    one_shot = bridge_files_per_trigger is None
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nodata_prev = spark.conf.get(nodata_key, "true")
+    if one_shot:
+        spark.conf.set(nodata_key, "false")
+    try:
+        return _run_two_query_tail_inner(
+            spark, transfers, out_dir, retain_versions,
+            bridge_files_per_trigger,
+        )
+    finally:
+        if one_shot:
+            spark.conf.set(nodata_key, nodata_prev)
+
+
+def _run_two_query_tail_inner(
+    spark: SparkSession,
+    transfers: DataFrame,
+    out_dir: str,
+    retain_versions: int,
+    bridge_files_per_trigger: int | None,
+) -> DataFrame:
     transfer_path = f"{out_dir}/token_transfer"
     q1 = (
         transfers.writeStream.format("parquet")
