@@ -147,6 +147,9 @@ HEADLINE = [
     "markov_transitions_events",
     "attribution_events",
     "dedup_edit_distance_titles",
+    "psi_drift_documents",
+    "ngram_novelty_sources",
+    "user_saturation_events",
 ]
 
 

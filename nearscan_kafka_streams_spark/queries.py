@@ -7605,6 +7605,202 @@ ORDER BY dist, doc_a, doc_b LIMIT 20
 """
 
 
+def psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per language bin between the
+    lexicographically-first source (the "reference snapshot") and all
+    other sources pooled -- the standard distribution-drift monitor a
+    corpus pipeline runs between ingestion snapshots before retraining
+    mixtures.  psi_micro = round(1e6 * (p-q) * ln(p/q)) per bin, the
+    char_entropy micro-nat discipline: the one transcendental is
+    quantized to BIGINT per bin BEFORE any cross-engine aggregation,
+    and p/q shares are also reported as exact integer ppm.
+
+    Bins present on only one side are excluded (inner join) -- PSI is
+    undefined there without an epsilon convention; the exact ppm
+    columns still expose one-sided mass through the totals.
+
+    Scale: two |lang|-row aggregates plus two scalar counts off one
+    scan each; every join after the aggregates touches <= |lang| rows
+    (broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    amin = d.groupBy().agg(F.min("source").alias("a_src"))
+    d2 = d.crossJoin(F.broadcast(amin)).select(
+        "lang", (F.col("source") == F.col("a_src")).alias("is_a")
+    )
+    ca = d2.where("is_a").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = d2.where("NOT is_a").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    na = d2.where("is_a").groupBy().agg(F.count(F.lit(1)).alias("na"))
+    nb = d2.where("NOT is_a").groupBy().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        ca.join(cb, "lang")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "lang",
+            F.col("ca").cast("long").alias("n_a"),
+            F.col("cb").cast("long").alias("n_b"),
+            F.expr("ca * 1000000 div na").cast("long").alias("p_ppm"),
+            F.expr("cb * 1000000 div nb").cast("long").alias("q_ppm"),
+            F.expr(
+                "CAST(round(1000000.0 "
+                "* (CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) "
+                "* ln((CAST(ca AS DOUBLE)*nb)/(CAST(cb AS DOUBLE)*na))"
+                ") AS BIGINT)"
+            ).alias("psi_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+PSI_DRIFT_SQL = r"""
+WITH amin AS (SELECT min(source) AS a_src FROM documents),
+d2 AS (
+  SELECT lang, source = (SELECT a_src FROM amin) AS is_a FROM documents
+),
+ca AS (SELECT lang, count(*) AS ca FROM d2 WHERE is_a GROUP BY 1),
+cb AS (SELECT lang, count(*) AS cb FROM d2 WHERE NOT is_a GROUP BY 1),
+na AS (SELECT count(*) AS na FROM d2 WHERE is_a),
+nb AS (SELECT count(*) AS nb FROM d2 WHERE NOT is_a)
+SELECT ca.lang, CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+       CAST(ca * 1000000 // na AS BIGINT) AS p_ppm,
+       CAST(cb * 1000000 // nb AS BIGINT) AS q_ppm,
+       CAST(round(1000000.0
+            * (CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb)
+            * ln((CAST(ca AS DOUBLE)*nb)/(CAST(cb AS DOUBLE)*na))
+            ) AS BIGINT) AS psi_micro
+FROM ca JOIN cb USING (lang) CROSS JOIN na CROSS JOIN nb
+ORDER BY ca.lang
+"""
+
+
+def ngram_novelty_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content novelty: the fraction of a source's distinct
+    word-5-gram fingerprints that appear in NO other source -- the
+    complement of source_overlap_matrix (that query prices pairwise
+    redundancy; this one prices what a source uniquely contributes,
+    the number a mixture designer weighs against its size).
+
+    Scale: shingle once scan-side, one (fp, source) distinct, one
+    fp-keyed window count (groups bounded by |sources|), one
+    |sources|-row aggregate -- all shuffles keyed by fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    grams = (
+        d.select("source", words.alias("ws"))
+        .where(F.size("ws") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 4),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("ws", i + j) for j in range(5)],
+                        )
+                    ),
+                )
+            ).alias("fp"),
+        )
+    )
+    fp = grams.select("fp", "source").distinct()
+    fp2 = fp.withColumn(
+        "nsrc", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    return (
+        fp2.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("nsrc") == 1).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("n_novel * 1000000 div n_grams").cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+NGRAM_NOVELTY_SQL = r"""
+WITH w AS (
+  SELECT source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT source,
+         unnest([md5(array_to_string(ws[i:i+4], ' '))
+                 for i in range(1, greatest(len(ws) - 4, 0) + 1)]) AS fp
+  FROM w WHERE len(ws) >= 5
+), fp AS (
+  SELECT DISTINCT fp, source FROM g
+), fp2 AS (
+  SELECT source, count(*) OVER (PARTITION BY fp) AS nsrc FROM fp
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM fp2 GROUP BY source ORDER BY source
+"""
+
+
+def user_saturation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience saturation curve: new distinct users per day and the
+    cumulative distinct-user count -- the growth curve read off any
+    event log (or, for a corpus, the marginal-new-documents curve per
+    crawl batch).  Exact dedup via per-user min-day, so no day ever
+    recounts a returning user.
+
+    Scale: one user-keyed aggregate (the only big shuffle), one
+    |days|-row aggregate, and the running sum windows over the tiny
+    daily frame."""
+    e = _t(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # day emitted as a string: DATE round-trips through pandas as
+    # datetime64 on one engine and datetime.date on the other, which
+    # the hash compare renders differently
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(wcum).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+USER_SATURATION_SQL = r"""
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+), daily AS (
+  SELECT day, count(*) AS new_users FROM fd GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7637,6 +7833,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_transitions_events": markov_transitions_events,
     "attribution_events": attribution_events,
     "dedup_edit_distance_titles": dedup_edit_distance_titles,
+    "psi_drift_documents": psi_drift_documents,
+    "ngram_novelty_sources": ngram_novelty_sources,
+    "user_saturation_events": user_saturation_events,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -7819,6 +8018,9 @@ _ROUND6_NEW = [
     "markov_transitions_events",
     "attribution_events",
     "dedup_edit_distance_titles",
+    "psi_drift_documents",
+    "ngram_novelty_sources",
+    "user_saturation_events",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -7854,6 +8056,9 @@ ORACLES: dict[str, str] = {
     "markov_transitions_events": MARKOV_TRANSITIONS_SQL,
     "attribution_events": ATTRIBUTION_SQL,
     "dedup_edit_distance_titles": EDIT_DISTANCE_SQL,
+    "psi_drift_documents": PSI_DRIFT_SQL,
+    "ngram_novelty_sources": NGRAM_NOVELTY_SQL,
+    "user_saturation_events": USER_SATURATION_SQL,
     "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,

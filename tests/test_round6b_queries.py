@@ -218,3 +218,93 @@ def test_edit_distance_pairs_match_python_recompute(spark, sf_dir):
     want = [(a, b, d) for d, a, b in pairs[:20]]
     assert got == want
     assert len(got) > 0
+
+
+def test_psi_drift_matches_python_recompute(spark, sf_dir):
+    import math
+
+    from nearscan_kafka_streams_spark.queries import psi_drift_documents
+
+    got = {
+        r["lang"]: (r["n_a"], r["n_b"], r["p_ppm"], r["q_ppm"], r["psi_micro"])
+        for r in psi_drift_documents(spark, sf_dir).collect()
+    }
+    docs = (
+        _t(spark, sf_dir, "documents").select("lang", "source").collect()
+    )
+    a_src = min(r["source"] for r in docs)
+    ca, cb = defaultdict(int), defaultdict(int)
+    for r in docs:
+        (ca if r["source"] == a_src else cb)[r["lang"]] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    want = {}
+    for lang in set(ca) & set(cb):
+        p, q = ca[lang] / na, cb[lang] / nb
+        want[lang] = (
+            ca[lang],
+            cb[lang],
+            ca[lang] * 1_000_000 // na,
+            cb[lang] * 1_000_000 // nb,
+            round(1_000_000.0 * (p - q) * math.log((ca[lang] * nb) / (cb[lang] * na))),
+        )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ngram_novelty_matches_python_recompute(spark, sf_dir):
+    import re
+
+    from nearscan_kafka_streams_spark.queries import ngram_novelty_sources
+
+    got = {
+        r["source"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in ngram_novelty_sources(spark, sf_dir).collect()
+    }
+    docs = (
+        _t(spark, sf_dir, "documents").select("source", "text").collect()
+    )
+    per_source = defaultdict(set)
+    for r in docs:
+        ws = re.sub(r"\s+", " ", r["text"].lower().strip()).split(" ")
+        if len(ws) < 5:
+            continue
+        for i in range(len(ws) - 4):
+            per_source[r["source"]].add(" ".join(ws[i : i + 5]))
+    gram_sources = defaultdict(int)
+    for src, grams in per_source.items():
+        for g in grams:
+            gram_sources[g] += 1
+    want = {}
+    for src, grams in per_source.items():
+        novel = sum(1 for g in grams if gram_sources[g] == 1)
+        want[src] = (len(grams), novel, novel * 1_000_000 // len(grams))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_user_saturation_matches_python_recompute(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import user_saturation_events
+
+    got = [
+        (r["day"], r["new_users"], r["cum_users"])
+        for r in user_saturation_events(spark, sf_dir).collect()
+    ]
+    events = (
+        _t(spark, sf_dir, "events").select("user_id", "ts").collect()
+    )
+    first = {}
+    for r in events:
+        d = r["ts"].date()
+        if r["user_id"] not in first or d < first[r["user_id"]]:
+            first[r["user_id"]] = d
+    daily = defaultdict(int)
+    for d in first.values():
+        daily[d] += 1
+    want, cum = [], 0
+    for d in sorted(daily):
+        cum += daily[d]
+        want.append((d.strftime("%Y-%m-%d"), daily[d], cum))
+    assert got == want
+    # saturation curve invariants: cumulative is the total distinct
+    # user count at the tail and new_users sums to it
+    assert got[-1][2] == len(first)
