@@ -317,9 +317,18 @@ def main() -> None:
                     .mode("append")
                     .save()
                 )
+            # state-store count per stateful op = shuffle partitions;
+            # size to per-partition state volume (thousands at 100 TB,
+            # single digits for this replay -- measured 2x wall going
+            # 32 -> 8 at bench scale, streaming/pipeline.py
+            # _shuffle_override)
+            wire_sp = max(4, min(32, n_wire // 2500))
             t0 = time.perf_counter()
             balances = run_wire_pipeline(
-                spark, f"{wire_root}/logs", f"{wire_root}/out"
+                spark,
+                f"{wire_root}/logs",
+                f"{wire_root}/out",
+                shuffle_partitions=wire_sp,
             )
             balances.write.format("noop").mode("overwrite").save()
             timings["wire_pipeline"] = round(time.perf_counter() - t0, 3)
@@ -344,7 +353,10 @@ def main() -> None:
                 )
             t0 = time.perf_counter()
             balances = run_parquet_pipeline(
-                spark, f"{wire_root}/pq", f"{wire_root}/out_pq"
+                spark,
+                f"{wire_root}/pq",
+                f"{wire_root}/out_pq",
+                shuffle_partitions=wire_sp,
             )
             balances.write.format("noop").mode("overwrite").save()
             timings["wire_pipeline_jvm"] = round(time.perf_counter() - t0, 3)

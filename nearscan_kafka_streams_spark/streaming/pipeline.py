@@ -113,12 +113,40 @@ def run_fixture_pipeline(
     )
 
 
+class _shuffle_override:
+    """Temporarily set spark.sql.shuffle.partitions for the streaming
+    queries built inside the block (the value is captured per query at
+    START and pinned into its checkpoint).  Stateful streaming cost has
+    a fixed per-batch term of one state-store load+commit PER SHUFFLE
+    PARTITION per stateful operator, so the partition count must be
+    sized to per-partition state volume: thousands at 100 TB, single
+    digits for a 60k-record replay (measured 2x wall on the wire
+    topology going 32 -> 8 at bench scale).  ``None`` = leave the
+    session setting untouched."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        if self._n is not None:
+            self._prev = self._spark.conf.get(self._KEY)
+            self._spark.conf.set(self._KEY, str(self._n))
+
+    def __exit__(self, *exc):
+        if self._n is not None:
+            self._spark.conf.set(self._KEY, self._prev)
+        return False
+
+
 def run_wire_pipeline(
     spark: SparkSession,
     log_dir: str,
     out_dir: str,
     config: PipelineConfig = DEFAULT_CONFIG,
     retain_versions: int = 0,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """The SAME topology fed from Confluent-framed Avro record logs
     through the custom Python DataSource (`sources/pyds.py`) -- wire
@@ -164,13 +192,14 @@ def run_wire_pipeline(
     # (per-file replay is the fixture pipeline's state-exercise mode)
     # -- unless per-batch version history was asked for, which only
     # exists at micro-batch granularity
-    return _run_two_query_tail(
-        spark,
-        transfers,
-        out_dir,
-        retain_versions,
-        bridge_files_per_trigger=1 if retain_versions else None,
-    )
+    with _shuffle_override(spark, shuffle_partitions):
+        return _run_two_query_tail(
+            spark,
+            transfers,
+            out_dir,
+            retain_versions,
+            bridge_files_per_trigger=1 if retain_versions else None,
+        )
 
 
 def run_parquet_pipeline(
@@ -179,6 +208,7 @@ def run_parquet_pipeline(
     out_dir: str,
     config: PipelineConfig = DEFAULT_CONFIG,
     retain_versions: int = 0,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """The SAME topology as ``run_wire_pipeline`` fed from
     parquet-staged (already-decoded) topic frames -- the all-JVM
@@ -205,13 +235,14 @@ def run_parquet_pipeline(
         rd("action_receipt_actions", ACTION_RECEIPT_ACTIONS_SCHEMA),
         config,
     )
-    return _run_two_query_tail(
-        spark,
-        transfers,
-        out_dir,
-        retain_versions,
-        bridge_files_per_trigger=1 if retain_versions else None,
-    )
+    with _shuffle_override(spark, shuffle_partitions):
+        return _run_two_query_tail(
+            spark,
+            transfers,
+            out_dir,
+            retain_versions,
+            bridge_files_per_trigger=1 if retain_versions else None,
+        )
 
 
 def _run_two_query_tail(
