@@ -150,6 +150,12 @@ HEADLINE = [
     "psi_drift_documents",
     "ngram_novelty_sources",
     "user_saturation_events",
+    # round-6 third wave: RFM, Benford, fertility, iterative BFS, HHI
+    "rfm_segments_customers",
+    "benford_digits_orders",
+    "tokenizer_fertility_documents",
+    "bfs_reachability_users",
+    "hhi_concentration_events",
 ]
 
 

@@ -7801,6 +7801,363 @@ FROM daily ORDER BY day
 """
 
 
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score every customer on Recency
+    (last order date), Frequency (order count), and Monetary (total
+    spend), then report the segment census -- the classic marketing /
+    cohort-prioritization rollup.
+
+    Determinism: ``ntile`` bucket membership depends on total order,
+    so every ORDER BY ends in the unique ``o_custkey``; monetary sums
+    are exact DECIMAL.  Scale shape: one customer-keyed aggregate
+    (the only log-sized shuffle), then three window sorts over the
+    |customers| frame -- at 100 TB swap ntile for approx-quantile
+    cutpoints to avoid the global sorts; the quartile-boundary
+    semantics (not the census) would then be approximate."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("mon"),
+    )
+    scored = per.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_d").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("mon").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("o_custkey").cast("long").alias("sample_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SQL = r"""
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS freq,
+         sum(o_totalprice) AS mon
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_d DESC, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey)  AS f_score,
+         ntile(4) OVER (ORDER BY mon DESC, o_custkey)   AS m_score
+  FROM per
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(o_custkey) AS BIGINT) AS sample_custkey
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def benford_digits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed leading-digit
+    distribution vs the Benford expectation, in exact integer
+    per-mille -- the standard first-pass anomaly/fraud screen on any
+    monetary column.
+
+    Exactness: the nine Benford per-mille expectations are hard-coded
+    integer constants (round(1000*log10(1+1/d))) so NO transcendental
+    is evaluated in either engine; observed shares use bigint
+    ``div``.  Scale shape: a 9-group hash aggregate over one scan --
+    embarrassingly parallel, no joins, no windows over big data."""
+    e = _t(spark, sf_dir, "orders")
+    expected = F.expr(
+        "CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176 "
+        "WHEN '3' THEN 125 WHEN '4' THEN 97 WHEN '5' THEN 79 "
+        "WHEN '6' THEN 67 WHEN '7' THEN 58 WHEN '8' THEN 51 "
+        "ELSE 46 END"
+    )
+    d = e.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy()
+    return (
+        agg.withColumn("total", F.sum("n").over(wtot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000) div total").cast("long").alias("obs_milli"),
+            expected.cast("long").alias("benford_milli"),
+        )
+        .withColumn(
+            "dev_milli",
+            (F.col("obs_milli") - F.col("benford_milli")).cast("long"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = r"""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit
+  FROM orders
+), agg AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000) // sum(n) OVER () AS BIGINT) AS obs_milli,
+       CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176
+                       WHEN '3' THEN 125 WHEN '4' THEN 97
+                       WHEN '5' THEN 79  WHEN '6' THEN 67
+                       WHEN '7' THEN 58  WHEN '8' THEN 51
+                       ELSE 46 END AS BIGINT) AS benford_milli,
+       CAST((n * 1000) // sum(n) OVER ()
+            - CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176
+                         WHEN '3' THEN 125 WHEN '4' THEN 97
+                         WHEN '5' THEN 79  WHEN '6' THEN 67
+                         WHEN '7' THEN 58  WHEN '8' THEN 51
+                         ELSE 46 END AS BIGINT) AS dev_milli
+FROM agg ORDER BY digit
+"""
+
+
+def tokenizer_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subword-ish tokens per
+    whitespace word (in exact integer per-mille) -- the standard
+    check that a tokenizer doesn't explode on some language before
+    committing a 100 TB tokenization run.
+
+    Token classes ([A-Za-z]+ | [0-9]+ | single other non-space) are
+    spelled with the same regex in both engines.  Scale shape: pure
+    per-row codegen expressions then a |lang|-sized aggregate --
+    no shuffle beyond the tiny final group."""
+    d = _t(spark, sf_dir, "documents")
+    # pattern passed as a column literal (F.lit), NOT through F.expr's
+    # SQL parser, so the \s escape reaches the Java regex engine intact
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    per = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).alias("n_sub"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_words"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sub").cast("long").alias("sum_subtokens"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("(sum_subtokens * 1000) div sum_words").cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_sub,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_words
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sub) AS BIGINT) AS sum_subtokens,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_sub) * 1000 // sum(n_words) AS BIGINT)
+         AS fertility_milli
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+def bfs_reachability_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability over the user co-occurrence graph
+    (same capped (event_type, hour) edge definition as
+    ``triangle_count_users``): how many users sit at each hop
+    distance 0..3 from the smallest user id -- blast-radius /
+    influence-frontier analysis as an ITERATIVE Spark algorithm.
+
+    The edge relation is NEVER materialized: a hop expands the
+    frontier through bucket MEMBERSHIP (frontier -> its buckets ->
+    their members), which reaches exactly the same neighbor set as
+    the pairwise edge list -- u is in visited, so v != u needs no
+    explicit check -- at linear cost per hop instead of the
+    quadratic per-bucket pair generation the triangle census pays.
+    The driver loop runs a fixed 3 rounds; frontier/visited persist
+    per level.  Min-level semantics fall out of frontier =
+    newly-visited-only; the oracle states the same thing as a
+    recursive CTE with min(lvl) over the explicit edge set."""
+    bucket_cap = 1000
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bh"),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "bh")
+    b = (
+        b.withColumn("bsize", F.count(F.lit(1)).over(wcap))
+        .where(F.col("bsize") <= bucket_cap)
+        .drop("bsize")
+        .persist()
+    )
+    seed = e.agg(F.min("user_id").alias("user_id"))
+    frontier = seed.select("user_id").persist()
+    visited = frontier.withColumn("lvl", F.lit(0)).persist()
+    pinned = [b, frontier, visited]
+    out = [visited.groupBy("lvl").agg(F.count(F.lit(1)).alias("n"))]
+    try:
+        for lvl in range(1, 4):
+            # no broadcast hints: the frontier starts at 1 row but
+            # visited approaches the full reachable set by depth 3,
+            # so join strategy is left to AQE (which broadcasts the
+            # small sides at bench scale and shuffles at 100 TB)
+            fb = (
+                b.join(frontier, "user_id")
+                .select("event_type", "bh")
+                .distinct()
+            )
+            nxt = (
+                b.join(fb, ["event_type", "bh"])
+                .select("user_id")
+                .distinct()
+                .join(
+                    visited.select("user_id"), "user_id", "left_anti"
+                )
+                .persist()
+            )
+            pinned.append(nxt)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(
+                nxt.withColumn("lvl", F.lit(lvl))
+            ).persist()
+            pinned.append(visited)
+            frontier = nxt
+            out.append(
+                nxt.groupBy(F.lit(lvl).alias("lvl")).agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+            )
+        res = out[0]
+        for f in out[1:]:
+            res = res.unionByName(f)
+        return (
+            res.select(
+                F.col("lvl").cast("int").alias("lvl"),
+                F.col("n").cast("long").alias("n_users"),
+            )
+            .orderBy("lvl")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
+
+
+BFS_REACH_SQL = r"""
+WITH RECURSIVE b0 AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS bh
+  FROM events
+), b AS (
+  SELECT user_id, event_type, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY event_type, bh) AS bsize
+        FROM b0)
+  WHERE bsize <= 1000
+), e AS (
+  SELECT DISTINCT l.user_id AS src, r.user_id AS dst
+  FROM b l JOIN b r
+    ON l.event_type = r.event_type AND l.bh = r.bh
+   AND l.user_id <> r.user_id
+), reach(user_id, lvl) AS (
+  SELECT min(user_id), 0 FROM events
+  UNION
+  SELECT e.dst, r.lvl + 1
+  FROM reach r JOIN e ON e.src = r.user_id
+  WHERE r.lvl < 3
+), minlvl AS (
+  SELECT user_id, min(lvl) AS lvl FROM reach GROUP BY 1
+)
+SELECT CAST(lvl AS INT) AS lvl, CAST(count(*) AS BIGINT) AS n_users
+FROM minlvl GROUP BY lvl ORDER BY lvl
+"""
+
+
+def hhi_concentration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of event value by user, per
+    event type: is the volume spread across the audience or owned by
+    a few whales?  The standard market-concentration index, computed
+    EXACTLY on quantized shares.
+
+    Exactness contract: values quantize to integer milli-units; each
+    user's share is integer parts-per-million via DECIMAL(38)
+    multiply + ``div`` (exact in both engines whenever the QUOTIENT
+    fits int64 -- Spark's decimal `div` wraps silently on result
+    overflow, so the ppm form, bounded by 1e6, is the safe shape);
+    the index is then sum(ppm^2) <= 1e12, which fits bigint for ANY
+    user count because shares sum to <= 1e6.  Scale shape: one
+    (event_type, user) aggregate, one tiny per-type total, one
+    |users|-row second aggregate."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.expr("CAST(round(value * 1000) AS BIGINT)")).alias(
+            "s_milli"
+        )
+    )
+    shares = per.withColumn(
+        "ppm",
+        F.expr(
+            "(CAST(s_milli AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(sum(s_milli) OVER"
+            " (PARTITION BY event_type) AS DECIMAL(38,0))"
+        ),
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("ppm") * F.col("ppm"))
+            .cast("long")
+            .alias("hhi_ppm2"),
+            F.max("ppm").cast("long").alias("top_share_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HHI_SQL = r"""
+WITH per AS (
+  SELECT event_type, user_id,
+         sum(CAST(round(value * 1000) AS BIGINT)) AS s_milli
+  FROM events GROUP BY 1, 2
+), shares AS (
+  SELECT event_type,
+         (CAST(s_milli AS HUGEINT) * 1000000)
+           // sum(CAST(s_milli AS HUGEINT)) OVER (PARTITION BY event_type)
+           AS ppm
+  FROM per
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(ppm * ppm) AS BIGINT) AS hhi_ppm2,
+       CAST(max(ppm) AS BIGINT) AS top_share_ppm
+FROM shares GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7836,6 +8193,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift_documents": psi_drift_documents,
     "ngram_novelty_sources": ngram_novelty_sources,
     "user_saturation_events": user_saturation_events,
+    # --- round-6 third wave (never verified) ---
+    "rfm_segments_customers": rfm_segments_customers,
+    "benford_digits_orders": benford_digits_orders,
+    "tokenizer_fertility_documents": tokenizer_fertility_documents,
+    "bfs_reachability_users": bfs_reachability_users,
+    "hhi_concentration_events": hhi_concentration_events,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -8021,6 +8384,12 @@ _ROUND6_NEW = [
     "psi_drift_documents",
     "ngram_novelty_sources",
     "user_saturation_events",
+    # third wave, added late round-6
+    "rfm_segments_customers",
+    "benford_digits_orders",
+    "tokenizer_fertility_documents",
+    "bfs_reachability_users",
+    "hhi_concentration_events",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -8059,6 +8428,11 @@ ORACLES: dict[str, str] = {
     "psi_drift_documents": PSI_DRIFT_SQL,
     "ngram_novelty_sources": NGRAM_NOVELTY_SQL,
     "user_saturation_events": USER_SATURATION_SQL,
+    "rfm_segments_customers": RFM_SQL,
+    "benford_digits_orders": BENFORD_SQL,
+    "tokenizer_fertility_documents": FERTILITY_SQL,
+    "bfs_reachability_users": BFS_REACH_SQL,
+    "hhi_concentration_events": HHI_SQL,
     "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,
