@@ -67,3 +67,90 @@ def global_running_sum(
         .withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop("_pid", "_local", "_off", "_v")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = 1-based global row number in ``order_cols``
+    order, computed with the same two-pass distributed scan as
+    :func:`global_running_sum` -- the big frame takes one range
+    shuffle and every sort stays partition-local, vs. the
+    single-task ``ROW_NUMBER() OVER (ORDER BY ...)`` collapse.
+
+    The composite ``order_cols`` must be a total order (end with a
+    unique key): a tie spanning a range boundary would make the
+    numbering boundary-dependent.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_local",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    )
+    counts = local.groupBy("_pid").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = exact ``NTILE(k) OVER (ORDER BY order_cols)``
+    without the single-task global window.
+
+    NTILE is a pure function of (row_number, total_count): with
+    ``n`` rows, the first ``n mod k`` buckets get ``n div k + 1``
+    rows and the rest ``n div k`` -- so the distributed
+    :func:`global_row_number` plus one broadcast scalar reproduces
+    the standard SQL semantics bit-for-bit (Spark and DuckDB agree
+    on this fill rule)."""
+    numbered = global_row_number(
+        df, order_cols, out_col="_rn", num_partitions=num_partitions
+    )
+    total = numbered.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    big = F.col("_n") % F.lit(k)  # buckets with floor(n/k)+1 rows
+    base = F.expr(f"_n div {k}")
+    cut = big * (base + F.lit(1))  # rows covered by the big buckets
+    # when n < k, base == 0 and every row lands in the first branch;
+    # greatest(base, 1) keeps the (unreachable) second branch from
+    # dividing by zero under ANSI evaluation
+    bucket = F.when(
+        F.col("_rn") <= cut,
+        F.ceil(F.col("_rn") / (base + F.lit(1))),
+    ).otherwise(
+        big + F.ceil((F.col("_rn") - cut) / F.greatest(base, F.lit(1)))
+    )
+    return (
+        numbered.join(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_rn", "_n")
+    )

@@ -7089,15 +7089,21 @@ def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     money columns; range-partition boundaries are exactly these).
     Deterministic: NTILE over a total order (price, orderkey).
 
-    Scale: NTILE needs a total sort, but the assignment can ride a
-    range partitioner (Spark's sort-based shuffle does exactly this)
-    and the result is 8 rows; for 100 TB swap NTILE for
-    approx-percentile boundaries and keep the same report shape."""
+    Scale: exact-NTILE via the distributed two-pass rank
+    (``functions.scan.global_ntile``): one range shuffle, every sort
+    partition-local, bucket = closed-form f(row_number, count) -- no
+    single-task WindowExec anywhere in the plan.  Bit-identical to
+    ``NTILE(8) OVER (ORDER BY price, orderkey)``."""
+    from .functions.scan import global_ntile
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", "o_orderkey")
-        .withColumn("bucket", F.ntile(8).over(w))
+        global_ntile(
+            o.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            8,
+            out_col="bucket",
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -7810,28 +7816,26 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ``ntile`` bucket membership depends on total order,
     so every ORDER BY ends in the unique ``o_custkey``; monetary sums
     are exact DECIMAL.  Scale shape: one customer-keyed aggregate
-    (the only log-sized shuffle), then three window sorts over the
-    |customers| frame -- at 100 TB swap ntile for approx-quantile
-    cutpoints to avoid the global sorts; the quartile-boundary
-    semantics (not the census) would then be approximate."""
+    (the only log-sized shuffle), then three distributed exact-NTILE
+    passes (``functions.scan.global_ntile``) over the |customers|
+    frame -- each is one range shuffle with partition-local sorts,
+    never a single-task global window."""
+    from .functions.scan import global_ntile
+
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_d"),
         F.count(F.lit(1)).alias("freq"),
         F.sum("o_totalprice").alias("mon"),
     )
-    scored = per.select(
-        "o_custkey",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_d").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("mon").desc(), "o_custkey"))
-        .alias("m_score"),
-    )
+    scored = per
+    for out, cols in (
+        ("r_score", [F.col("last_d").desc(), F.col("o_custkey")]),
+        ("f_score", [F.col("freq").desc(), F.col("o_custkey")]),
+        ("m_score", [F.col("mon").desc(), F.col("o_custkey")]),
+    ):
+        scored = global_ntile(scored, cols, 4, out_col=out)
+    scored = scored.select("o_custkey", "r_score", "f_score", "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -8399,6 +8403,9 @@ _CHANGED_R6: list[str] = [
     "dedup_clusters",
     "dedup_clusters_star",
     "corpus_clean_pipeline",
+    # (equidepth_histogram_orders / rfm_segments_customers were also
+    # rewired onto functions/scan.py global_ntile this round; they
+    # already sit in _ROUND6_NEW above)
 ]
 _FRONT = [
     *_ROUND6_NEW,

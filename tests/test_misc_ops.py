@@ -342,3 +342,70 @@ def test_compact_parquet_preserves_hive_partition_columns(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert set(out.columns) == {"v", "date"}
     assert out.where("date = 'd1'").count() == 10
+
+
+def test_global_row_number_and_ntile_match_window(spark):
+    """Distributed two-pass rank == single-task ROW_NUMBER/NTILE for
+    every k (including k > n), with only the tiny offsets side ever
+    crossing a SinglePartition exchange."""
+    from pyspark.sql.window import Window
+
+    from nearscan_kafka_streams_spark.functions.scan import (
+        global_ntile,
+        global_row_number,
+    )
+
+    df = spark.range(0, 5_000).selectExpr(
+        "cast(pmod(id * 2654435761, 1000003) as long) as k", "id"
+    )
+    w = Window.orderBy("k", "id")
+    got = global_row_number(df, ["k", "id"], out_col="rn", num_partitions=16)
+    expect = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert (
+        got.join(expect.withColumnRenamed("rn", "r2"), ["k", "id"])
+        .where("rn != r2")
+        .count()
+        == 0
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
+
+    for k in (4, 7, 9_999):  # even, uneven, and k > n
+        got_b = global_ntile(
+            df, ["k", "id"], k, out_col="b", num_partitions=16
+        )
+        exp_b = df.withColumn("b", F.ntile(k).over(w))
+        assert (
+            got_b.join(exp_b.withColumnRenamed("b", "b2"), ["k", "id"])
+            .where("b != b2")
+            .count()
+            == 0
+        ), f"ntile mismatch at k={k}"
+
+
+def test_global_ntile_descending_order(spark):
+    """Sort-order expressions (DESC) flow through the range
+    partitioner and the local window identically."""
+    from pyspark.sql.window import Window
+
+    from nearscan_kafka_streams_spark.functions.scan import global_ntile
+
+    df = spark.range(0, 1_000).selectExpr(
+        "cast(pmod(id * 48271, 653) as long) as k", "id"
+    )
+    got = global_ntile(
+        df,
+        [F.col("k").desc(), F.col("id")],
+        4,
+        out_col="b",
+        num_partitions=8,
+    )
+    exp = df.withColumn(
+        "b", F.ntile(4).over(Window.orderBy(F.col("k").desc(), "id"))
+    )
+    assert (
+        got.join(exp.withColumnRenamed("b", "b2"), ["k", "id"])
+        .where("b != b2")
+        .count()
+        == 0
+    )
