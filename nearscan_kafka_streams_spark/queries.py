@@ -8162,6 +8162,218 @@ FROM shares GROUP BY 1 ORDER BY 1
 """
 
 
+def percentiles_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global tail percentiles (p50/p90/p99/p999 of
+    ``l_extendedprice`` over ALL of lineitem) -- the latency-report /
+    price-distribution primitive where the percentile is taken over
+    the whole table, not per group.
+
+    ``percentile_acctbal`` covers the per-group exact aggregate; a
+    GLOBAL ``F.percentile`` would pull every value into one reducer.
+    This is the scalable exact form: distributed two-pass rank
+    (``functions.scan.global_row_number`` -- one range shuffle,
+    partition-local sorts), then each requested percentile is the row
+    whose rank equals ``ceil(p * n)`` (PERCENTILE_DISC semantics),
+    found by a broadcast join against four target rows.  All rank
+    arithmetic is integer (``(num*n + den-1) div den``), so Spark and
+    the oracle agree bit-for-bit; DECIMAL prices are never touched by
+    floats."""
+    from .functions.scan import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    numbered = global_row_number(
+        li, ["price", "l_orderkey", "l_linenumber"], out_col="rn"
+    )
+    total = numbered.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pcts = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000)]
+    targets = (
+        total.select(
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lbl).alias("pct"),
+                            F.expr(f"({num}*n + {den - 1}) div {den}")
+                            .cast("long")
+                            .alias("target"),
+                        )
+                        for lbl, num, den in pcts
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(F.col("n").alias("n_rows"), "t.pct", "t.target")
+    )
+    return (
+        numbered.join(
+            F.broadcast(targets), numbered["rn"] == targets["target"]
+        )
+        .select(
+            "pct",
+            F.col("rn").cast("long").alias("rk"),
+            "price",
+            "n_rows",
+        )
+        .orderBy("pct")
+    )
+
+
+PERCENTILES_GLOBAL_SQL = r"""
+WITH numbered AS (
+  SELECT l_extendedprice AS price,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rn
+  FROM lineitem
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+targets AS (
+  SELECT 'p50' AS pct, (1*n + 1) // 2 AS target, n FROM tot
+  UNION ALL SELECT 'p90', (9*n + 9) // 10, n FROM tot
+  UNION ALL SELECT 'p99', (99*n + 99) // 100, n FROM tot
+  UNION ALL SELECT 'p999', (999*n + 999) // 1000, n FROM tot
+)
+SELECT pct, CAST(rn AS BIGINT) AS rk, price, n AS n_rows
+FROM numbered JOIN targets ON rn = target
+ORDER BY pct
+"""
+
+
+def gini_user_activity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume -- the inequality /
+    concentration scalar that complements ``hhi_concentration_events``
+    (HHI weighs the head; Gini sees the whole Lorenz curve).
+
+    Exact integer form of the rank formula
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` with users
+    sorted ascending by count: reported as the exact integer
+    numerator/denominator plus a truncated milli-Gini.  Tie order
+    inside equal counts cannot change the result (equal x across a
+    contiguous rank range), so the tie-break key is determinism-only.
+
+    Scale: one user-keyed aggregate (the only log-sized shuffle), one
+    distributed rank over the per-user frame
+    (``functions.scan.global_row_number``), one scalar aggregate.
+    Numerator terms stay within BIGINT while n_users * max_count *
+    n_users < 2^63 -- ~10^9 users at 10^9 events each overflows; at
+    that scale lift ``weighted`` into DECIMAL(38,0)."""
+    from .functions.scan import global_row_number
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    numbered = global_row_number(per, ["x", "user_id"], out_col="i")
+    agg = numbered.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("weighted"),
+    )
+    # rearrangement inequality: ascending ranks make the numerator
+    # non-negative, so Spark div == DuckDB // (both truncate, and
+    # floor == trunc for non-negative operands)
+    return agg.select(
+        "n_users",
+        "total_events",
+        F.expr("2*weighted - (n_users + 1)*total_events")
+        .cast("long")
+        .alias("gini_num"),
+        F.expr("n_users * total_events").cast("long").alias("gini_den"),
+        F.expr(
+            "(1000 * (2*weighted - (n_users + 1)*total_events))"
+            " div (n_users * total_events)"
+        )
+        .cast("long")
+        .alias("gini_milli"),
+    )
+
+
+GINI_SQL = r"""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1
+), numbered AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS total_events,
+         CAST(sum(i * x) AS BIGINT) AS weighted
+  FROM numbered
+)
+SELECT n_users, total_events,
+       CAST(2*weighted - (n_users + 1)*total_events AS BIGINT) AS gini_num,
+       CAST(n_users * total_events AS BIGINT) AS gini_den,
+       CAST((1000 * (2*weighted - (n_users + 1)*total_events))
+            // (n_users * total_events) AS BIGINT) AS gini_milli
+FROM agg
+"""
+
+
+def sorted_neighborhood_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking for record linkage: sort customers
+    by name, pair every record with its next ``w=3`` neighbors in sort
+    order, keep pairs within Levenshtein distance 4 -- the classic
+    linear-candidate alternative to the quadratic all-pairs matcher
+    (and to hash blocking, which misses near-misses that sort
+    adjacently).
+
+    Scale: the sort is the distributed two-pass rank
+    (``functions.scan.global_row_number``); the neighbor pairing is an
+    EQUI-join on the rank (each row explodes to its w successor ranks)
+    -- so the whole query is two range/hash shuffles and never an
+    all-pairs product.  Levenshtein is exact-integer in both engines."""
+    from .functions.scan import global_row_number
+
+    w = 3
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    numbered = global_row_number(
+        c, ["c_name", "c_custkey"], out_col="rn"
+    )
+    probes = numbered.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + F.lit(w))
+        ).alias("rn_b"),
+    )
+    neighbors = numbered.select(
+        F.col("rn").alias("rn_b"),
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        probes.join(neighbors, "rn_b")
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .where(F.col("lev") <= 4)
+        .select(
+            F.col("custkey_a").cast("long").alias("custkey_a"),
+            F.col("custkey_b").cast("long").alias("custkey_b"),
+            F.col("lev").cast("int").alias("lev"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+SORTED_NEIGHBORHOOD_SQL = r"""
+WITH numbered AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT CAST(a.c_custkey AS BIGINT) AS custkey_a,
+       CAST(b.c_custkey AS BIGINT) AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+FROM numbered a
+JOIN numbered b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+WHERE levenshtein(a.c_name, b.c_name) <= 4
+ORDER BY custkey_a, custkey_b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8203,6 +8415,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility_documents": tokenizer_fertility_documents,
     "bfs_reachability_users": bfs_reachability_users,
     "hhi_concentration_events": hhi_concentration_events,
+    "percentiles_global_lineitem": percentiles_global_lineitem,
+    "gini_user_activity_events": gini_user_activity_events,
+    "sorted_neighborhood_customers": sorted_neighborhood_customers,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -8394,6 +8609,11 @@ _ROUND6_NEW = [
     "tokenizer_fertility_documents",
     "bfs_reachability_users",
     "hhi_concentration_events",
+    # fourth wave: the distributed exact-rank family (global_ntile /
+    # global_row_number consumers)
+    "percentiles_global_lineitem",
+    "gini_user_activity_events",
+    "sorted_neighborhood_customers",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -8440,6 +8660,9 @@ ORACLES: dict[str, str] = {
     "tokenizer_fertility_documents": FERTILITY_SQL,
     "bfs_reachability_users": BFS_REACH_SQL,
     "hhi_concentration_events": HHI_SQL,
+    "percentiles_global_lineitem": PERCENTILES_GLOBAL_SQL,
+    "gini_user_activity_events": GINI_SQL,
+    "sorted_neighborhood_customers": SORTED_NEIGHBORHOOD_SQL,
     "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
     "mixture_upsample_documents": MIXTURE_UPSAMPLE_SQL,

@@ -262,3 +262,66 @@ def test_asof_nearest_python_recompute(spark, sf_dir):
             cand.sort()
             expect[c["event_id"]] = (cand[0][2], cand[0][3])
     assert {r["click_id"]: (r["purchase_id"], r["dt_us"]) for r in rows} == expect
+
+
+def test_percentiles_global_python_recompute(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import percentiles_global_lineitem
+
+    rows = {r["pct"]: r for r in percentiles_global_lineitem(spark, sf_dir).collect()}
+    prices = sorted(
+        r["l_extendedprice"]
+        for r in _t(spark, sf_dir, "lineitem").select("l_extendedprice").collect()
+    )
+    n = len(prices)
+    for pct, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000)):
+        rk = (num * n + den - 1) // den  # ceil(p*n), PERCENTILE_DISC
+        assert rows[pct]["rk"] == rk
+        assert rows[pct]["price"] == prices[rk - 1]
+        assert rows[pct]["n_rows"] == n
+
+
+def test_gini_matches_python_recompute(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import gini_user_activity_events
+
+    row = gini_user_activity_events(spark, sf_dir).collect()[0]
+    counts = Counter(
+        r["user_id"] for r in _t(spark, sf_dir, "events").select("user_id").collect()
+    )
+    xs = sorted(counts.values())
+    n, tot = len(xs), sum(xs)
+    weighted = sum(i * x for i, x in enumerate(xs, start=1))
+    num, den = 2 * weighted - (n + 1) * tot, n * tot
+    assert (row["n_users"], row["total_events"]) == (n, tot)
+    assert (row["gini_num"], row["gini_den"]) == (num, den)
+    assert row["gini_milli"] == (1000 * num) // den
+    assert 0 <= row["gini_milli"] <= 1000
+
+
+def test_sorted_neighborhood_python_recompute(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import sorted_neighborhood_customers
+
+    got = {
+        (r["custkey_a"], r["custkey_b"]): r["lev"]
+        for r in sorted_neighborhood_customers(spark, sf_dir).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    recs = sorted(
+        (r["c_name"], r["c_custkey"])
+        for r in _t(spark, sf_dir, "customer").select("c_name", "c_custkey").collect()
+    )
+    expect = {}
+    for i, (na, ka) in enumerate(recs):
+        for nb, kb in recs[i + 1 : i + 4]:
+            d = lev(na, nb)
+            if d <= 4:
+                expect[(ka, kb)] = d
+    assert got == expect
