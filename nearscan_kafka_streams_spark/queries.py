@@ -6693,6 +6693,10 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; sf0.01 buckets peak at 10 members, so the default 1000
     changes nothing on the test corpora while bounding the worst
     bucket to ~500k pairs at any scale."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
     bucket_cap = 1000
     e = _t(spark, sf_dir, "events")
     b = e.select(
@@ -6701,7 +6705,12 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("bh"),
     ).distinct()
     wcap = Window.partitionBy("event_type", "bh")
-    b = (
+    # persist the capped membership (the self-join reads it twice) and
+    # the edge list (referenced SIX times below: e1/e2/e3, both node
+    # projections, and the edge count -- Catalyst re-plans a derived
+    # frame per use, so unpersisted this re-runs the quadratic pair
+    # generation six times)
+    b = _persist_tracked(
         b.withColumn("bsize", F.count(F.lit(1)).over(wcap))
         .where(F.col("bsize") <= bucket_cap)
         .drop("bsize")
@@ -6719,7 +6728,9 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    edges = pairs.where(F.col("n_shared") >= 2).select("u", "v")
+    edges = _persist_tracked(
+        pairs.where(F.col("n_shared") >= 2).select("u", "v")
+    )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -7306,7 +7317,8 @@ def label_propagation_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("bh"),
     ).distinct()
     wcap = Window.partitionBy("event_type", "bh")
-    b = (
+    # persisted: the pair self-join reads the capped membership twice
+    b = _persist_tracked(
         b.withColumn("bsize", F.count(F.lit(1)).over(wcap))
         .where(F.col("bsize") <= bucket_cap)
         .drop("bsize")
