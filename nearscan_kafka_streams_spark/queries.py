@@ -6377,12 +6377,16 @@ def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the UDTF lane must exist and be verified for the ones that
     do, e.g. stateful parsers).
 
-    The UDTF runs per-row on executors via Arrow; LATERAL-joined to
-    the corpus scan so docs stay partition-parallel.  Oracle: the
-    same split replayed with regexp_split + unnest in DuckDB."""
+    ``useArrow=True`` puts the UDTF on the Arrow lane
+    (ArrowEvalPythonUDTF: columnar batch transfer) instead of the
+    pickled row-at-a-time BatchEvalPythonUDTF default -- the
+    registry-wide plan lint (test_registry_plan_lint.py) enforces
+    this for every Python surface.  LATERAL-joined to the corpus scan
+    so docs stay partition-parallel.  Oracle: the same split replayed
+    with regexp_split + unnest in DuckDB."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="sent_idx int, n_words int")
+    @udtf(returnType="sent_idx int, n_words int", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             if text is None:
