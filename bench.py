@@ -156,6 +156,11 @@ HEADLINE = [
     "tokenizer_fertility_documents",
     "bfs_reachability_users",
     "hhi_concentration_events",
+    # round-6 fourth wave: the distributed exact-rank family
+    "percentiles_global_lineitem",
+    "gini_user_activity_events",
+    "sorted_neighborhood_customers",
+    "outliers_mad_events",
 ]
 
 

@@ -8178,6 +8178,69 @@ FROM shares GROUP BY 1 ORDER BY 1
 """
 
 
+def outliers_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by MEDIAN ABSOLUTE DEVIATION per event_type:
+    flag values with |v - median| > 3 * 1.4826 * MAD (the robust
+    z-score screen).  Complements ``outliers_iqr_events``: MAD has a
+    50% breakdown point vs the IQR fences' 25%, so it survives heavier
+    contamination -- the screen of choice when a feed can go fully
+    bad.
+
+    Scale shape: two per-group exact-percentile aggregates (median,
+    then median of absolute deviations), each a tiny broadcast back to
+    a scan-side flag pass -- three scans of the log, no self-join, no
+    global sort.  The 1.4826 normal-consistency constant folds
+    identically in both engines (same literal, same multiply order),
+    and only ROUNDED medians are emitted while flags compare unrounded
+    -- the `outliers_iqr_events` float discipline."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    med = e.groupBy("event_type").agg(F.percentile(v, 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("ad"), 0.5).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier",
+        F.col("ad") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("is_outlier").cast("long")), F.lit(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OUTLIERS_MAD_SQL = r"""
+WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, abs(CAST(e.value AS DOUBLE) - m.med) AS ad, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       round(min(d.med), 6) AS med,
+       round(min(m2.mad), 6) AS mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * m2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def percentiles_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global tail percentiles (p50/p90/p99/p999 of
     ``l_extendedprice`` over ALL of lineitem) -- the latency-report /
@@ -8432,6 +8495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_reachability_users": bfs_reachability_users,
     "hhi_concentration_events": hhi_concentration_events,
     "percentiles_global_lineitem": percentiles_global_lineitem,
+    "outliers_mad_events": outliers_mad_events,
     "gini_user_activity_events": gini_user_activity_events,
     "sorted_neighborhood_customers": sorted_neighborhood_customers,
     # --- new round 4 (never verified then) ---
@@ -8630,6 +8694,7 @@ _ROUND6_NEW = [
     "percentiles_global_lineitem",
     "gini_user_activity_events",
     "sorted_neighborhood_customers",
+    "outliers_mad_events",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -8677,6 +8742,7 @@ ORACLES: dict[str, str] = {
     "bfs_reachability_users": BFS_REACH_SQL,
     "hhi_concentration_events": HHI_SQL,
     "percentiles_global_lineitem": PERCENTILES_GLOBAL_SQL,
+    "outliers_mad_events": OUTLIERS_MAD_SQL,
     "gini_user_activity_events": GINI_SQL,
     "sorted_neighborhood_customers": SORTED_NEIGHBORHOOD_SQL,
     "dedup_ngram_containment": NGRAM_CONTAINMENT_SQL,

@@ -325,3 +325,25 @@ def test_sorted_neighborhood_python_recompute(spark, sf_dir):
             if d <= 4:
                 expect[(ka, kb)] = d
     assert got == expect
+
+
+def test_outliers_mad_python_recompute(spark, sf_dir):
+    import statistics
+
+    from nearscan_kafka_streams_spark.queries import outliers_mad_events
+
+    rows = {r["event_type"]: r for r in outliers_mad_events(spark, sf_dir).collect()}
+    data = defaultdict(list)
+    for r in _t(spark, sf_dir, "events").select("event_type", "value").collect():
+        data[r["event_type"]].append(r["value"])
+    assert set(rows) == set(data)
+    for et, vs in data.items():
+        present = [float(v) for v in vs if v is not None]
+        med = statistics.median(present)
+        ads = sorted(abs(v - med) for v in present)
+        mad = statistics.median(ads)
+        n_out = sum(1 for v in present if abs(v - med) > 3.0 * 1.4826 * mad)
+        assert rows[et]["n"] == len(vs)
+        assert abs(rows[et]["med"] - med) < 1e-6
+        assert abs(rows[et]["mad"] - mad) < 1e-6
+        assert rows[et]["n_outliers"] == n_out
