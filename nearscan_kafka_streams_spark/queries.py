@@ -8453,6 +8453,424 @@ ORDER BY custkey_a, custkey_b
 """
 
 
+def auc_lang_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a retrieval/quality score against a binary
+    label, computed distributed via the tie-aware Mann-Whitney U
+    statistic -- the model-eval primitive for ranking a quality
+    classifier (here: does document length separate English from
+    non-English docs; the *value* of the AUC is irrelevant to the
+    contract, only its exactness).
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie).  With per-distinct-
+    score counts (p_s positives, n_s negatives) and the running count
+    of negatives strictly below s:
+
+        AUC = (2 * sum_s p_s * cum_neg_below(s) + sum_s p_s * n_s)
+              / (2 * P * N)
+
+    Every term is an integer; the published figure is one integer
+    division to micro-units, so the result is hash-stable across
+    engines with zero float summation anywhere.
+
+    Scale: one shuffle (groupBy score) collapses the data to at most
+    |distinct scores| rows -- bounded by the score quantization, NOT
+    the corpus size -- then a single-partition cumulative window over
+    that small frame and a scalar aggregate.  At 100 TB the wide stage
+    touches ~1e5 rows regardless of input rows."""
+    d = _t(spark, sf_dir, "documents")
+    per_score = (
+        d.select(
+            F.col("n_chars").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("pos").alias("p_s"),
+            F.sum(1 - F.col("pos")).alias("n_s"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    scored = per_score.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    return scored.agg(
+        F.expr(
+            "CAST((2 * sum(p_s * cum_neg_below) + sum(p_s * n_s)) * 1000000 "
+            "div (2 * sum(p_s) * sum(n_s)) AS BIGINT)"
+        ).alias("auc_micro"),
+        F.sum("p_s").cast("long").alias("n_pos"),
+        F.sum("n_s").cast("long").alias("n_neg"),
+    )
+
+
+AUC_LANG_QUALITY_SQL = r"""
+WITH per_score AS (
+  SELECT n_chars AS score,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_s,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_s
+  FROM documents
+  GROUP BY n_chars
+), cum AS (
+  SELECT p_s, n_s,
+         COALESCE(sum(n_s) OVER (ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_neg_below
+  FROM per_score
+)
+SELECT CAST((2 * sum(p_s * cum_neg_below) + sum(p_s * n_s)) * 1000000
+            // (2 * sum(p_s) * sum(n_s)) AS BIGINT) AS auc_micro,
+       CAST(sum(p_s) AS BIGINT) AS n_pos,
+       CAST(sum(n_s) AS BIGINT) AS n_neg
+FROM cum
+"""
+
+
+def calibration_bins_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a score vs a binary label: fixed-
+    width score buckets, each reporting support, the exact score mass
+    (sum, not a float mean) and the positive rate in micro-units --
+    the calibration check run on every trained quality classifier
+    before its threshold is trusted.
+
+    Exactness: bucket = score div 256 (integer); pos_rate_micro =
+    1e6 * n_pos div n -- integers end-to-end, so the hash is stable.
+
+    Scale: a single map-side-combinable groupBy on a derived integer
+    key; output rows = number of buckets (score range / 256), not data
+    size.  No window, no join, one shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.expr("CAST(n_chars div 256 AS BIGINT)").alias("bucket"),
+            F.col("n_chars"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("n_chars").cast("long").alias("score_sum"),
+        )
+        .withColumn(
+            "pos_rate_micro",
+            F.expr("CAST(n_pos * 1000000 div n AS BIGINT)"),
+        )
+        .orderBy("bucket")
+    )
+
+
+CALIBRATION_BINS_SQL = r"""
+SELECT CAST(n_chars // 256 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(n_chars) AS BIGINT) AS score_sum,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS pos_rate_micro
+FROM documents
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event_type, hour) bucket the
+    opening value (first by event time, event_id tiebreak), high, low,
+    closing value, and tick count -- the market-data aggregate the
+    reference's token-transfer stream feeds (nearscan's transfer
+    amounts play the 'price' role here).
+
+    Values quantize to integer centi-units before any comparison, so
+    min/max/first/last are integer-exact and the hash is stable.
+
+    Scale: one shuffle partitioned by (event_type, hour); open/close
+    come from a row_number window on the SAME partitioning (AQE reuses
+    the exchange), then a map-side-combinable groupBy.  Output rows =
+    buckets (types x hours), independent of event count."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_ts"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("qv"),
+    )
+    w = Window.partitionBy("event_type", "bar_ts").orderBy("tus", "event_id")
+    wn = Window.partitionBy("event_type", "bar_ts")
+    marked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wn)
+    )
+    return (
+        marked.groupBy("event_type", "bar_ts")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("qv"))).alias("open_centi"),
+            F.max("qv").alias("high_centi"),
+            F.min("qv").alias("low_centi"),
+            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("qv"))).alias(
+                "close_centi"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
+
+
+OHLC_BARS_SQL = r"""
+WITH base AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar_ts,
+         CAST(round(value * 100) AS BIGINT) AS qv,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type,
+                        date_trunc('hour', ts)) AS cnt
+  FROM events
+)
+SELECT event_type, bar_ts,
+       max(CASE WHEN rn = 1 THEN qv END) AS open_centi,
+       max(qv) AS high_centi,
+       min(qv) AS low_centi,
+       max(CASE WHEN rn = cnt THEN qv END) AS close_centi,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM base
+GROUP BY event_type, bar_ts
+ORDER BY event_type, bar_ts
+"""
+
+
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event populations (click vs purchase) -- the
+    nonparametric drift test that, unlike PSI, needs no binning choice.
+
+    D = max_x |ECDF_a(x) - ECDF_b(x)|.  Scaled to integers:
+    |cum_a * n_b - cum_b * n_a| is exact; the published figure is
+    1e6 * max(...) div (n_a * n_b).  Cross products are carried in
+    DECIMAL(38,0) (DuckDB: HUGEINT) so the arithmetic survives
+    row counts far past 2^31 without overflow.
+
+    Scale: groupBy the quantized value (one shuffle, map-side combine)
+    collapses the corpus to at most |distinct centi-values| rows --
+    bounded by the quantization grid, not the data; the cumulative
+    window then runs over that small frame."""
+    e = _t(spark, sf_dir, "events")
+    per_v = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("qv"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        )
+        .groupBy("qv")
+        .agg(
+            F.sum("a").alias("c_a"),
+            F.sum(1 - F.col("a")).alias("c_b"),
+        )
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    return (
+        cum.crossJoin(
+            per_v.agg(
+                F.sum("c_a").cast("decimal(38,0)").alias("n_a"),
+                F.sum("c_b").cast("decimal(38,0)").alias("n_b"),
+            )
+        )
+        .select(
+            F.abs(
+                F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+            ).alias("d_scaled"),
+            "n_a",
+            "n_b",
+        )
+        .agg(
+            F.expr(
+                "CAST(max(d_scaled) * 1000000 div (max(n_a) * max(n_b)) "
+                "AS BIGINT)"
+            ).alias("ks_micro"),
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
+KS_DRIFT_SQL = r"""
+WITH per_v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS qv,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_b
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), cum AS (
+  SELECT sum(c_a) OVER (ORDER BY qv) AS cum_a,
+         sum(c_b) OVER (ORDER BY qv) AS cum_b
+  FROM per_v
+), tot AS (
+  SELECT CAST(sum(c_a) AS HUGEINT) AS n_a,
+         CAST(sum(c_b) AS HUGEINT) AS n_b
+  FROM per_v
+)
+SELECT CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+                    - CAST(cum_b AS HUGEINT) * n_a)) * 1000000
+            // (max(n_a) * max(n_b)) AS BIGINT) AS ks_micro,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b
+FROM cum, tot
+"""
+
+
+def trend_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time, closed form from
+    the five sufficient statistics (n, Sx, Sy, Sxx, Sxy) -- the
+    distributed group-wise regression that powers drift/engagement
+    trend screens without ever materializing per-user series.
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    Exactness: x = whole seconds since the user's first event
+    (integer), y = centi-units (integer); every sufficient statistic
+    is an exact integer sum carried in DECIMAL(38,0) (DuckDB HUGEINT)
+    so the cross terms cannot overflow, and the published slope is one
+    integer division to micro-units -- no float anywhere, hash-stable.
+
+    Scale: a min-window and an aggregate, both partitioned by user_id
+    -- one shuffle total (AQE reuses the exchange).  Output rows =
+    users with >= 2 distinct timestamps."""
+    e = _t(spark, sf_dir, "events")
+    wmin = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("qy"),
+    ).withColumn(
+        "qx",
+        F.expr("CAST((tus - min(tus) OVER (PARTITION BY user_id)) "
+               "div 1000000 AS BIGINT)"),
+    )
+    stats = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("qx").cast("decimal(38,0)").alias("sx"),
+        F.sum("qy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return (
+        stats.withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .where(F.col("den") > 0)
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(((n * sxy - sx * sy) * 1000000) div den AS BIGINT)"
+            ).alias("slope_micro"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TREND_SLOPE_SQL = r"""
+WITH base AS (
+  SELECT user_id,
+         CAST((epoch_us(ts)
+               - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+              // 1000000 AS HUGEINT) AS qx,
+         CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS qy
+  FROM events
+), stats AS (
+  SELECT user_id,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(qx) AS sx, sum(qy) AS sy,
+         sum(qx * qx) AS sxx, sum(qx * qy) AS sxy
+  FROM base
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(((n * sxy - sx * sy) * 1000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+       CAST(n AS BIGINT) AS n_events
+FROM stats
+WHERE n * sxx - sx * sx > 0
+ORDER BY user_id
+"""
+
+
+def cohens_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent rule-based
+    labelers (length >= 300 chars vs whitespace-token count >= 55,
+    both near the corpus median so each labeler genuinely splits) --
+    the chance-corrected agreement statistic used to vet weak
+    labelers / annotator pairs before their labels train anything.
+
+    kappa = (N*(a+d) - ((a+b)(a+c) + (c+d)(b+d)))
+            / (N^2     - ((a+b)(a+c) + (c+d)(b+d)))
+
+    from the 2x2 confusion counts -- a single rational in integers;
+    published as one integer division to micro-units (both engines
+    truncate toward zero, and a negative kappa truncates identically).
+    Degenerate corpus contract: the denominator is zero iff both
+    labelers are constant AND equal (observed agreement is then 1), so
+    that case publishes kappa_micro = 1000000 rather than 0/0.
+
+    Scale: one scalar aggregate over conditional counts -- map-side
+    combine does all the work; no shuffle wider than 4 longs."""
+    d = _t(spark, sf_dir, "documents")
+    conf = d.select(
+        F.when(F.length("text") >= 300, 1).otherwise(0).alias("la"),
+        F.when(
+            F.size(F.split(F.col("text"), " ")) >= 55, 1
+        ).otherwise(0).alias("lb"),
+    ).agg(
+        F.sum(F.expr("CAST(la = 1 AND lb = 1 AS INT)")).alias("a"),
+        F.sum(F.expr("CAST(la = 1 AND lb = 0 AS INT)")).alias("b"),
+        F.sum(F.expr("CAST(la = 0 AND lb = 1 AS INT)")).alias("c"),
+        F.sum(F.expr("CAST(la = 0 AND lb = 0 AS INT)")).alias("d"),
+    )
+    return conf.select(
+        F.expr(
+            "CAST(CASE WHEN (a+b+c+d)*(a+b+c+d) = (a+b)*(a+c) + (c+d)*(b+d) "
+            "THEN 1000000 ELSE "
+            "((a+b+c+d) * (a+d) - ((a+b)*(a+c) + (c+d)*(b+d))) * 1000000 "
+            "div ((a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d))) "
+            "END AS BIGINT)"
+        ).alias("kappa_micro"),
+        F.expr("CAST(a AS BIGINT)").alias("n_both"),
+        F.expr("CAST(d AS BIGINT)").alias("n_neither"),
+        F.expr("CAST(b + c AS BIGINT)").alias("n_disagree"),
+    )
+
+
+COHENS_KAPPA_SQL = r"""
+WITH conf AS (
+  SELECT
+    sum(CASE WHEN length(text) >= 300
+              AND len(string_split(text, ' ')) >= 55
+         THEN 1 ELSE 0 END) AS a,
+    sum(CASE WHEN length(text) >= 300
+              AND len(string_split(text, ' ')) < 55
+         THEN 1 ELSE 0 END) AS b,
+    sum(CASE WHEN length(text) < 300
+              AND len(string_split(text, ' ')) >= 55
+         THEN 1 ELSE 0 END) AS c,
+    sum(CASE WHEN length(text) < 300
+              AND len(string_split(text, ' ')) < 55
+         THEN 1 ELSE 0 END) AS d
+  FROM documents
+)
+SELECT CAST(CASE WHEN (a+b+c+d)*(a+b+c+d) = (a+b)*(a+c) + (c+d)*(b+d)
+            THEN 1000000 ELSE
+            ((a+b+c+d) * (a+d) - ((a+b)*(a+c) + (c+d)*(b+d))) * 1000000
+            // ((a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d)))
+            END AS BIGINT) AS kappa_micro,
+       CAST(a AS BIGINT) AS n_both,
+       CAST(d AS BIGINT) AS n_neither,
+       CAST(b + c AS BIGINT) AS n_disagree
+FROM conf
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8498,6 +8916,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outliers_mad_events": outliers_mad_events,
     "gini_user_activity_events": gini_user_activity_events,
     "sorted_neighborhood_customers": sorted_neighborhood_customers,
+    # --- round-6 fifth wave: model-eval / drift exacts (never verified) ---
+    "auc_lang_quality_documents": auc_lang_quality_documents,
+    "calibration_bins_documents": calibration_bins_documents,
+    "ohlc_bars_events": ohlc_bars_events,
+    "ks_drift_events": ks_drift_events,
+    "trend_slope_users": trend_slope_users,
+    "cohens_kappa_documents": cohens_kappa_documents,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -8695,6 +9120,15 @@ _ROUND6_NEW = [
     "gini_user_activity_events",
     "sorted_neighborhood_customers",
     "outliers_mad_events",
+    # fifth wave: exact model-eval / drift statistics (AUC via tie-aware
+    # Mann-Whitney, reliability bins, OHLC bars, two-sample KS, group-wise
+    # OLS trend, Cohen's kappa) -- all integer-exact, no float sums
+    "auc_lang_quality_documents",
+    "calibration_bins_documents",
+    "ohlc_bars_events",
+    "ks_drift_events",
+    "trend_slope_users",
+    "cohens_kappa_documents",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -8719,6 +9153,12 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "auc_lang_quality_documents": AUC_LANG_QUALITY_SQL,
+    "calibration_bins_documents": CALIBRATION_BINS_SQL,
+    "ohlc_bars_events": OHLC_BARS_SQL,
+    "ks_drift_events": KS_DRIFT_SQL,
+    "trend_slope_users": TREND_SLOPE_SQL,
+    "cohens_kappa_documents": COHENS_KAPPA_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,
