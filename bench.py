@@ -334,6 +334,17 @@ def main() -> None:
             # 32 -> 8 at bench scale, streaming/pipeline.py
             # _shuffle_override)
             wire_sp = max(4, min(32, n_wire // 2500))
+            # same untimed-first-run discipline as token_pipeline: the
+            # first execution carries streaming-plan codegen, state-store
+            # provider init and committer warm-up (measured 61s-vs-24s
+            # run-to-run swings on an UNCHANGED topology); the timed
+            # number is steady-state replay latency into a fresh out dir
+            run_wire_pipeline(
+                spark,
+                f"{wire_root}/logs",
+                f"{wire_root}/out_warm",
+                shuffle_partitions=wire_sp,
+            ).write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
             balances = run_wire_pipeline(
                 spark,
@@ -362,6 +373,12 @@ def main() -> None:
                 df.repartition(8).write.mode("overwrite").parquet(
                     f"{wire_root}/pq/{topic}"
                 )
+            run_parquet_pipeline(
+                spark,
+                f"{wire_root}/pq",
+                f"{wire_root}/out_pq_warm",
+                shuffle_partitions=wire_sp,
+            ).write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
             balances = run_parquet_pipeline(
                 spark,

@@ -8871,6 +8871,205 @@ FROM conf
 """
 
 
+def l_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: for each quasi-identifier class (lang,
+    length-bucket) the number of DISTINCT sensitive values (source)
+    it contains -- the release gate k-anonymity alone misses (a class
+    can hold 10 rows that all share one sensitive value; k holds, yet
+    membership leaks the attribute).  Pairs with
+    ``k_anonymity_documents``, which treats the same columns as QIs.
+
+    Scale: one aggregate with a distinct count per class -- Spark
+    plans this as two hash aggregates (expand + collapse), both
+    map-side combinable; the report is sized by |classes| x
+    |sensitive values|, never by rows."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.expr("CAST(n_chars div 100 AS BIGINT)").alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct("source").cast("long").alias("l_distinct"),
+        )
+        .withColumn("l_diverse", F.col("l_distinct") >= 3)
+        .orderBy("lang", "len_bucket")
+    )
+
+
+L_DIVERSITY_SQL = r"""
+SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+       count(DISTINCT source) >= 3 AS l_diverse
+FROM documents
+GROUP BY lang, n_chars // 100
+ORDER BY lang, len_bucket
+"""
+
+
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly screen: each (event_type,
+    hour-of-day) bucket learns its integer baseline (mean value in
+    milli-units) and its mean absolute deviation around that
+    baseline, then counts events deviating more than 3x the MAD-mean
+    -- the time-of-day-aware outlier monitor that a flat IQR/MAD
+    screen (``outliers_iqr_events`` / ``outliers_mad_events``)
+    cannot express.
+
+    Exactness: baseline_milli = sum div n (integer); deviations are
+    integer |v - baseline|; the 3x gate multiplies integers.  The
+    division order is pinned identically in both engines, so the
+    hash is stable with zero float arithmetic.
+
+    Scale: two windows and a groupBy, ALL partitioned by the same
+    (event_type, hour-of-day) key -- one shuffle total (AQE reuses
+    the exchange); output rows = |types| x 24."""
+    e = _t(spark, sf_dir, "events")
+    wb = Window.partitionBy("event_type", "hod")
+    base = e.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("qv"),
+    )
+    with_mu = base.withColumn(
+        "mu_milli",
+        F.expr(
+            "CAST(sum(qv) OVER (PARTITION BY event_type, hod) div "
+            "count(*) OVER (PARTITION BY event_type, hod) AS BIGINT)"
+        ),
+    ).withColumn("adev", F.abs(F.col("qv") - F.col("mu_milli")))
+    with_mad = with_mu.withColumn(
+        "mad_milli",
+        F.expr(
+            "CAST(sum(adev) OVER (PARTITION BY event_type, hod) div "
+            "count(*) OVER (PARTITION BY event_type, hod) AS BIGINT)"
+        ),
+    )
+    return (
+        with_mad.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("mu_milli").alias("baseline_milli"),
+            F.max("mad_milli").alias("mad_milli"),
+            F.sum(
+                F.expr("CAST(adev > 3 * mad_milli AS INT)")
+            ).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+SEASONAL_ANOMALY_SQL = r"""
+WITH base AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(round(value * 1000) AS BIGINT) AS qv
+  FROM events
+), with_mu AS (
+  SELECT *,
+         CAST(sum(qv) OVER (PARTITION BY event_type, hod)
+              // count(*) OVER (PARTITION BY event_type, hod)
+              AS BIGINT) AS mu_milli
+  FROM base
+), with_mad AS (
+  SELECT *,
+         abs(qv - mu_milli) AS adev,
+         CAST(sum(abs(qv - mu_milli)) OVER (PARTITION BY event_type, hod)
+              // count(*) OVER (PARTITION BY event_type, hod)
+              AS BIGINT) AS mad_milli
+  FROM with_mu
+)
+SELECT event_type, hod,
+       CAST(count(*) AS BIGINT) AS n,
+       max(mu_milli) AS baseline_milli,
+       max(mad_milli) AS mad_milli,
+       CAST(sum(CASE WHEN adev > 3 * mad_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+FROM with_mad
+GROUP BY event_type, hod
+ORDER BY event_type, hod
+"""
+
+
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the total --
+    the robust 'typical traded price' that an unweighted median gets
+    wrong when line sizes vary (and the weighted generalization of
+    PERCENTILE_DISC that neither engine ships as a builtin).
+
+    Exactness: prices in integer centi-units; weights go through
+    round() BEFORE the bigint cast on BOTH engines (Spark's
+    double->bigint cast truncates while DuckDB's rounds -- round()
+    first makes the casts agree, and quantities are integral anyway);
+    the pick is the first row where 2*cum_weight >= total -- pure
+    integer comparisons, deterministic (price, orderkey, linenumber)
+    order.
+
+    Scale: one shuffle on l_returnflag; the cumulative window and the
+    argmin pick run inside each group.  Group count is tiny (3), but
+    the same plan holds for high-cardinality keys -- nothing is
+    single-partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_centi"
+        ),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_centi", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    marked = base.withColumn("cumw", F.sum("w").over(wcum)).withColumn(
+        "totw", F.sum("w").over(wtot)
+    )
+    return (
+        marked.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_centi").alias("wmedian_centi"),
+            F.max("totw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = r"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_centi,
+         CAST(round(l_quantity) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), marked AS (
+  SELECT l_returnflag, price_centi, w,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY price_centi, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM base
+)
+SELECT l_returnflag,
+       min(price_centi) AS wmedian_centi,
+       CAST(max(totw) AS BIGINT) AS total_weight
+FROM marked
+WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8923,6 +9122,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift_events": ks_drift_events,
     "trend_slope_users": trend_slope_users,
     "cohens_kappa_documents": cohens_kappa_documents,
+    # --- round-6 sixth wave (never verified) ---
+    "l_diversity_documents": l_diversity_documents,
+    "seasonal_anomaly_events": seasonal_anomaly_events,
+    "weighted_median_lineitem": weighted_median_lineitem,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -9129,6 +9332,10 @@ _ROUND6_NEW = [
     "ks_drift_events",
     "trend_slope_users",
     "cohens_kappa_documents",
+    # sixth wave: privacy / time-series / weighted-order statistics
+    "l_diversity_documents",
+    "seasonal_anomaly_events",
+    "weighted_median_lineitem",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -9159,6 +9366,9 @@ ORACLES: dict[str, str] = {
     "ks_drift_events": KS_DRIFT_SQL,
     "trend_slope_users": TREND_SLOPE_SQL,
     "cohens_kappa_documents": COHENS_KAPPA_SQL,
+    "l_diversity_documents": L_DIVERSITY_SQL,
+    "seasonal_anomaly_events": SEASONAL_ANOMALY_SQL,
+    "weighted_median_lineitem": WEIGHTED_MEDIAN_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,
