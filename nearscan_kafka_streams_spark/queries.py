@@ -9070,6 +9070,215 @@ ORDER BY l_returnflag
 """
 
 
+def gap_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over each user's event stream: consecutive
+    runs of the SAME event_type (ordered by time) collapse into
+    islands; per user the island count and the longest run length --
+    the classic change-point SQL shape (sessionize_events is the
+    time-gap variant; this is the value-change variant, e.g. 'how
+    long do users stay in an error loop').
+
+    Islands via the standard two-window construction: flag rows where
+    the type differs from its predecessor, cumulative-sum the flags
+    into island ids, then aggregate twice.  All three windows AND both
+    groupBys share the user_id partitioning -- one shuffle total.
+
+    Output rows = users; every figure is an integer count."""
+    e = _t(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+    )
+    flagged = base.withColumn(
+        "new_island",
+        F.when(
+            F.lag("event_type").over(worder).isNull()
+            | (F.lag("event_type").over(worder) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            worder.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum("run_len").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GAP_ISLANDS_SQL = r"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS new_island
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), islands AS (
+  SELECT user_id,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY tus, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island_id
+  FROM flagged
+), runs AS (
+  SELECT user_id, island_id, count(*) AS run_len
+  FROM islands
+  GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(sum(run_len) AS BIGINT) AS n_events
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def wow_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume and value deltas per event type: weekly
+    integer aggregates, then lag-based absolute and relative change --
+    the trend report every monitoring dashboard runs (and the shape
+    where naive float percent math breaks hash equality; here the
+    relative change is integer milli-units of exact integer sums).
+
+    Scale: one groupBy (events collapse to |types| x |weeks| rows),
+    then windows over that tiny frame partitioned by type."""
+    e = _t(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            "event_type",
+            F.date_trunc("week", "ts").alias("week"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("qv"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qv").alias("value_centi"),
+        )
+    )
+    wlag = Window.partitionBy("event_type").orderBy("week")
+    return (
+        weekly.withColumn("prev_n", F.lag("n").over(wlag))
+        .withColumn("prev_value", F.lag("value_centi").over(wlag))
+        .where(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            "week",
+            "n",
+            F.col("value_centi").cast("long").alias("value_centi"),
+            (F.col("n") - F.col("prev_n")).cast("long").alias("n_delta"),
+            F.expr(
+                "CAST((n - prev_n) * 1000 div prev_n AS BIGINT)"
+            ).alias("n_change_milli"),
+            F.expr(
+                "CAST((value_centi - prev_value) * 1000 div prev_value "
+                "AS BIGINT)"
+            ).alias("value_change_milli"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+WOW_CHANGE_SQL = r"""
+WITH weekly AS (
+  SELECT event_type,
+         date_trunc('week', ts) AS week,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_centi
+  FROM events
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT *,
+         lag(n) OVER w AS prev_n,
+         lag(value_centi) OVER w AS prev_value
+  FROM weekly
+  WINDOW w AS (PARTITION BY event_type ORDER BY week)
+)
+SELECT event_type, week, n, value_centi,
+       CAST(n - prev_n AS BIGINT) AS n_delta,
+       CAST((n - prev_n) * 1000 // prev_n AS BIGINT) AS n_change_milli,
+       CAST((value_centi - prev_value) * 1000 // prev_value AS BIGINT)
+         AS value_change_milli
+FROM lagged
+WHERE prev_n IS NOT NULL
+ORDER BY event_type, week
+"""
+
+
+def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus total
+    active days): the retention primitive behind 'daily streak'
+    product metrics, via the classic date-minus-dense-rank island
+    trick -- consecutive calendar days collapse to one group key.
+
+    Scale: distinct (user, day) first (events collapse to at most
+    users x days rows -- the ONLY pass over the raw table), then a
+    row_number window and two aggregates all partitioned by user_id."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp",
+        F.expr("date_sub(day, CAST(row_number() OVER (PARTITION BY user_id "
+               "ORDER BY day) AS INT))"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").cast("long").alias("longest_streak"),
+            F.sum("streak_len").cast("long").alias("active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ACTIVITY_STREAKS_SQL = r"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events
+), grouped AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INT) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, count(*) AS streak_len
+  FROM grouped
+  GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(sum(streak_len) AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9126,6 +9335,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "l_diversity_documents": l_diversity_documents,
     "seasonal_anomaly_events": seasonal_anomaly_events,
     "weighted_median_lineitem": weighted_median_lineitem,
+    # --- round-6 seventh wave (never verified) ---
+    "gap_islands_events": gap_islands_events,
+    "wow_change_events": wow_change_events,
+    "activity_streaks_users": activity_streaks_users,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -9336,6 +9549,10 @@ _ROUND6_NEW = [
     "l_diversity_documents",
     "seasonal_anomaly_events",
     "weighted_median_lineitem",
+    # seventh wave: gaps-and-islands / trend-report shapes
+    "gap_islands_events",
+    "wow_change_events",
+    "activity_streaks_users",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -9369,6 +9586,9 @@ ORACLES: dict[str, str] = {
     "l_diversity_documents": L_DIVERSITY_SQL,
     "seasonal_anomaly_events": SEASONAL_ANOMALY_SQL,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_SQL,
+    "gap_islands_events": GAP_ISLANDS_SQL,
+    "wow_change_events": WOW_CHANGE_SQL,
+    "activity_streaks_users": ACTIVITY_STREAKS_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,
