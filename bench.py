@@ -161,6 +161,19 @@ HEADLINE = [
     "gini_user_activity_events",
     "sorted_neighborhood_customers",
     "outliers_mad_events",
+    # round-6 waves 5-7: model-eval / drift / privacy / trend shapes
+    "auc_lang_quality_documents",
+    "calibration_bins_documents",
+    "ohlc_bars_events",
+    "ks_drift_events",
+    "trend_slope_users",
+    "cohens_kappa_documents",
+    "l_diversity_documents",
+    "seasonal_anomaly_events",
+    "weighted_median_lineitem",
+    "gap_islands_events",
+    "wow_change_events",
+    "activity_streaks_users",
 ]
 
 
