@@ -9501,10 +9501,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # ROUND-6 ROTATION (ordering contract above): every oracle-bearing
 # entry is cumulatively driver-green after round 5, so the front is
-# exactly (a) the nine round-5 snapshot queries registered this round
-# -- never driver-sampled -- and (b) entries whose implementation
-# changed in round 6 (appended to _CHANGED_R6 as edits land); the
-# already-green remainder follows in prior order.
+# exactly (a) the seven round-6 waves -- the nine round-5 snapshot
+# queries registered this round plus six further waves of new
+# operators, none ever driver-sampled -- and (b) entries whose
+# implementation changed in round 6 (appended to _CHANGED_R6 as edits
+# land); the already-green remainder follows in prior order.
 _ROUND6_NEW = [
     "twap_events",
     "triangle_count_users",
