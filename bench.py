@@ -174,6 +174,8 @@ HEADLINE = [
     "gap_islands_events",
     "wow_change_events",
     "activity_streaks_users",
+    "conversion_lag_events",
+    "new_vs_returning_events",
 ]
 
 

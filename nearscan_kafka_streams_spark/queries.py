@@ -9279,6 +9279,169 @@ ORDER BY user_id
 """
 
 
+def conversion_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency distribution: for every purchase, the time
+    since the same user's most recent prior view, bucketed into exact
+    integer latency bands -- the funnel-LATENCY report
+    (funnel_events counts who converts; this measures how fast).
+
+    The 'most recent prior view' is a running last_value(... IGNORE
+    NULLS) over the user's interleaved event stream -- the classic
+    mixed-stream as-of shape with no join at all.  Bands are CASE
+    thresholds on whole seconds (no logs, no floats).
+
+    Scale: one window partitioned by user_id (single shuffle), then a
+    map-side-combinable groupBy; output rows = number of bands."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+    )
+    lagged = base.withColumn(
+        "prior_view_tus",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("tus")),
+            ignorenulls=True,
+        ).over(w),
+    ).where(
+        (F.col("event_type") == "purchase")
+        & F.col("prior_view_tus").isNotNull()
+    )
+    banded = lagged.select(
+        F.expr(
+            "CASE WHEN (tus - prior_view_tus) div 1000000 < 60 THEN 'lt_1m' "
+            "WHEN (tus - prior_view_tus) div 1000000 < 600 THEN 'lt_10m' "
+            "WHEN (tus - prior_view_tus) div 1000000 < 3600 THEN 'lt_1h' "
+            "WHEN (tus - prior_view_tus) div 1000000 < 86400 THEN 'lt_1d' "
+            "ELSE 'ge_1d' END"
+        ).alias("band"),
+        F.expr("CAST((tus - prior_view_tus) div 1000000 AS BIGINT)").alias(
+            "lag_s"
+        ),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("lag_s").cast("long").alias("lag_sum_s"),
+            F.min("lag_s").cast("long").alias("lag_min_s"),
+            F.max("lag_s").cast("long").alias("lag_max_s"),
+        )
+        .orderBy("band")
+    )
+
+
+CONVERSION_LAG_SQL = r"""
+WITH lagged AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS tus,
+         last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_view_tus
+  FROM events
+), banded AS (
+  SELECT CASE WHEN (tus - prior_view_tus) // 1000000 < 60 THEN 'lt_1m'
+              WHEN (tus - prior_view_tus) // 1000000 < 600 THEN 'lt_10m'
+              WHEN (tus - prior_view_tus) // 1000000 < 3600 THEN 'lt_1h'
+              WHEN (tus - prior_view_tus) // 1000000 < 86400 THEN 'lt_1d'
+              ELSE 'ge_1d' END AS band,
+         CAST((tus - prior_view_tus) // 1000000 AS BIGINT) AS lag_s
+  FROM lagged
+  WHERE event_type = 'purchase' AND prior_view_tus IS NOT NULL
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(lag_s) AS BIGINT) AS lag_sum_s,
+       CAST(min(lag_s) AS BIGINT) AS lag_min_s,
+       CAST(max(lag_s) AS BIGINT) AS lag_max_s
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
+def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: per calendar day, events from
+    users whose FIRST-ever event falls on that day vs users seen
+    before -- the acquisition/retention overview on every product
+    dashboard.
+
+    first-day via a min window over user_id; the comparison and both
+    counts are integers/dates only.
+
+    Scale: one user_id window shuffle, then a groupBy on day; output
+    rows = days."""
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).withColumn("first_day", F.min("day").over(wu))
+    return (
+        base.groupBy("day")
+        .agg(
+            # day emitted as a string below: DATE round-trips through
+            # pandas as datetime64 on one engine and datetime.date on
+            # the other (the user_saturation_events lesson)
+            F.sum(F.expr("CAST(day = first_day AS INT)"))
+            .cast("long")
+            .alias("new_events"),
+            F.sum(F.expr("CAST(day <> first_day AS INT)"))
+            .cast("long")
+            .alias("returning_events"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("new_users"),
+            F.countDistinct(
+                F.when(F.col("day") != F.col("first_day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_events",
+            "returning_events",
+            "new_users",
+            "returning_users",
+        )
+        .orderBy("day")
+    )
+
+
+NEW_VS_RETURNING_SQL = r"""
+WITH base AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS day,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+  FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_events,
+       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_events,
+       CAST(count(DISTINCT CASE WHEN day = first_day THEN user_id END)
+            AS BIGINT) AS new_users,
+       CAST(count(DISTINCT CASE WHEN day <> first_day THEN user_id END)
+            AS BIGINT) AS returning_users
+FROM base
+GROUP BY day
+ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9339,6 +9502,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_islands_events": gap_islands_events,
     "wow_change_events": wow_change_events,
     "activity_streaks_users": activity_streaks_users,
+    # --- round-6 eighth wave (never verified) ---
+    "conversion_lag_events": conversion_lag_events,
+    "new_vs_returning_events": new_vs_returning_events,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -9554,6 +9720,9 @@ _ROUND6_NEW = [
     "gap_islands_events",
     "wow_change_events",
     "activity_streaks_users",
+    # eighth wave: funnel latency / acquisition split
+    "conversion_lag_events",
+    "new_vs_returning_events",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -9590,6 +9759,8 @@ ORACLES: dict[str, str] = {
     "gap_islands_events": GAP_ISLANDS_SQL,
     "wow_change_events": WOW_CHANGE_SQL,
     "activity_streaks_users": ACTIVITY_STREAKS_SQL,
+    "conversion_lag_events": CONVERSION_LAG_SQL,
+    "new_vs_returning_events": NEW_VS_RETURNING_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,
