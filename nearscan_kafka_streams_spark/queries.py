@@ -8582,32 +8582,27 @@ def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values quantize to integer centi-units before any comparison, so
     min/max/first/last are integer-exact and the hash is stable.
 
-    Scale: one shuffle partitioned by (event_type, hour); open/close
-    come from a row_number window on the SAME partitioning (AQE reuses
-    the exchange), then a map-side-combinable groupBy.  Output rows =
-    buckets (types x hours), independent of event count."""
+    Scale: open/close are ``min_by``/``max_by`` over the unique
+    (tus, event_id) tick order -- a PURE aggregate, so the whole bar
+    is ONE map-side-combinable groupBy with no window, no per-bucket
+    sort, and no partition buffering (a window PARTITION BY bucket
+    would materialize 1/|buckets| of the table per partition -- the
+    WindowExec-spill shape at 100 TB).  Output rows = buckets,
+    independent of event count."""
     e = _t(spark, sf_dir, "events")
     base = e.select(
         "event_type",
         F.date_trunc("hour", "ts").alias("bar_ts"),
-        F.unix_micros("ts").alias("tus"),
-        "event_id",
+        F.struct(F.unix_micros("ts").alias("tus"), "event_id").alias("ord"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("qv"),
     )
-    w = Window.partitionBy("event_type", "bar_ts").orderBy("tus", "event_id")
-    wn = Window.partitionBy("event_type", "bar_ts")
-    marked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "cnt", F.count(F.lit(1)).over(wn)
-    )
     return (
-        marked.groupBy("event_type", "bar_ts")
+        base.groupBy("event_type", "bar_ts")
         .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("qv"))).alias("open_centi"),
+            F.min_by("qv", "ord").alias("open_centi"),
             F.max("qv").alias("high_centi"),
             F.min("qv").alias("low_centi"),
-            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("qv"))).alias(
-                "close_centi"
-            ),
+            F.max_by("qv", "ord").alias("close_centi"),
             F.count(F.lit(1)).cast("long").alias("n_ticks"),
         )
         .orderBy("event_type", "bar_ts")
@@ -8925,32 +8920,31 @@ def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     division order is pinned identically in both engines, so the
     hash is stable with zero float arithmetic.
 
-    Scale: two windows and a groupBy, ALL partitioned by the same
-    (event_type, hour-of-day) key -- one shuffle total (AQE reuses
-    the exchange); output rows = |types| x 24."""
+    Scale: deliberately NOT the window formulation -- a window
+    PARTITION BY (event_type, hod) materializes 1/(|types|*24) of the
+    whole table per window partition (hundreds of GB at 100 TB,
+    guaranteed WindowExec spill).  Instead each pass is a map-side-
+    combinable groupBy down to the 120-row bucket frame, broadcast-
+    joined back: the big table is never window-buffered, and the only
+    shuffles carry 120-key partial aggregates."""
     e = _t(spark, sf_dir, "events")
-    wb = Window.partitionBy("event_type", "hod")
     base = e.select(
         "event_type",
         F.hour("ts").cast("long").alias("hod"),
         F.expr("CAST(round(value * 1000) AS BIGINT)").alias("qv"),
     )
-    with_mu = base.withColumn(
-        "mu_milli",
-        F.expr(
-            "CAST(sum(qv) OVER (PARTITION BY event_type, hod) div "
-            "count(*) OVER (PARTITION BY event_type, hod) AS BIGINT)"
-        ),
-    ).withColumn("adev", F.abs(F.col("qv") - F.col("mu_milli")))
-    with_mad = with_mu.withColumn(
-        "mad_milli",
-        F.expr(
-            "CAST(sum(adev) OVER (PARTITION BY event_type, hod) div "
-            "count(*) OVER (PARTITION BY event_type, hod) AS BIGINT)"
-        ),
+    mu = base.groupBy("event_type", "hod").agg(
+        F.expr("CAST(sum(qv) div count(*) AS BIGINT)").alias("mu_milli"),
+    )
+    with_adev = base.join(F.broadcast(mu), ["event_type", "hod"]).withColumn(
+        "adev", F.abs(F.col("qv") - F.col("mu_milli"))
+    )
+    mad = with_adev.groupBy("event_type", "hod").agg(
+        F.expr("CAST(sum(adev) div count(*) AS BIGINT)").alias("mad_milli"),
     )
     return (
-        with_mad.groupBy("event_type", "hod")
+        with_adev.join(F.broadcast(mad), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.max("mu_milli").alias("baseline_milli"),
@@ -9010,27 +9004,32 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer comparisons, deterministic (price, orderkey, linenumber)
     order.
 
-    Scale: one shuffle on l_returnflag; the cumulative window and the
-    argmin pick run inside each group.  Group count is tiny (3), but
-    the same plan holds for high-cardinality keys -- nothing is
-    single-partition."""
+    Scale: the raw table first collapses to the per-(group, distinct
+    price) weight grid via a map-side-combinable groupBy -- which
+    price crosses the half-weight threshold is unchanged by merging
+    equal prices, so the answer is identical -- and the cumulative
+    window then runs over grid rows only (bounded by the price
+    quantization, NOT row count; a window straight over the raw table
+    would buffer 1/|groups| of 100 TB per partition)."""
     li = _t(spark, sf_dir, "lineitem")
-    base = li.select(
-        "l_returnflag",
-        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
-            "price_centi"
-        ),
-        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+    grid = (
+        li.select(
+            "l_returnflag",
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+                "price_centi"
+            ),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("w"),
+        )
+        .groupBy("l_returnflag", "price_centi")
+        .agg(F.sum("w").alias("w"))
     )
     wcum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("price_centi", "l_orderkey", "l_linenumber")
+        .orderBy("price_centi")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wtot = Window.partitionBy("l_returnflag")
-    marked = base.withColumn("cumw", F.sum("w").over(wcum)).withColumn(
+    marked = grid.withColumn("cumw", F.sum("w").over(wcum)).withColumn(
         "totw", F.sum("w").over(wtot)
     )
     return (
