@@ -8646,7 +8646,12 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: groupBy the quantized value (one shuffle, map-side combine)
     collapses the corpus to at most |distinct centi-values| rows --
     bounded by the quantization grid, not the data; the cumulative
-    window then runs over that small frame."""
+    window then runs over that small frame.  The grid is persisted:
+    both the cumulative pass and the totals read it, and Catalyst has
+    no logical subtree dedup -- unpersisted, the corpus would be
+    scanned twice."""
+    from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
+
     e = _t(spark, sf_dir, "events")
     per_v = (
         e.where(F.col("event_type").isin("click", "purchase"))
@@ -8660,6 +8665,7 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("a")).alias("c_b"),
         )
     )
+    per_v = _persist_tracked(per_v)
     w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_v.select(
         F.sum("c_a").over(w).alias("cum_a"),
