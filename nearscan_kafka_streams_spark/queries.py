@@ -8931,8 +8931,12 @@ def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole table per window partition (hundreds of GB at 100 TB,
     guaranteed WindowExec spill).  Instead each pass is a map-side-
     combinable groupBy down to the 120-row bucket frame, broadcast-
-    joined back: the big table is never window-buffered, and the only
-    shuffles carry 120-key partial aggregates."""
+    joined back: the big table is never window-buffered or shuffled
+    (the only shuffles carry 120-key partials), at the cost of three
+    column-pruned scans of the source -- the right trade at 100 TB,
+    where re-scanning three narrow columns beats externally sorting
+    the table, and a deployment can drop to two scans by caching the
+    deviation frame when storage allows."""
     e = _t(spark, sf_dir, "events")
     base = e.select(
         "event_type",
