@@ -360,15 +360,24 @@ def main() -> None:
                 f"{wire_root}/out_warm",
                 shuffle_partitions=wire_sp,
             ).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            balances = run_wire_pipeline(
-                spark,
-                f"{wire_root}/logs",
-                f"{wire_root}/out",
-                shuffle_partitions=wire_sp,
-            )
-            balances.write.format("noop").mode("overwrite").save()
-            timings["wire_pipeline"] = round(time.perf_counter() - t0, 3)
+            # min of 2 timed replays, same policy as the HEADLINE reps:
+            # this leg is the suite's largest single line and its
+            # Python-worker + state-store machinery is the noisiest
+            # (identical code measured 17.7 s and 52.1 s on this host)
+            best = None
+            for rep in range(2):
+                t0 = time.perf_counter()
+                balances = run_wire_pipeline(
+                    spark,
+                    f"{wire_root}/logs",
+                    f"{wire_root}/out{rep}",
+                    shuffle_partitions=wire_sp,
+                )
+                balances.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                if best is None or elapsed < best:
+                    best = elapsed
+            timings["wire_pipeline"] = round(best, 3)
 
             # all-JVM control: the identical topology from
             # parquet-staged decoded frames (file-stream sources, no
@@ -394,15 +403,20 @@ def main() -> None:
                 f"{wire_root}/out_pq_warm",
                 shuffle_partitions=wire_sp,
             ).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            balances = run_parquet_pipeline(
-                spark,
-                f"{wire_root}/pq",
-                f"{wire_root}/out_pq",
-                shuffle_partitions=wire_sp,
-            )
-            balances.write.format("noop").mode("overwrite").save()
-            timings["wire_pipeline_jvm"] = round(time.perf_counter() - t0, 3)
+            best = None
+            for rep in range(2):
+                t0 = time.perf_counter()
+                balances = run_parquet_pipeline(
+                    spark,
+                    f"{wire_root}/pq",
+                    f"{wire_root}/out_pq{rep}",
+                    shuffle_partitions=wire_sp,
+                )
+                balances.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                if best is None or elapsed < best:
+                    best = elapsed
+            timings["wire_pipeline_jvm"] = round(best, 3)
         finally:
             _shutil.rmtree(wire_root, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
