@@ -176,6 +176,7 @@ HEADLINE = [
     "activity_streaks_users",
     "conversion_lag_events",
     "new_vs_returning_events",
+    "dedup_cluster_census",
 ]
 
 

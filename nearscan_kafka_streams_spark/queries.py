@@ -9451,6 +9451,102 @@ ORDER BY day
 """
 
 
+def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size census: how many near-dup clusters of
+    each size the corpus contains and how many documents dedup would
+    remove -- the operational report read before every dedup run
+    (cluster-size histograms are how boilerplate explosions and
+    mis-tuned thresholds are caught; a census dominated by one giant
+    cluster means the threshold, not the corpus, is wrong).
+
+    Composes the exact Jaccard>=0.8 component machinery of
+    ``dedup_clusters`` and ADDs the docs it cannot see: documents with
+    no near-dup edge join in as singleton clusters, so sizes sum to
+    the corpus row count (asserted in tests).
+
+    Scale: everything after the (already scale-shaped) pair join and
+    component propagation is two tiny aggregates over |docs| rows."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    edges = jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    labeled = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("docs_in_size"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias(
+                "docs_removable"
+            ),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "docs_in_size",
+            "docs_removable",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_CENSUS_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, greatest(length(t) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         length(list_intersect(a.grams, b.grams)) AS i,
+         length(a.grams) AS la, length(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+e AS (
+  SELECT left_id AS a, right_id AS b FROM p WHERE 5 * i >= 4 * (la + lb - i)
+  UNION ALL
+  SELECT right_id, left_id FROM p WHERE 5 * i >= 4 * (la + lb - i)
+),
+reach(node, label) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component
+  FROM reach GROUP BY node
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size
+  FROM labeled GROUP BY component
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS docs_in_size,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9514,6 +9610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 eighth wave (never verified) ---
     "conversion_lag_events": conversion_lag_events,
     "new_vs_returning_events": new_vs_returning_events,
+    "dedup_cluster_census": dedup_cluster_census,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -9729,9 +9826,10 @@ _ROUND6_NEW = [
     "gap_islands_events",
     "wow_change_events",
     "activity_streaks_users",
-    # eighth wave: funnel latency / acquisition split
+    # eighth wave: funnel latency / acquisition split / dedup census
     "conversion_lag_events",
     "new_vs_returning_events",
+    "dedup_cluster_census",
 ]
 _CHANGED_R6: list[str] = [
     # jaccard_similarity_join refactor (shared deduped-candidate frame +
@@ -9770,6 +9868,7 @@ ORACLES: dict[str, str] = {
     "activity_streaks_users": ACTIVITY_STREAKS_SQL,
     "conversion_lag_events": CONVERSION_LAG_SQL,
     "new_vs_returning_events": NEW_VS_RETURNING_SQL,
+    "dedup_cluster_census": DEDUP_CLUSTER_CENSUS_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,

@@ -91,3 +91,18 @@ def test_new_vs_returning_matches_bruteforce(spark, sf_dir):
     # a 30-day corpus must show both cohorts
     assert any(r["returning_events"] > 0 for r in got)
     assert any(r["new_events"] > 0 for r in got)
+
+
+def test_dedup_cluster_census_covers_corpus(spark, sf_dir):
+    """Sizes must sum to the corpus row count (singletons included),
+    and removable docs = docs - clusters in every size band."""
+    from nearscan_kafka_streams_spark.queries import dedup_cluster_census
+
+    n_docs = _t(spark, sf_dir, "documents").count()
+    got = dedup_cluster_census(spark, sf_dir).collect()
+    assert sum(r["docs_in_size"] for r in got) == n_docs
+    for r in got:
+        assert r["docs_in_size"] == r["cluster_size"] * r["n_clusters"]
+        assert r["docs_removable"] == r["docs_in_size"] - r["n_clusters"]
+    # the sf corpora embed genuine near-dup groups: some size > 1
+    assert any(r["cluster_size"] > 1 for r in got)
