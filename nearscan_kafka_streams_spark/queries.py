@@ -8484,14 +8484,20 @@ def auc_lang_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
         )
         .groupBy("score")
+        # Per-score counts fit BIGINT trivially, but the numerator is
+        # ~2*P*N*1e6 which wraps int64 past a few million docs per
+        # class -- so carry p_s / n_s (and hence cum_neg_below) in
+        # decimal(38,0) BEFORE any product, matching the oracle's
+        # HUGEINT sums (cast-before-multiply, the ks_drift pattern).
         .agg(
-            F.sum("pos").alias("p_s"),
-            F.sum(1 - F.col("pos")).alias("n_s"),
+            F.sum("pos").cast("decimal(38,0)").alias("p_s"),
+            F.sum(1 - F.col("pos")).cast("decimal(38,0)").alias("n_s"),
         )
     )
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
     scored = per_score.withColumn(
-        "cum_neg_below", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+        "cum_neg_below",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0).cast("decimal(38,0)")),
     )
     return scored.agg(
         F.expr(
@@ -8733,8 +8739,10 @@ def trend_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: x = whole seconds since the user's first event
     (integer), y = centi-units (integer); every sufficient statistic
-    is an exact integer sum carried in DECIMAL(38,0) (DuckDB HUGEINT)
-    so the cross terms cannot overflow, and the published slope is one
+    is an exact integer sum whose addends are cast to DECIMAL(38,0)
+    BEFORE the qx*qx / qx*qy products are formed (DuckDB casts to
+    HUGEINT before multiplying), so the cross terms cannot overflow
+    even at ~1e8-second horizons, and the published slope is one
     integer division to micro-units -- no float anywhere, hash-stable.
 
     Scale: a min-window and an aggregate, both partitioned by user_id
@@ -8751,12 +8759,18 @@ def trend_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((tus - min(tus) OVER (PARTITION BY user_id)) "
                "div 1000000 AS BIGINT)"),
     )
+    # Cast-before-multiply (the ks_drift_events pattern): qx ~ 1e8 s
+    # horizons make qx*qx ~ 1e16 per row, so a BIGINT sum wraps after
+    # ~1e3 events per user; the oracle multiplies in HUGEINT, so the
+    # products must be formed in decimal(38,0) on the Spark side too.
+    dqx = F.col("qx").cast("decimal(38,0)")
+    dqy = F.col("qy").cast("decimal(38,0)")
     stats = base.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("qx").cast("decimal(38,0)").alias("sx"),
-        F.sum("qy").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("qx") * F.col("qx")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("qx") * F.col("qy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dqx).cast("decimal(38,0)").alias("sx"),
+        F.sum(dqy).cast("decimal(38,0)").alias("sy"),
+        F.sum(dqx * dqx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dqx * dqy).cast("decimal(38,0)").alias("sxy"),
     )
     return (
         stats.withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -8828,6 +8842,15 @@ def cohens_kappa_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(la = 1 AND lb = 0 AS INT)")).alias("b"),
         F.sum(F.expr("CAST(la = 0 AND lb = 1 AS INT)")).alias("c"),
         F.sum(F.expr("CAST(la = 0 AND lb = 0 AS INT)")).alias("d"),
+    ).select(
+        # (a+b+c+d)*(a+d)*1e6 wraps int64 near N ~ 3e6 docs (and the
+        # degenerate-case guard compares the same wrapped terms), so
+        # lift the four confusion counts to decimal(38,0) BEFORE the
+        # kappa rational -- the oracle carries them in HUGEINT.
+        F.col("a").cast("decimal(38,0)").alias("a"),
+        F.col("b").cast("decimal(38,0)").alias("b"),
+        F.col("c").cast("decimal(38,0)").alias("c"),
+        F.col("d").cast("decimal(38,0)").alias("d"),
     )
     return conf.select(
         F.expr(
@@ -9771,82 +9794,86 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg_orders": distinct_agg_orders,
 }
 
-# ROUND-6 ROTATION (ordering contract above): every oracle-bearing
-# entry is cumulatively driver-green after round 5, so the front is
-# exactly (a) the seven round-6 waves -- the nine round-5 snapshot
-# queries registered this round plus six further waves of new
-# operators, none ever driver-sampled -- and (b) entries whose
-# implementation changed in round 6 (appended to _CHANGED_R6 as edits
-# land); the already-green remainder follows in prior order.
-_ROUND6_NEW = [
-    "twap_events",
-    "triangle_count_users",
-    "collocation_lift_documents",
-    "char_entropy_documents",
-    "inverted_index_terms",
-    "dedup_cross_doc_sentences",
-    "k_anonymity_documents",
-    "equidepth_histogram_orders",
-    "asof_nearest_events",
-    # second wave, added mid-round-6
-    "pareto_frontier_orders",
-    "label_propagation_users",
-    "markov_transitions_events",
-    "attribution_events",
-    "dedup_edit_distance_titles",
-    "psi_drift_documents",
-    "ngram_novelty_sources",
-    "user_saturation_events",
-    # third wave, added late round-6
-    "rfm_segments_customers",
-    "benford_digits_orders",
-    "tokenizer_fertility_documents",
-    "bfs_reachability_users",
-    "hhi_concentration_events",
-    # fourth wave: the distributed exact-rank family (global_ntile /
-    # global_row_number consumers)
-    "percentiles_global_lineitem",
-    "gini_user_activity_events",
-    "sorted_neighborhood_customers",
-    "outliers_mad_events",
-    # fifth wave: exact model-eval / drift statistics (AUC via tie-aware
-    # Mann-Whitney, reliability bins, OHLC bars, two-sample KS, group-wise
-    # OLS trend, Cohen's kappa) -- all integer-exact, no float sums
-    "auc_lang_quality_documents",
-    "calibration_bins_documents",
-    "ohlc_bars_events",
-    "ks_drift_events",
-    "trend_slope_users",
-    "cohens_kappa_documents",
-    # sixth wave: privacy / time-series / weighted-order statistics
-    "l_diversity_documents",
-    "seasonal_anomaly_events",
-    "weighted_median_lineitem",
-    # seventh wave: gaps-and-islands / trend-report shapes
-    "gap_islands_events",
-    "wow_change_events",
-    "activity_streaks_users",
-    # eighth wave: funnel latency / acquisition split / dedup census
-    "conversion_lag_events",
-    "new_vs_returning_events",
-    "dedup_cluster_census",
+# ROUND-7 ROTATION (ordering contract): the driver hash-samples the
+# FIRST ~50 registry entries each round, so ordering IS the
+# verification schedule.  Lanes, front to back:
+#   1. _REVERIFY_R7 -- previously-FAILED-then-fixed entries whose fix
+#      the driver has never re-sampled.  This lane exists because the
+#      round-6 verdict found sessionize_events green only from round 1
+#      (its round-2 TIMESTAMP_NTZ failure was fixed in round 2 code
+#      but never driver-re-sampled in four rounds); failed-then-fixed
+#      entries now ALWAYS outrank new work.
+#   2. _ROUND7_NEW -- never-driver-sampled entries added this round.
+#   3. _CHANGED_R7 -- entries whose implementation changed this round
+#      (appended as edits land); green history no longer describes the
+#      current code, so they re-verify.
+#   4. _STALE_R7 -- the re-verification backlog, oldest-green first:
+#      all entries whose last driver hash-match is round 2, then
+#      round 3, then round 4 (per CORRECTNESS_r0{2,3,4}.json); the 45
+#      round-6-green front entries rotate to the back.
+# Remainder (rounds-5/6 green + the declared no_oracle approximates,
+# each pinned by an exact hash-matched sibling) keeps prior order.
+_REVERIFY_R7 = [
+    "sessionize_events",
 ]
-_CHANGED_R6: list[str] = [
-    # jaccard_similarity_join refactor (shared deduped-candidate frame +
-    # opt-in stats_out counting) -- every registry entry that routes
-    # through it must re-verify
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "corpus_clean_pipeline",
-    # (equidepth_histogram_orders / rfm_segments_customers were also
-    # rewired onto functions/scan.py global_ntile this round; they
-    # already sit in _ROUND6_NEW above)
+_ROUND7_NEW: list[str] = [
+]
+_CHANGED_R7: list[str] = [
+    # decimal(38,0) cast-before-multiply overflow fixes (round-6
+    # ADVICE): products formerly formed in BIGINT could wrap at scale
+    "trend_slope_users",
+    "auc_lang_quality_documents",
+    "cohens_kappa_documents",
+]
+_STALE_R7 = [
+    # last hash-green round 2
+    "array_agg_events", "asof_join_events", "corpus_curate_pipeline",
+    "cube_events", "dedup_events", "dedup_exact_documents",
+    "dedup_substring_spans", "dedup_winnowed_spans",
+    "doc_length_histogram", "flatmap_legs_events", "hash_sample_events",
+    "interval_join_events", "json_extract_events", "profile_orders",
+    "running_balance_events", "scalar_functions_events",
+    "stratified_sample_documents", "term_doc_stats", "text_fingerprint",
+    "text_lang_id", "text_quality_score", "text_repetition",
+    "text_scrub", "text_token_count", "token_budget_shards",
+    "tumbling_window_events", "unpivot_lineitem", "vocab_topk",
+    # last hash-green round 3
+    "broadcast_dim_join", "chunk_documents", "decontaminate_documents",
+    "dedup_canonical_by_source", "dedup_minhash_banded_md5",
+    "distinct_agg_orders", "exists_subquery_suppliers",
+    "filter_project_scan", "having_big_customers",
+    "mixture_budget_sample", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_metadata",
+    "percentile_acctbal", "pivot_orders", "q10_returned_items",
+    "q12_priority_lines", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q1_pricing_summary",
+    "q22_dormant_customers", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "quality_model_score",
+    "rollup_region_nation", "salted_hot_key_agg",
+    "semi_anti_join_customers", "set_ops_customers",
+    "sql_text_interface", "topk_orders", "window_lag_events",
+    "window_rank_orders",
+    # last hash-green round 4
+    "ann_ivf_fullprobe_cosine", "ann_lsh_fullbucket_cosine",
+    "ann_pq_fullrerank_cosine", "contrastive_pairs",
+    "curriculum_bins_documents", "dedup_embedding_allpairs",
+    "dedup_semantic", "ewma_events", "fuzzy_match_parts",
+    "gopher_quality_gates", "group_split_documents",
+    "hard_negative_mining", "importance_reweight_documents",
+    "kmeans_embeddings", "lm_perplexity_documents",
+    "normalize_events_features", "pagerank_events",
+    "retrieval_eval_metrics", "salted_skew_join_events",
+    "scd2_user_state", "snapshot_diff_events", "store_changelog_events",
 ]
 _FRONT = [
-    *_ROUND6_NEW,
-    *_CHANGED_R6,
+    *_REVERIFY_R7,
+    *_ROUND7_NEW,
+    *_CHANGED_R7,
+    *_STALE_R7,
 ]
+assert len(_FRONT) == len(set(_FRONT)), "duplicate rotation entry"
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
