@@ -3212,8 +3212,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The probabilistic LSH-then-verify composition stays available as
     minhash_lsh_candidates + ngram_jaccard_pairs; see dedup_minhash_lsh
     and tests/test_dedup_family.py.)"""
-    d = _t(spark, sf_dir, "documents")
-    return jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+    return jaccard_edges_frame(spark, sf_dir, threshold=0.8)
 
 
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3275,35 +3274,61 @@ FROM p WHERE 5 * inter_size >= 4 * (la + lb - inter_size)
 """
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jaccard_edges_frame(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """The shared Jaccard>=t edge frame the whole cluster family
+    composes over -- exposed so pipelines (and bench.py) can stage it
+    ONCE (``.persist()`` + materialize) and hand it to
+    ``dedup_clusters`` / ``dedup_clusters_star`` /
+    ``dedup_cluster_census`` via their ``edges=`` parameter instead of
+    re-running the AllPairs self-join per consumer.  Identical plan to
+    ``dedup_ngram_jaccard`` (whose result IS this frame); each query's
+    2-arg default path still computes independently, so the driver's
+    per-query verification never sees shared state."""
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_similarity_join(
+        d, threshold=threshold, broadcast_verify=True
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Near-dup CLUSTERS: connected components (min-label propagation)
     over the exact Jaccard>=0.8 pair graph -- the step that picks one
     canonical doc per duplicate group.  Oracle: DuckDB recursive CTE
-    computing reachability min-labels over the identical edge set."""
+    computing reachability min-labels over the identical edge set.
+
+    ``edges``: optionally a pre-staged ``jaccard_edges_frame`` result
+    so pipelines computing several cluster reports pay the AllPairs
+    self-join once; default None recomputes (driver isolation)."""
     from nearscan_kafka_streams_spark.functions.dedup import (
         connected_components,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    edges = jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+    if edges is None:
+        edges = jaccard_edges_frame(spark, sf_dir)
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), "component"
     )
 
 
-def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters_star(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Same clusters as ``dedup_clusters`` via the alternating
     large-star/small-star algorithm -- O(log n) rounds instead of
     O(diameter), the variant that survives adversarial chain-shaped
     duplicate graphs at 100 TB.  Shares the recursive-CTE oracle with
     ``dedup_clusters``: both must produce identical (doc_id, component)
-    labels."""
+    labels.  ``edges``: see ``dedup_clusters``."""
     from nearscan_kafka_streams_spark.functions.dedup import (
         connected_components_star,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    edges = jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+    if edges is None:
+        edges = jaccard_edges_frame(spark, sf_dir)
     return connected_components_star(edges).select(
         F.col("node").alias("doc_id"), "component"
     )
@@ -9474,7 +9499,9 @@ ORDER BY day
 """
 
 
-def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_census(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Duplicate-cluster size census: how many near-dup clusters of
     each size the corpus contains and how many documents dedup would
     remove -- the operational report read before every dedup run
@@ -9488,13 +9515,15 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus row count (asserted in tests).
 
     Scale: everything after the (already scale-shaped) pair join and
-    component propagation is two tiny aggregates over |docs| rows."""
+    component propagation is two tiny aggregates over |docs| rows.
+    ``edges``: see ``dedup_clusters``."""
     from nearscan_kafka_streams_spark.functions.dedup import (
         connected_components,
     )
 
     d = _t(spark, sf_dir, "documents")
-    edges = jaccard_similarity_join(d, threshold=0.8, broadcast_verify=True)
+    if edges is None:
+        edges = jaccard_edges_frame(spark, sf_dir)
     comp = connected_components(edges).select(
         F.col("node").alias("doc_id"), "component"
     )
@@ -9824,6 +9853,12 @@ _CHANGED_R7: list[str] = [
     "trend_slope_users",
     "auc_lang_quality_documents",
     "cohens_kappa_documents",
+    # cluster family grew an optional edges= staging parameter (the
+    # driver exercises the 2-arg default path, which must stay green)
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_cluster_census",
 ]
 _STALE_R7 = [
     # last hash-green round 2

@@ -52,3 +52,44 @@ def test_final_line_fits_driver_tail_window():
 def test_final_line_zero_queries_still_parses():
     parsed = json.loads(final_line({}, {}, "0.01"))
     assert parsed["value"] == 0 and parsed["n_queries"] == 0
+
+
+def test_every_headline_entry_is_registered():
+    from nearscan_kafka_streams_spark.queries import QUERIES
+
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_every_registry_family_has_a_headline_member():
+    """The HEADLINE selection rule (bench.py module docstring) excludes
+    cheap siblings, never whole families: each FAMILY_PATTERNS family
+    must keep at least one timed representative, so adding a new
+    capability family without benching it fails this lint."""
+    from collections import defaultdict
+
+    from bench import family_of
+    from nearscan_kafka_streams_spark.queries import QUERIES
+
+    members = defaultdict(list)
+    for name in QUERIES:
+        members[family_of(name)].append(name)
+    timed = set(HEADLINE)
+    unbenched = {
+        fam: ms
+        for fam, ms in members.items()
+        if not any(m in timed for m in ms)
+    }
+    assert not unbenched, unbenched
+
+
+def test_staged_edge_consumers_directly_follow_producer():
+    """The staged Jaccard edge frame must stay alive only across the
+    family (clearCache is suppressed while it is staged), so the three
+    consumers must sit immediately after dedup_ngram_jaccard."""
+    i = HEADLINE.index("dedup_ngram_jaccard")
+    assert HEADLINE[i + 1 : i + 4] == [
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "dedup_cluster_census",
+    ]
