@@ -196,6 +196,20 @@ HEADLINE = [
     # (rule (b) -- the family was previously unbenched)
     "corpus_clean_pipeline",
     "multimodal_decode",
+    # round-7 wave: basket rules, graph clustering coefficient,
+    # near-time dedup, per-source dup share, embedding statistics
+    # (per-dim + distributed Gram), Z-order layout stats, budget
+    # curve, session path mining, bucketed co-located join
+    "association_rules_lineitem",
+    "clustering_coefficient_users",
+    "dedup_near_time_events",
+    "duplicate_share_by_source",
+    "embedding_dim_stats",
+    "embedding_gram_matrix",
+    "zorder_layout_lineitem",
+    "quality_budget_curve_documents",
+    "top_paths_sessions",
+    "bucketed_join_lineitem",
 ]
 
 # Registry-to-family map backing the HEADLINE selection rule (module
@@ -205,12 +219,14 @@ FAMILY_PATTERNS: list[tuple[str, str]] = [
     ("pipeline", r"^(corpus_|.*_pipeline$)"),
     ("tpch", r"^q\d+_"),
     ("multimodal", r"^multimodal_"),
-    ("dedup", r"^dedup_"),
+    ("dedup", r"^(dedup_|duplicate_share)"),
     ("ann-embedding", r"^(ann_|knn_|kmeans_|contrastive_|hard_negative"
-                      r"|retrieval_eval|dedup_semantic)"),
+                      r"|retrieval_eval|dedup_semantic|embedding_"
+                      r"|label_centroid)"),
     ("sketch-approx", r"^(hll_|approx_sketches|bloom_)"),
     ("privacy", r"^(pseudonymize|k_anonymity|l_diversity)"),
-    ("graph", r"^(pagerank|triangle_|bfs_|label_propagation)"),
+    ("graph", r"^(pagerank|triangle_|bfs_|label_propagation"
+              r"|clustering_coefficient)"),
     ("text", r"^(text_|vocab|term_doc|bigram_|heavy_hitters|sentence_"
              r"|bm25|collocation_|char_entropy|inverted_index"
              r"|ngram_novelty|tokenizer_fertility|bpe_|lm_perplexity"
@@ -221,7 +237,8 @@ FAMILY_PATTERNS: list[tuple[str, str]] = [
                          r"|weighted_sample|mixture_|shuffle_shards"
                          r"|group_split|curriculum_|interleave_"
                          r"|importance_reweight|token_budget"
-                         r"|pack_training|length_bucket)"),
+                         r"|pack_training|length_bucket"
+                         r"|quality_budget|association_rules)"),
     ("timeseries-session", r"^(ewma_|resample_|moving_avg|outliers_"
                            r"|twap_|ohlc_|seasonal_|gap_islands"
                            r"|activity_streaks|wow_change|asof_"
@@ -230,14 +247,16 @@ FAMILY_PATTERNS: list[tuple[str, str]] = [
                            r"|user_saturation|sessionize|forward_fill"
                            r"|snapshot_diff|tumbling_window"
                            r"|sliding_window|session_window"
-                           r"|range_frame|interval_join)"),
+                           r"|range_frame|interval_join|top_paths"
+                           r"|behavioral_entropy)"),
     ("stats-eval", r"^(profile_|data_quality|chisq_|psi_drift"
                    r"|ks_drift|auc_|calibration_|cohens_kappa"
                    r"|benford_|gini_|hhi_|trend_slope"
                    r"|percentiles_global|equidepth_|weighted_median"
                    r"|rfm_segments|pareto_)"),
     ("cdc-warehouse", r"^(scd2_|store_changelog|salted_|sql_text"
-                      r"|recursive_cte|variant_json)"),
+                      r"|recursive_cte|variant_json|zorder_"
+                      r"|bucketed_join|referential_integrity)"),
     ("near-core", r"^(running_balance|flatmap_legs|json_extract"
                   r"|scalar_functions|dedup_events)"),
     ("relational", r".*"),
