@@ -72,6 +72,9 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_cluster_census",
+    # round-7: the LSH tuning audit consumes the same staged edge
+    # frame (truth leg), so it sits inside the staging window
+    "minhash_candidate_pr_audit",
     "dedup_ngram_containment",
     "dedup_simhash",
     "ann_bruteforce_cosine",
@@ -146,7 +149,6 @@ HEADLINE = [
     # mining, information-theoretic quality, retrieval index stats,
     # cross-doc boilerplate, privacy audit, layout stats, nearest as-of
     "twap_events",
-    "triangle_count_users",
     "collocation_lift_documents",
     "char_entropy_documents",
     "inverted_index_terms",
@@ -201,6 +203,10 @@ HEADLINE = [
     # (per-dim + distributed Gram), Z-order layout stats, budget
     # curve, session path mining, bucketed co-located join
     "association_rules_lineitem",
+    # staged co-event graph family: producer first, consumers directly
+    # after (same contract as the Jaccard family above)
+    "co_event_edges_users",
+    "triangle_count_users",
     "clustering_coefficient_users",
     "dedup_near_time_events",
     "duplicate_share_by_source",
@@ -210,6 +216,8 @@ HEADLINE = [
     "quality_budget_curve_documents",
     "top_paths_sessions",
     "bucketed_join_lineitem",
+    "hybrid_rrf_retrieval",
+    "lang_id_confusion",
 ]
 
 # Registry-to-family map backing the HEADLINE selection rule (module
@@ -219,15 +227,15 @@ FAMILY_PATTERNS: list[tuple[str, str]] = [
     ("pipeline", r"^(corpus_|.*_pipeline$)"),
     ("tpch", r"^q\d+_"),
     ("multimodal", r"^multimodal_"),
-    ("dedup", r"^(dedup_|duplicate_share)"),
+    ("dedup", r"^(dedup_|duplicate_share|minhash_candidate)"),
     ("ann-embedding", r"^(ann_|knn_|kmeans_|contrastive_|hard_negative"
                       r"|retrieval_eval|dedup_semantic|embedding_"
-                      r"|label_centroid)"),
+                      r"|label_centroid|hybrid_rrf)"),
     ("sketch-approx", r"^(hll_|approx_sketches|bloom_)"),
     ("privacy", r"^(pseudonymize|k_anonymity|l_diversity)"),
     ("graph", r"^(pagerank|triangle_|bfs_|label_propagation"
-              r"|clustering_coefficient)"),
-    ("text", r"^(text_|vocab|term_doc|bigram_|heavy_hitters|sentence_"
+              r"|clustering_coefficient|co_event_edges)"),
+    ("text", r"^(text_|vocab|term_doc|bigram_|heavy_hitters|sentence_|lang_id"
              r"|bm25|collocation_|char_entropy|inverted_index"
              r"|ngram_novelty|tokenizer_fertility|bpe_|lm_perplexity"
              r"|token_accounting|chunk_documents|decontaminate"
@@ -359,14 +367,33 @@ def main() -> None:
     # consumers immediately after the producer so the clearCache
     # suppression window (staged frame must survive the inter-query
     # cache drop) spans only this family.
-    JACCARD_EDGE_PRODUCER = "dedup_ngram_jaccard"
-    JACCARD_EDGE_CONSUMERS = (
-        "dedup_clusters",
-        "dedup_clusters_star",
-        "dedup_cluster_census",
-    )
-    staged_edges = None
-    consumers_left = sum(1 for n in HEADLINE if n in JACCARD_EDGE_CONSUMERS)
+    # Two staged families (same mechanism): the producer's RESULT is
+    # the frame its consumers compose over, so the producer's last
+    # timed rep persists it (persist overhead inside its timing) and
+    # each consumer runs over the staged frame via its edges=
+    # parameter.  HEADLINE places consumers immediately after their
+    # producer so the clearCache suppression window (staged frame must
+    # survive the inter-query cache drop) spans only the family.
+    STAGED_FAMILIES: dict[str, tuple[str, ...]] = {
+        "dedup_ngram_jaccard": (
+            "dedup_clusters",
+            "dedup_clusters_star",
+            "dedup_cluster_census",
+            "minhash_candidate_pr_audit",
+        ),
+        "co_event_edges_users": (
+            "triangle_count_users",
+            "clustering_coefficient_users",
+        ),
+    }
+    consumer_to_producer = {
+        c: p for p, cs in STAGED_FAMILIES.items() for c in cs
+    }
+    staged: dict[str, object] = {}  # producer -> persisted frame
+    consumers_left = {
+        p: sum(1 for n in HEADLINE if n in cs)
+        for p, cs in STAGED_FAMILIES.items()
+    }
 
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -374,22 +401,23 @@ def main() -> None:
         # keep benching, still emit the JSON line (round-2 lesson: a
         # single AnalysisException cost the whole round's numbers)
         best = None
+        producer_of = consumer_to_producer.get(name)
         for rep in range(reps):
             t0 = time.perf_counter()
             keep_staged = False
             try:
                 # materialize fully, keep results distributed (no driver pull)
-                if name in JACCARD_EDGE_CONSUMERS and staged_edges is not None:
-                    df = fn(spark, sf_dir, edges=staged_edges)
+                if producer_of is not None and producer_of in staged:
+                    df = fn(spark, sf_dir, edges=staged[producer_of])
                 else:
                     df = fn(spark, sf_dir)
                 if (
-                    name == JACCARD_EDGE_PRODUCER
+                    name in STAGED_FAMILIES
                     and rep == reps - 1
-                    and consumers_left
+                    and consumers_left[name]
                 ):
                     df = df.persist()
-                    staged_edges = df
+                    staged[name] = df
                     keep_staged = True
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
@@ -407,21 +435,22 @@ def main() -> None:
                 # additionally drops blocks persist-tracking missed
                 # (accumulated storage otherwise evicts later queries' staged
                 # frames mid-job -- the recompute they exist to prevent).
-                # While the staged edge frame is alive (producer's last rep
-                # through the last consumer), skip clearCache -- it would
+                # While any staged frame is alive (producer's last rep
+                # through its last consumer), skip clearCache -- it would
                 # evict the staged blocks; release_cached still drops the
                 # tracked LSH intermediates.
                 release_cached()
-                if staged_edges is None and not keep_staged:
+                if not staged and not keep_staged:
                     spark.catalog.clearCache()
         if best is not None:
             timings[name] = round(best, 3)
-        if name in JACCARD_EDGE_CONSUMERS and staged_edges is not None:
-            consumers_left -= 1
-            if consumers_left == 0:
-                staged_edges.unpersist()
-                staged_edges = None
-                spark.catalog.clearCache()
+        if producer_of is not None and producer_of in staged:
+            consumers_left[producer_of] -= 1
+            if consumers_left[producer_of] == 0:
+                staged[producer_of].unpersist()
+                del staged[producer_of]
+                if not staged:
+                    spark.catalog.clearCache()
 
     # flagship: the reference's own topology end-to-end (dedup -> 3-way
     # join -> JSON flat-map -> balance agg) over generated NEAR-shaped

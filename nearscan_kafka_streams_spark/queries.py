@@ -1320,19 +1320,11 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term
-    query over the documents corpus: the sparse-retrieval complement
-    of the ANN dense path, built on the same tf/df statistics as
-    term_doc_stats.  Per-term scores are quantized to integer
-    millionths BEFORE the per-doc sum so the ranking hash is
-    summation-order independent; idf uses the standard
-    ln(1 + (N - df + 0.5)/(df + 0.5)) form.
-
-    Scale shape: tf filters to the query's terms at the scan (a
-    3-term IN-list pushdown), so the aggregate touches only matching
-    postings; N/avgdl/df are one tiny broadcast row each.  The corpus
-    is never joined to itself."""
+def _bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared integer BM25 scoring frame: (doc_id, s = summed per-term
+    micro-scores, n_terms_hit) for the fixed 3-term query.  Consumed
+    by ``bm25_retrieval`` (the published top-20) and
+    ``hybrid_rrf_retrieval`` (the lexical leg of the fusion)."""
     k1, b = 1.2, 0.75
     terms = ["spark", "join", "window"]
     d = _t(spark, sf_dir, "documents")
@@ -1384,8 +1376,31 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("q", per_term_q)
         .groupBy("doc_id")
         .agg(
-            (F.sum("q") / 1_000_000.0).alias("score"),
+            F.sum("q").cast("long").alias("s"),
             F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for a fixed 3-term
+    query over the documents corpus: the sparse-retrieval complement
+    of the ANN dense path, built on the same tf/df statistics as
+    term_doc_stats.  Per-term scores are quantized to integer
+    millionths BEFORE the per-doc sum so the ranking hash is
+    summation-order independent; idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form.
+
+    Scale shape: tf filters to the query's terms at the scan (a
+    3-term IN-list pushdown), so the aggregate touches only matching
+    postings; N/avgdl/df are one tiny broadcast row each.  The corpus
+    is never joined to itself."""
+    return (
+        _bm25_scored_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("s") / 1_000_000.0).alias("score"),
+            "n_terms_hit",
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
@@ -3875,18 +3890,17 @@ GROUP BY t.doc_id, t.n_grams
 """
 
 
-def dedup_minhash_banded_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash candidate generation with md5 permutations: the
-    SAME signature->band->bucket-join machinery as the production
-    dedup_minhash_lsh (which stays rows-only: xxhash64 is
-    engine-internal), but with cross-engine md5 hashing so the whole
-    LSH construction -- min-hash signatures, banding, candidate
-    self-join -- hash-checks against a DuckDB oracle exactly.
-    8 hashes x 4 bands of 2 (t ~ (1/4)^(1/2) ~ 0.5)."""
-    d = _t(spark, sf_dir, "documents")
+def _md5_banded_candidates(
+    d: DataFrame, n_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """Shared md5-permutation banded-MinHash candidate builder:
+    signatures -> bands -> bucket self-join, (left_id < right_id)
+    distinct pairs.  Cross-engine (md5 on both sides) so any banding
+    geometry hash-checks against a DuckDB oracle.  Consumed by
+    ``dedup_minhash_banded_md5`` (4 bands of 2, t ~ 0.5) and
+    ``minhash_candidate_pr_audit`` (2 bands of 4, t ~ 0.84)."""
     from nearscan_kafka_streams_spark.functions.dedup import shingle_strings
 
-    n_hashes, rows_per_band = 8, 2
     sets = d.select(
         "doc_id", shingle_strings("text", 3).alias("grams")
     )
@@ -3941,6 +3955,18 @@ def dedup_minhash_banded_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def dedup_minhash_banded_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash candidate generation with md5 permutations: the
+    SAME signature->band->bucket-join machinery as the production
+    dedup_minhash_lsh (which stays rows-only: xxhash64 is
+    engine-internal), but with cross-engine md5 hashing so the whole
+    LSH construction -- min-hash signatures, banding, candidate
+    self-join -- hash-checks against a DuckDB oracle exactly.
+    8 hashes x 4 bands of 2 (t ~ (1/4)^(1/2) ~ 0.5)."""
+    d = _t(spark, sf_dir, "documents")
+    return _md5_banded_candidates(d, n_hashes=8, rows_per_band=2)
 
 
 MINHASH_MD5_SQL = r"""
@@ -6748,7 +6774,46 @@ def _co_event_edges(
     )
 
 
-def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def co_event_edges_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user co-occurrence graph EDGE LIST itself (canonical u < v,
+    linked on >= 2 shared (event_type, hour) buckets, bucket-capped) --
+    the frame every graph metric in this family composes over, exposed
+    as a query so pipelines (and bench.py) can stage it once and hand
+    it to ``triangle_count_users`` / ``clustering_coefficient_users``
+    via their ``edges=`` parameter, exactly the
+    ``jaccard_edges_frame`` staging seam.  The 2-arg default paths
+    still compute independently (driver isolation).
+
+    Scale: see ``_co_event_edges`` -- capped per-bucket pair
+    generation, one aggregate; the edge list is orders of magnitude
+    smaller than the event log."""
+    return _co_event_edges(spark, sf_dir).orderBy("u", "v")
+
+
+CO_EVENT_EDGES_SQL = r"""
+WITH b0 AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS bh
+  FROM events
+), b AS (
+  SELECT user_id, event_type, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY event_type, bh) AS bsize
+        FROM b0)
+  WHERE bsize <= 1000
+), pairs AS (
+  SELECT l.user_id AS u, r.user_id AS v, count(*) AS n_shared
+  FROM b l JOIN b r
+    ON l.event_type = r.event_type AND l.bh = r.bh
+   AND l.user_id < r.user_id
+  GROUP BY l.user_id, r.user_id
+)
+SELECT u, v FROM pairs WHERE n_shared >= 2
+ORDER BY u, v
+"""
+
+
+def triangle_count_users(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Triangle census of the user co-occurrence graph: users are
     linked when they act in the same (event_type, hour) bucket at
     least twice; triangles are closed 2-paths over the canonical
@@ -6770,8 +6835,13 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cap is part of the query semantics, mirrored exactly in the
     oracle; sf0.01 buckets peak at 10 members, so the default 1000
     changes nothing on the test corpora while bounding the worst
-    bucket to ~500k pairs at any scale."""
-    edges = _co_event_edges(spark, sf_dir)
+    bucket to ~500k pairs at any scale.
+
+    ``edges``: optionally a pre-staged ``co_event_edges_users`` frame
+    so the graph family pays the pair generation once; default None
+    recomputes (driver isolation)."""
+    if edges is None:
+        edges = _co_event_edges(spark, sf_dir)
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -10597,7 +10667,9 @@ LIMIT 50
 """
 
 
-def clustering_coefficient_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clustering_coefficient_users(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Local clustering coefficient over the user co-occurrence graph
     (same graph as triangle_count_users, via the shared
     ``_co_event_edges`` builder): per node, degree, triangle count,
@@ -10615,7 +10687,10 @@ def clustering_coefficient_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oriented triangle join re-projected to its three corners --
     all equi-joins on node ids, sized by the edge list, never the
     event log."""
-    edges = _co_event_edges(spark, sf_dir)
+    from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
+
+    if edges is None:
+        edges = _co_event_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -10625,7 +10700,10 @@ def clustering_coefficient_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # the triangle frame feeds THREE corner projections below;
+    # unpersisted, Catalyst re-plans (and re-runs) the double self-join
+    # per projection -- measured 16.4 s vs ~8 s at sf0.1
+    tri = _persist_tracked(e1.join(e2, "b").join(e3, ["a", "c"]))
     tri_nodes = (
         tri.select(F.col("a").alias("x"))
         .unionAll(tri.select(F.col("b").alias("x")))
@@ -10771,6 +10849,334 @@ ORDER BY o_orderpriority
 """
 
 
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the lexical BM25
+    ranking (shared ``_bm25_scored_docs`` leg, fixed 3-term query) and
+    the dense cosine ranking (query = the embedding of vec_id 0,
+    aligned 1:1 with doc_id) each contribute 1e6 div (60 + rank) for
+    their top-100, summed over a full outer join -- the standard
+    fusion behind every production "semantic + keyword" search box.
+
+    Exactness: both legs rank INTEGER scores (micro-BM25, cos_ppm with
+    the label_centroid integer-dot/IEEE-sqrt recipe) with doc-id
+    tie-breaks, and the RRF contribution is one integer division, so
+    the fused ranking is engine-exact end to end.
+
+    Scale: each leg's rank window runs AFTER its top-100 truncation
+    (TakeOrderedAndProject does the global heavy lifting; the
+    single-partition WindowExec orders 100 rows).  The dense leg
+    broadcasts one query row and never joins the corpus to itself."""
+    t_top = (
+        _bm25_scored_docs(spark, sf_dir)
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "rank_text",
+            F.row_number().over(Window.orderBy(F.desc("s"), "doc_id")),
+        )
+        .select("doc_id", "rank_text")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    # quantize elementwise (house micro-units); per-row dot/norm stay
+    # within int64 (64 dims x 2.5e11)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("qe"),
+    )
+    qv = q.where(F.col("vec_id") == 0).select(F.col("qe").alias("qv"))
+    dotted = q.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qe, qv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(zip_with(qe, qe, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("na"),
+        F.expr(
+            "aggregate(zip_with(qv, qv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("nq"),
+    )
+    v_top = (
+        dotted.where((F.col("na") > 0) & (F.col("nq") > 0))
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(round(1000000.0 * CAST(dot AS DOUBLE) / "
+                "sqrt(CAST(na AS DOUBLE) * CAST(nq AS DOUBLE))) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+        .orderBy(F.desc("cos_ppm"), "vec_id")
+        .limit(100)
+        .withColumn(
+            "rank_dense",
+            F.row_number().over(Window.orderBy(F.desc("cos_ppm"), "vec_id")),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank_dense")
+    )
+    fused = t_top.join(v_top, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_text",
+        "rank_dense",
+        (
+            F.coalesce(
+                F.expr("1000000 div (60 + rank_text)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000 div (60 + rank_dense)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_ppm"),
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(20)
+
+
+HYBRID_RRF_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                            'g'), ' ')) AS term
+  FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id
+), corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM words WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    * (t.tf * 2.2)
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / c.avgdl))
+                    * 1000000) AS BIGINT) AS q
+  FROM tf t JOIN df d USING (term)
+            JOIN doclen l USING (doc_id)
+            CROSS JOIN corpus c
+), t_scores AS (
+  SELECT doc_id, CAST(sum(q) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+  ORDER BY s DESC, doc_id LIMIT 100
+), t_top AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rank_text
+  FROM t_scores
+), qe AS (
+  SELECT vec_id, g - 1 AS dim,
+         CAST(round(CAST(embedding[g] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g)
+), qv AS (
+  SELECT dim, q FROM qe WHERE vec_id = 0
+), dotted AS (
+  SELECT qe.vec_id,
+         sum(qe.q * qv.q) AS dot,
+         sum(qe.q * qe.q) AS na,
+         (SELECT sum(q * q) FROM qv) AS nq
+  FROM qe JOIN qv USING (dim)
+  GROUP BY qe.vec_id
+), v_scores AS (
+  SELECT vec_id,
+         CAST(round(1000000.0 * CAST(dot AS DOUBLE)
+                    / sqrt(CAST(na AS DOUBLE) * CAST(nq AS DOUBLE)))
+              AS BIGINT) AS cos_ppm
+  FROM dotted WHERE na > 0 AND nq > 0
+  ORDER BY cos_ppm DESC, vec_id LIMIT 100
+), v_top AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos_ppm DESC, vec_id) AS rank_dense
+  FROM v_scores
+)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       CAST(t.rank_text AS BIGINT) AS rank_text,
+       CAST(v.rank_dense AS BIGINT) AS rank_dense,
+       CAST(COALESCE(1000000 // (60 + t.rank_text), 0)
+            + COALESCE(1000000 // (60 + v.rank_dense), 0) AS BIGINT)
+         AS rrf_ppm
+FROM t_top t FULL OUTER JOIN v_top v USING (doc_id)
+ORDER BY rrf_ppm DESC, doc_id
+LIMIT 20
+"""
+
+
+def minhash_candidate_pr_audit(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Precision/recall audit of banded-MinHash candidate generation
+    against EXACT ground truth: candidates from an md5 8-hash
+    2-bands-of-4 construction (banding threshold t ~ (1/2)^(1/4) ~
+    0.84) scored against the production exact Jaccard >= 0.8 edge set
+    (`jaccard_edges_frame` -- the same frame the cluster family
+    dedups on) -- the tuning report every LSH deployment reads before
+    trusting its bands (recall says what the dedup MISSES; precision
+    says how much exact-verify work each candidate costs).  One-row
+    integer-ppm report, fully cross-engine-checkable because both
+    legs are.
+
+    Scale: both legs are the already-scale-shaped constructions
+    (banded equi-join; AllPairs prefix filtering) plus one pair-keyed
+    join and a scalar aggregate.  ``edges``: optionally the staged
+    ``jaccard_edges_frame`` (see ``dedup_clusters``) so a pipeline
+    auditing next to its cluster reports pays the AllPairs join
+    once."""
+    d = _t(spark, sf_dir, "documents")
+    cand = _md5_banded_candidates(d, n_hashes=8, rows_per_band=4)
+    if edges is None:
+        edges = jaccard_edges_frame(spark, sf_dir)
+    truth = edges.select("left_id", "right_id")
+    hits = cand.join(truth, ["left_id", "right_id"])
+    n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_c.crossJoin(n_t)
+        .crossJoin(n_h)
+        .select(
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN "
+                "CAST((n_hits * 1000000) div n_candidates AS BIGINT) "
+                "ELSE CAST(NULL AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN "
+                "CAST((n_hits * 1000000) div n_truth AS BIGINT) "
+                "ELSE CAST(NULL AS BIGINT) END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+MINHASH_PR_AUDIT_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, greatest(length(t) - 2, 1) + 1)])
+           AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+), sig AS (
+  SELECT doc_id,
+         [list_min([md5('s' || CAST(s AS VARCHAR) || ':' || gr)
+                    for gr in grams])
+          for s in range(0, 8)] AS sg
+  FROM g
+), bands AS (
+  SELECT doc_id,
+         unnest([{'band': b,
+                  'bkey': md5(sg[4*b + 1] || '|' || sg[4*b + 2] || '|'
+                              || sg[4*b + 3] || '|' || sg[4*b + 4])}
+                 for b in range(0, 2)]) AS bb
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a JOIN bands b
+    ON a.bb.band = b.bb.band AND a.bb.bkey = b.bb.bkey
+   AND a.doc_id < b.doc_id
+), p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         length(list_intersect(a.grams, b.grams)) AS i,
+         length(a.grams) AS la, length(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+), truth AS (
+  SELECT left_id, right_id FROM p
+  WHERE 5 * i >= 4 * (la + lb - i)
+), counts AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand JOIN truth USING (left_id, right_id))
+           AS n_hits
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CASE WHEN n_candidates > 0
+            THEN CAST((n_hits * 1000000) // n_candidates AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS precision_ppm,
+       CASE WHEN n_truth > 0
+            THEN CAST((n_hits * 1000000) // n_truth AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS recall_ppm
+FROM counts
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-heuristic language identifier
+    against the corpus's declared ``lang`` labels: per (declared,
+    predicted) cell, document count and the within-declared share in
+    ppm -- the eval report that justifies (or indicts) using the
+    cheap heuristic as a filter gate (its per-doc scores are
+    `text_lang_id`; this is the corpus-level quality statement).
+
+    Scale: one scan scoring every document (pure codegen string
+    expressions), one small groupBy, one |langs|-row window for the
+    shares."""
+    from nearscan_kafka_streams_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        cells.withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST((n_docs * 1000000) div "
+                "sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)"
+            ),
+        )
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "share_ppm",
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+LANG_CONFUSION_SQL = rf"""
+WITH h AS (
+  SELECT lang,
+         {_lang_hits_sql('en')} AS en, {_lang_hits_sql('de')} AS de,
+         {_lang_hits_sql('fr')} AS fr, {_lang_hits_sql('es')} AS es
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM h
+), cells AS (
+  SELECT lang, lang_pred, count(*) AS n_docs
+  FROM pred GROUP BY lang, lang_pred
+)
+SELECT lang, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs * 1000000)
+            // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+FROM cells
+ORDER BY lang, lang_pred
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10849,6 +11255,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_paths_sessions": top_paths_sessions,
     "clustering_coefficient_users": clustering_coefficient_users,
     "bucketed_join_lineitem": bucketed_join_lineitem,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
+    "minhash_candidate_pr_audit": minhash_candidate_pr_audit,
+    "lang_id_confusion": lang_id_confusion,
+    "co_event_edges_users": co_event_edges_users,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -11045,6 +11455,10 @@ _ROUND7_NEW: list[str] = [
     "top_paths_sessions",
     "clustering_coefficient_users",
     "bucketed_join_lineitem",
+    "hybrid_rrf_retrieval",
+    "minhash_candidate_pr_audit",
+    "lang_id_confusion",
+    "co_event_edges_users",
 ]
 _CHANGED_R7: list[str] = [
     # triangle census edge construction factored into the shared
@@ -11052,6 +11466,12 @@ _CHANGED_R7: list[str] = [
     # coefficient); same semantics, but the code changed, so the
     # green history no longer describes it
     "triangle_count_users",
+    # integer-score leg factored into _bm25_scored_docs (now shared
+    # with the hybrid RRF fusion); published top-20 unchanged
+    "bm25_retrieval",
+    # candidate builder factored into _md5_banded_candidates (now also
+    # feeding the PR audit's 2x4 geometry); published pairs unchanged
+    "dedup_minhash_banded_md5",
     # decimal(38,0) cast-before-multiply overflow fixes (round-6
     # ADVICE): products formerly formed in BIGINT could wrap at scale
     "trend_slope_users",
@@ -11078,7 +11498,7 @@ _STALE_R7 = [
     "tumbling_window_events", "unpivot_lineitem", "vocab_topk",
     # last hash-green round 3
     "broadcast_dim_join", "chunk_documents", "decontaminate_documents",
-    "dedup_canonical_by_source", "dedup_minhash_banded_md5",
+    "dedup_canonical_by_source",
     "distinct_agg_orders", "exists_subquery_suppliers",
     "filter_project_scan", "having_big_customers",
     "mixture_budget_sample", "multimodal_decode",
@@ -11148,6 +11568,10 @@ ORACLES: dict[str, str] = {
     "top_paths_sessions": TOP_PATHS_SQL,
     "clustering_coefficient_users": CLUSTERING_COEFF_SQL,
     "bucketed_join_lineitem": BUCKETED_JOIN_SQL,
+    "hybrid_rrf_retrieval": HYBRID_RRF_SQL,
+    "minhash_candidate_pr_audit": MINHASH_PR_AUDIT_SQL,
+    "lang_id_confusion": LANG_CONFUSION_SQL,
+    "co_event_edges_users": CO_EVENT_EDGES_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,
