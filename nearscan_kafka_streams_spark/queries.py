@@ -3891,17 +3891,37 @@ GROUP BY t.doc_id, t.n_grams
 
 
 def _md5_banded_candidates(
-    d: DataFrame, n_hashes: int, rows_per_band: int
+    d: DataFrame,
+    n_hashes: int,
+    rows_per_band: int,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Shared md5-permutation banded-MinHash candidate builder:
     signatures -> bands -> bucket self-join, (left_id < right_id)
     distinct pairs.  Cross-engine (md5 on both sides) so any banding
     geometry hash-checks against a DuckDB oracle.  Consumed by
-    ``dedup_minhash_banded_md5`` (4 bands of 2, t ~ 0.5) and
-    ``minhash_candidate_pr_audit`` (2 bands of 4, t ~ 0.84)."""
-    from nearscan_kafka_streams_spark.functions.dedup import shingle_strings
+    ``dedup_minhash_banded_md5`` (4 bands of 2, t ~ 0.5, uncapped --
+    its published pair set predates the cap) and
+    ``minhash_candidate_pr_audit`` (2 bands of 4, t ~ 0.84, capped).
 
-    sets = d.select(
+    ``bucket_cap``: drop band buckets holding more than this many
+    docs BEFORE the self-join.  A bucket that hot is a DEGENERATE
+    band -- on short-shingle corpora the corpus-wide min-gram is
+    often a gram every document contains, so whole bands collide
+    globally and the bucket join would go quadratic in corpus size
+    (measured: 3.26M candidates over 5k docs at sf0.1 uncapped).
+    Same flash-crowd argument (and same oracle-mirrored semantics)
+    as the co-event graph's pair cap."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _spread,
+        shingle_strings,
+    )
+
+    # _spread first: the shingle+signature construction is the
+    # CPU-heavy stage, and a small parquet arrives as 1-2 scan splits
+    # -- unspread it runs on 2 of 32 cores (measured 15.8 s vs ~2 s
+    # for the shingle pass alone at sf0.1)
+    sets = _spread(d).select(
         "doc_id", shingle_strings("text", 3).alias("grams")
     )
     def _perm(s: int):
@@ -3941,6 +3961,13 @@ def _md5_banded_candidates(
         )
         .select("doc_id", "bb.band", "bb.bkey")
     )
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "bkey")
+        banded = (
+            banded.withColumn("bsize", F.count(F.lit(1)).over(wb))
+            .where(F.col("bsize") <= bucket_cap)
+            .drop("bsize")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -11016,7 +11043,9 @@ def minhash_candidate_pr_audit(
     """Precision/recall audit of banded-MinHash candidate generation
     against EXACT ground truth: candidates from an md5 8-hash
     2-bands-of-4 construction (banding threshold t ~ (1/2)^(1/4) ~
-    0.84) scored against the production exact Jaccard >= 0.8 edge set
+    0.84, degenerate band buckets > 200 docs dropped -- see
+    ``_md5_banded_candidates``) scored against the production exact
+    Jaccard >= 0.8 edge set
     (`jaccard_edges_frame` -- the same frame the cluster family
     dedups on) -- the tuning report every LSH deployment reads before
     trusting its bands (recall says what the dedup MISSES; precision
@@ -11030,11 +11059,18 @@ def minhash_candidate_pr_audit(
     ``jaccard_edges_frame`` (see ``dedup_clusters``) so a pipeline
     auditing next to its cluster reports pays the AllPairs join
     once."""
+    from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
+
     d = _t(spark, sf_dir, "documents")
-    cand = _md5_banded_candidates(d, n_hashes=8, rows_per_band=4)
+    # the candidate frame feeds BOTH the count and the hits join;
+    # unpersisted, the 8-permutation signature pass (the audit's
+    # dominant cost) runs twice
+    cand = _persist_tracked(
+        _md5_banded_candidates(d, n_hashes=8, rows_per_band=4, bucket_cap=200)
+    )
     if edges is None:
         edges = jaccard_edges_frame(spark, sf_dir)
-    truth = edges.select("left_id", "right_id")
+    truth = _persist_tracked(edges.select("left_id", "right_id"))
     hits = cand.join(truth, ["left_id", "right_id"])
     n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -11082,9 +11118,15 @@ WITH g AS (
                               || sg[4*b + 3] || '|' || sg[4*b + 4])}
                  for b in range(0, 2)]) AS bb
   FROM sig
+), capped AS (
+  SELECT doc_id, bb FROM (
+    SELECT doc_id, bb,
+           count(*) OVER (PARTITION BY bb.band, bb.bkey) AS bsize
+    FROM bands)
+  WHERE bsize <= 200
 ), cand AS (
   SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.bb.band = b.bb.band AND a.bb.bkey = b.bb.bkey
    AND a.doc_id < b.doc_id
 ), p AS (

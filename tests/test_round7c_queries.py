@@ -61,10 +61,13 @@ def test_minhash_pr_audit_counts_consistent(spark, sf_dir):
     from nearscan_kafka_streams_spark.queries import _md5_banded_candidates
 
     d = _t(spark, sf_dir, "documents")
-    n_cand = _md5_banded_candidates(d, n_hashes=8, rows_per_band=4).count()
+    n_cand = _md5_banded_candidates(
+        d, n_hashes=8, rows_per_band=4, bucket_cap=200
+    ).count()
     assert r["n_candidates"] == n_cand
-    # tighter banding is a strict subset of the looser 4x2 candidates
-    assert n_cand <= dedup_minhash_banded_md5(spark, sf_dir).count()
+    # tighter banding (even uncapped) is a subset of the looser 4x2
+    n_tight = _md5_banded_candidates(d, n_hashes=8, rows_per_band=4).count()
+    assert n_cand <= n_tight <= dedup_minhash_banded_md5(spark, sf_dir).count()
     if r["n_candidates"] > 0:
         assert r["precision_ppm"] == r["n_hits"] * 1_000_000 // r["n_candidates"]
     if r["n_truth"] > 0:
