@@ -2931,6 +2931,8 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.  Filters stay scan-side; shuffles touch only (hash, id)
     columns and the survivor subset's shingles."""
     from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+        _spread,
         connected_components,
     )
     from nearscan_kafka_streams_spark.functions.text import (
@@ -2938,8 +2940,14 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
+    # _spread: the lang/quality scoring is the CPU-heavy stage and the
+    # corpus parquet arrives as one scan split (measured ~6 s on 1 of
+    # 32 cores at sf0.1); persist: the scored survivors feed the exact
+    # fingerprint pass, the shingle join, AND the final anti join --
+    # unpersisted, the scoring pass runs once per consumer (~18 s of
+    # the pipeline's former 20 s)
     d = _t(spark, sf_dir, "documents")
-    scored = d.select(
+    scored = _spread(d).select(
         "doc_id",
         "text",
         lang_id(F.col("text")).alias("lang"),
@@ -2947,7 +2955,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # compares rounded values, identical in both engines
         F.round(quality_score(F.col("text")) + F.lit(1e-9), 6).alias("quality"),
     )
-    kept = scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    kept = _persist_tracked(
+        scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    )
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     exact_reps = (
@@ -2958,8 +2968,18 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = kept.join(exact_reps, "doc_id")
 
+    # explicit repartition, not _spread: the survivor frame's plan
+    # REPORTS 32 shuffle partitions, but AQE coalesces the tiny join
+    # exchange to ~1 at runtime, and the CPU-heavy shingle+verify
+    # stages inherit that single partition (measured 11.3 s -> 4.9 s
+    # at sf0.1).  A user-specified repartition is exempt from AQE
+    # coalescing, which is exactly what a CPU-bound stage over a
+    # row-light frame needs.
+    tgt = spark.sparkContext.defaultParallelism
     edges = jaccard_similarity_join(
-        survivors.select("doc_id", "text"), threshold=0.8, broadcast_verify=True
+        survivors.select("doc_id", "text").repartition(tgt),
+        threshold=0.8,
+        broadcast_verify=True,
     )
     comps = connected_components(edges)
     non_reps = comps.where(F.col("component") != F.col("node")).select(
@@ -11514,6 +11534,9 @@ _CHANGED_R7: list[str] = [
     # candidate builder factored into _md5_banded_candidates (now also
     # feeding the PR audit's 2x4 geometry); published pairs unchanged
     "dedup_minhash_banded_md5",
+    # spread+persist the scored survivor frame; explicit repartition
+    # before the shingle join (AQE had coalesced it to ~1 partition)
+    "corpus_clean_pipeline",
     # decimal(38,0) cast-before-multiply overflow fixes (round-6
     # ADVICE): products formerly formed in BIGINT could wrap at scale
     "trend_slope_users",
