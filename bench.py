@@ -72,9 +72,11 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_cluster_census",
-    # round-7: the LSH tuning audit consumes the same staged edge
-    # frame (truth leg), so it sits inside the staging window
+    # round-7: the LSH tuning audit (truth leg) and the threshold
+    # sweep consume the same staged edge frame, so they sit inside
+    # the staging window
     "minhash_candidate_pr_audit",
+    "dedup_threshold_sweep",
     "dedup_ngram_containment",
     "dedup_simhash",
     "ann_bruteforce_cosine",
@@ -380,6 +382,7 @@ def main() -> None:
             "dedup_clusters_star",
             "dedup_cluster_census",
             "minhash_candidate_pr_audit",
+            "dedup_threshold_sweep",
         ),
         "co_event_edges_users": (
             "triangle_count_users",

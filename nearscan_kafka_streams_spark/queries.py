@@ -2941,23 +2941,27 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # _spread: the lang/quality scoring is the CPU-heavy stage and the
-    # corpus parquet arrives as one scan split (measured ~6 s on 1 of
-    # 32 cores at sf0.1); persist: the scored survivors feed the exact
-    # fingerprint pass, the shingle join, AND the final anti join --
-    # unpersisted, the scoring pass runs once per consumer (~18 s of
-    # the pipeline's former 20 s)
+    # corpus parquet arrives as one scan split; persist the SCORED
+    # frame BEFORE the filter -- pushed below the projection, the
+    # lang/quality predicates re-evaluate the whole scoring expression
+    # tree in filter context (no subexpression elimination there:
+    # measured 5 s vs 0.5 s for the same scoring in a projection), and
+    # the scored frame feeds the exact fingerprint pass, the shingle
+    # join, AND the final anti join
     d = _t(spark, sf_dir, "documents")
-    scored = _spread(d).select(
-        "doc_id",
-        "text",
-        lang_id(F.col("text")).alias("lang"),
-        # same epsilon-then-round as text_quality_score: the FILTER
-        # compares rounded values, identical in both engines
-        F.round(quality_score(F.col("text")) + F.lit(1e-9), 6).alias("quality"),
+    scored = _persist_tracked(
+        _spread(d).select(
+            "doc_id",
+            "text",
+            lang_id(F.col("text")).alias("lang"),
+            # same epsilon-then-round as text_quality_score: the FILTER
+            # compares rounded values, identical in both engines
+            F.round(quality_score(F.col("text")) + F.lit(1e-9), 6).alias(
+                "quality"
+            ),
+        )
     )
-    kept = _persist_tracked(
-        scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
-    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     exact_reps = (
@@ -11239,6 +11243,125 @@ ORDER BY lang, lang_pred
 """
 
 
+def dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Dedup tuning curve: for Jaccard thresholds 0.80 / 0.85 / 0.90 /
+    0.95, how many near-dup pairs survive, how many clusters they
+    form, and how many documents dedup would remove -- the sweep read
+    before committing a threshold (the census shows ONE threshold's
+    cluster structure; this shows the knob's whole response curve).
+
+    Exactness: thresholds apply as integer p/q predicates over the
+    exact (inter_size, union_size) columns of the Jaccard >= 0.8 edge
+    frame -- threshold monotonicity makes every t >= 0.8 sweep a pure
+    FILTER of the one staged frame, no recomputation, no floats.
+
+    Scale: the AllPairs join runs once (or arrives staged via
+    ``edges=``); each sweep point is a filter + connected components
+    over a pair set orders of magnitude smaller than the corpus, and
+    the report is 4 rows."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+        connected_components,
+    )
+
+    if edges is None:
+        edges = jaccard_edges_frame(spark, sf_dir)
+    edges = _persist_tracked(
+        edges.select("left_id", "right_id", "inter_size", "union_size")
+    )
+    out = None
+    for pct, (p, q) in [(80, (4, 5)), (85, (17, 20)), (90, (9, 10)),
+                        (95, (19, 20))]:
+        et = edges.where(
+            F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("union_size")
+        ).select("left_id", "right_id")
+        et = _persist_tracked(et)
+        comps = connected_components(et)
+        n_pairs = et.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        stats = comps.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_linked"),
+            F.count_distinct("component").cast("long").alias("n_clusters"),
+        )
+        row = (
+            n_pairs.crossJoin(stats)
+            .select(
+                F.lit(pct).cast("long").alias("threshold_pct"),
+                "n_pairs",
+                "n_docs_linked",
+                "n_clusters",
+                (F.col("n_docs_linked") - F.col("n_clusters"))
+                .cast("long")
+                .alias("docs_removable"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("threshold_pct")
+
+
+def _sweep_leg_sql(pct: int, p: int, q: int) -> str:
+    return f"""
+SELECT CAST({pct} AS BIGINT) AS threshold_pct,
+       CAST((SELECT count(*) FROM p{pct}) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM comp{pct}) AS BIGINT) AS n_docs_linked,
+       CAST((SELECT count(DISTINCT component) FROM comp{pct}) AS BIGINT)
+         AS n_clusters,
+       CAST((SELECT count(*) FROM comp{pct})
+            - (SELECT count(DISTINCT component) FROM comp{pct}) AS BIGINT)
+         AS docs_removable"""
+
+
+def _sweep_cte_sql(pct: int, p: int, q: int) -> str:
+    return f"""p{pct} AS (
+  SELECT left_id, right_id FROM base
+  WHERE {q} * i >= {p} * (la + lb - i)
+),
+e{pct} AS (
+  SELECT left_id AS a, right_id AS b FROM p{pct}
+  UNION ALL
+  SELECT right_id, left_id FROM p{pct}
+),
+reach{pct}(node, label) AS (
+  SELECT a, a FROM e{pct}
+  UNION
+  SELECT e.b, r.label FROM reach{pct} r JOIN e{pct} e ON e.a = r.node
+),
+comp{pct} AS (
+  SELECT node, min(label) AS component FROM reach{pct} GROUP BY node
+)"""
+
+
+_SWEEP_POINTS = [(80, 4, 5), (85, 17, 20), (90, 9, 10), (95, 19, 20)]
+
+DEDUP_THRESHOLD_SWEEP_SQL = (
+    r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, greatest(length(t) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+),
+base AS (
+  SELECT left_id, right_id, i, la, lb FROM (
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           length(list_intersect(a.grams, b.grams)) AS i,
+           length(a.grams) AS la, length(b.grams) AS lb
+    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+  WHERE 5 * i >= 4 * (la + lb - i)
+),
+"""
+    + ",\n".join(_sweep_cte_sql(pct, p, q) for pct, p, q in _SWEEP_POINTS)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        _sweep_leg_sql(pct, p, q) for pct, p, q in _SWEEP_POINTS
+    )
+    + "\nORDER BY threshold_pct\n"
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11321,6 +11444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_candidate_pr_audit": minhash_candidate_pr_audit,
     "lang_id_confusion": lang_id_confusion,
     "co_event_edges_users": co_event_edges_users,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     # --- new round 4 (never verified then) ---
     "dedup_ngram_containment": dedup_ngram_containment,
     "weighted_sample_documents": weighted_sample_documents,
@@ -11521,6 +11645,7 @@ _ROUND7_NEW: list[str] = [
     "minhash_candidate_pr_audit",
     "lang_id_confusion",
     "co_event_edges_users",
+    "dedup_threshold_sweep",
 ]
 _CHANGED_R7: list[str] = [
     # triangle census edge construction factored into the shared
@@ -11637,6 +11762,7 @@ ORACLES: dict[str, str] = {
     "minhash_candidate_pr_audit": MINHASH_PR_AUDIT_SQL,
     "lang_id_confusion": LANG_CONFUSION_SQL,
     "co_event_edges_users": CO_EVENT_EDGES_SQL,
+    "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,

@@ -41,6 +41,27 @@ def test_clustering_coeff_staged_edges_identical(spark, sf_dir, staged_co_edges)
     ) == _rows(clustering_coefficient_users(spark, sf_dir))
 
 
+def test_threshold_sweep_monotone_and_census_consistent(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import (
+        dedup_cluster_census,
+        dedup_threshold_sweep,
+        jaccard_edges_frame,
+    )
+
+    rows = dedup_threshold_sweep(spark, sf_dir).collect()
+    assert [r["threshold_pct"] for r in rows] == [80, 85, 90, 95]
+    for col in ("n_pairs", "n_docs_linked", "n_clusters", "docs_removable"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals, reverse=True), (col, vals)
+    for r in rows:
+        assert r["docs_removable"] == r["n_docs_linked"] - r["n_clusters"]
+    # the 0.80 point must agree with the independent edge frame and
+    # the cluster census (removable = sum over non-singleton clusters)
+    assert rows[0]["n_pairs"] == jaccard_edges_frame(spark, sf_dir).count()
+    census = dedup_cluster_census(spark, sf_dir).collect()
+    assert rows[0]["docs_removable"] == sum(c["docs_removable"] for c in census)
+
+
 def test_edge_list_is_canonical_and_deduped(spark, sf_dir):
     rows = _rows(co_event_edges_users(spark, sf_dir))
     assert rows, "co-event graph empty at test scale"
