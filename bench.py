@@ -77,6 +77,12 @@ HEADLINE = [
     # the staging window
     "minhash_candidate_pr_audit",
     "dedup_threshold_sweep",
+    # the clean pipeline's near-dup stage composes over the SAME
+    # staged frame (pairwise Jaccard: full-corpus edges semi-joined
+    # to its survivor ids == survivor-only self-join), so it closes
+    # the staging window; its timing is the lang/quality/exact-dedup/
+    # components/split cost given staged edges
+    "corpus_clean_pipeline",
     "dedup_ngram_containment",
     "dedup_simhash",
     "ann_bruteforce_cosine",
@@ -194,11 +200,11 @@ HEADLINE = [
     "activity_streaks_users",
     "conversion_lag_events",
     "new_vs_returning_events",
-    # round-7: the full curate pipeline (exact dedup -> near-dup
-    # components -> split) joins HEADLINE under selection rule (a);
-    # multimodal_decode is its family's mapInPandas representative
-    # (rule (b) -- the family was previously unbenched)
-    "corpus_clean_pipeline",
+    # round-7: multimodal_decode is its family's mapInPandas
+    # representative (rule (b) -- the family was previously
+    # unbenched).  corpus_clean_pipeline joined HEADLINE this round
+    # too, but sits up in the staged-Jaccard window (its near-dup
+    # stage consumes the shared edge frame).
     "multimodal_decode",
     # round-7 wave: basket rules, graph clustering coefficient,
     # near-time dedup, per-source dup share, embedding statistics
@@ -210,6 +216,7 @@ HEADLINE = [
     "co_event_edges_users",
     "triangle_count_users",
     "clustering_coefficient_users",
+    "degree_assortativity_users",
     "dedup_near_time_events",
     "duplicate_share_by_source",
     "embedding_dim_stats",
@@ -220,6 +227,14 @@ HEADLINE = [
     "bucketed_join_lineitem",
     "hybrid_rrf_retrieval",
     "lang_id_confusion",
+    # round-7 wave 8: privacy-EMD grid windows, hourly-grid self-join
+    # ACF, distributed-rank trimmed mean (join_fanout / interarrival /
+    # monotonic are cheap strict subsets of already-timed plan shapes,
+    # rule (c); degree_assortativity sits in the co-event staging
+    # window above)
+    "t_closeness_documents",
+    "autocorr_events",
+    "trimmed_mean_lineitem",
 ]
 
 # Registry-to-family map backing the HEADLINE selection rule (module
@@ -234,9 +249,10 @@ FAMILY_PATTERNS: list[tuple[str, str]] = [
                       r"|retrieval_eval|dedup_semantic|embedding_"
                       r"|label_centroid|hybrid_rrf)"),
     ("sketch-approx", r"^(hll_|approx_sketches|bloom_)"),
-    ("privacy", r"^(pseudonymize|k_anonymity|l_diversity)"),
+    ("privacy", r"^(pseudonymize|k_anonymity|l_diversity|t_closeness)"),
     ("graph", r"^(pagerank|triangle_|bfs_|label_propagation"
-              r"|clustering_coefficient|co_event_edges)"),
+              r"|clustering_coefficient|co_event_edges"
+              r"|degree_assortativity)"),
     ("text", r"^(text_|vocab|term_doc|bigram_|heavy_hitters|sentence_|lang_id"
              r"|bm25|collocation_|char_entropy|inverted_index"
              r"|ngram_novelty|tokenizer_fertility|bpe_|lm_perplexity"
@@ -258,15 +274,17 @@ FAMILY_PATTERNS: list[tuple[str, str]] = [
                            r"|snapshot_diff|tumbling_window"
                            r"|sliding_window|session_window"
                            r"|range_frame|interval_join|top_paths"
-                           r"|behavioral_entropy)"),
+                           r"|behavioral_entropy|autocorr"
+                           r"|interarrival)"),
     ("stats-eval", r"^(profile_|data_quality|chisq_|psi_drift"
                    r"|ks_drift|auc_|calibration_|cohens_kappa"
                    r"|benford_|gini_|hhi_|trend_slope"
                    r"|percentiles_global|equidepth_|weighted_median"
-                   r"|rfm_segments|pareto_)"),
+                   r"|rfm_segments|pareto_|monotonic_|trimmed_mean)"),
     ("cdc-warehouse", r"^(scd2_|store_changelog|salted_|sql_text"
                       r"|recursive_cte|variant_json|zorder_"
-                      r"|bucketed_join|referential_integrity)"),
+                      r"|bucketed_join|referential_integrity"
+                      r"|join_fanout)"),
     ("near-core", r"^(running_balance|flatmap_legs|json_extract"
                   r"|scalar_functions|dedup_events)"),
     ("relational", r".*"),
@@ -383,10 +401,12 @@ def main() -> None:
             "dedup_cluster_census",
             "minhash_candidate_pr_audit",
             "dedup_threshold_sweep",
+            "corpus_clean_pipeline",
         ),
         "co_event_edges_users": (
             "triangle_count_users",
             "clustering_coefficient_users",
+            "degree_assortativity_users",
         ),
     }
     consumer_to_producer = {

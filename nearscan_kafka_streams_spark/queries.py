@@ -2917,7 +2917,9 @@ WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
 """
 
 
-def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_clean_pipeline(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """FLAGSHIP composition -- the actual 100 TB training-data job:
 
       lang-id filter (en) -> quality filter (rounded score >= 0.5)
@@ -2979,12 +2981,34 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1).  A user-specified repartition is exempt from AQE
     # coalescing, which is exactly what a CPU-bound stage over a
     # row-light frame needs.
-    tgt = spark.sparkContext.defaultParallelism
-    edges = jaccard_similarity_join(
-        survivors.select("doc_id", "text").repartition(tgt),
-        threshold=0.8,
-        broadcast_verify=True,
-    )
+    # ``edges``: optionally the pre-staged FULL-CORPUS Jaccard>=0.8
+    # frame (``jaccard_edges_frame``).  Jaccard is pairwise -- J(a,b)
+    # depends only on the two gram sets -- so the full-corpus edge set
+    # restricted to pairs whose BOTH endpoints survive the lang/
+    # quality/exact-dedup gates is exactly the edge set the survivor-
+    # only self-join would produce; two LEFT SEMI joins against the
+    # (tiny) survivor-id frame replace the whole AllPairs pass.  The
+    # 2-arg default recomputes on the survivor subset (driver
+    # isolation, and the subset join is the cheaper plan when no
+    # staged frame exists: fewer docs shingled).
+    if edges is not None:
+        surv_ids = survivors.select("doc_id")
+        edges = edges.join(
+            surv_ids.withColumnRenamed("doc_id", "left_id"),
+            "left_id",
+            "semi",
+        ).join(
+            surv_ids.withColumnRenamed("doc_id", "right_id"),
+            "right_id",
+            "semi",
+        )
+    else:
+        tgt = spark.sparkContext.defaultParallelism
+        edges = jaccard_similarity_join(
+            survivors.select("doc_id", "text").repartition(tgt),
+            threshold=0.8,
+            broadcast_verify=True,
+        )
     comps = connected_components(edges)
     non_reps = comps.where(F.col("component") != F.col("node")).select(
         F.col("node").alias("doc_id")
@@ -11363,6 +11387,627 @@ base AS (
 
 
 # --------------------------------------------------------------------------
+# round-7 wave 8: t-closeness (completing the k-anonymity/l-diversity
+# privacy triad), exact integer autocorrelation, degree assortativity
+# over the staged co-event graph, FK fan-out audit, inter-arrival
+# histogram, out-of-order ingestion audit, exact trimmed mean
+# --------------------------------------------------------------------------
+
+
+def t_closeness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit -- the third leg of the privacy-release triad
+    (k_anonymity_documents counts class sizes, l_diversity_documents
+    counts distinct sensitive values; this bounds how much a class's
+    SENSITIVE-VALUE DISTRIBUTION leaks): per quasi-identifier class
+    (lang, source), the Earth Mover's Distance between the class's
+    length-bin distribution and the corpus-wide one, for the ordered
+    attribute bin = n_chars div 200.
+
+    EMD for an ordered attribute is the mean absolute difference of
+    cumulative shares: sum_i |P_c(<=i) - P_g(<=i)| / (m-1).  Computed
+    as EXACT integer ppm by clearing denominators -- the cumulative
+    difference at bin i is (cum_c*N - cum_g*n_c) / (n_c*N), so
+
+        t_ppm = sum_i |cum_c_i*N - cum_g_i*n_c| * 1e6
+                div ((m-1) * n_c * N)
+
+    with every product formed in DECIMAL(38,0) (cum*N reaches ~1e24 at
+    corpus scale -- int64 wraps; DuckDB multiplies in HUGEINT).
+
+    Scale: two hash aggregates over the corpus (per-bin, per-class-bin)
+    collapse everything to a classes x bins GRID bounded by metadata
+    cardinality, not rows; the cumulative windows run on that grid
+    (the round-6 window-buffering discipline), and the totals frame is
+    a broadcast cross join."""
+    d = _t(spark, sf_dir, "documents")
+    binned = d.select(
+        "lang", "source", F.expr("CAST(n_chars div 200 AS BIGINT)").alias("bin")
+    )
+    gbin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("g_n")
+    )
+    gcum = gbin.select(
+        "bin",
+        F.sum("g_n")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_g"),
+    )
+    tot = gbin.agg(
+        F.sum("g_n").cast("decimal(38,0)").alias("N"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+    )
+    cls = binned.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_c")
+    )
+    cbin = binned.groupBy("lang", "source", "bin").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c_n")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gcum))
+        .join(cbin, ["lang", "source", "bin"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_c",
+            "bin",
+            "cum_g",
+            F.coalesce(F.col("c_n"), F.lit(0).cast("decimal(38,0)")).alias(
+                "c_n"
+            ),
+        )
+    )
+    cums = grid.withColumn(
+        "cum_c",
+        F.sum("c_n").over(
+            Window.partitionBy("lang", "source")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    dist = (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("lang", "source", "n_c", "N", "m")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_c") * F.col("N") - F.col("cum_g") * F.col("n_c"))
+            )
+            .cast("decimal(38,0)")
+            .alias("s")
+        )
+    )
+    return dist.select(
+        "lang",
+        "source",
+        F.col("n_c").cast("long").alias("class_size"),
+        F.expr(
+            "CAST((s * 1000000) div (greatest(m - 1, 1) * n_c * N) AS BIGINT)"
+        ).alias("t_ppm"),
+        F.expr(
+            "(s * 1000000) div (greatest(m - 1, 1) * n_c * N) <= 200000"
+        ).alias("t_close"),
+    ).orderBy("lang", "source")
+
+
+T_CLOSENESS_SQL = r"""
+WITH binned AS (
+  SELECT lang, source, n_chars // 200 AS bin FROM documents
+), gbin AS (
+  SELECT bin, CAST(count(*) AS HUGEINT) AS g_n FROM binned GROUP BY bin
+), gcum AS (
+  SELECT bin, sum(g_n) OVER (ORDER BY bin) AS cum_g FROM gbin
+), tot AS (
+  SELECT CAST(sum(g_n) AS HUGEINT) AS N,
+         CAST(count(*) AS HUGEINT) AS m
+  FROM gbin
+), cls AS (
+  SELECT lang, source, CAST(count(*) AS HUGEINT) AS n_c
+  FROM binned GROUP BY lang, source
+), cbin AS (
+  SELECT lang, source, bin, CAST(count(*) AS HUGEINT) AS c_n
+  FROM binned GROUP BY lang, source, bin
+), grid AS (
+  SELECT c.lang, c.source, c.n_c, g.bin, g.cum_g,
+         COALESCE(cb.c_n, 0) AS c_n
+  FROM cls c CROSS JOIN gcum g
+  LEFT JOIN cbin cb
+    ON cb.lang = c.lang AND cb.source = c.source AND cb.bin = g.bin
+), cums AS (
+  SELECT lang, source, n_c, cum_g,
+         sum(c_n) OVER (PARTITION BY lang, source ORDER BY bin) AS cum_c
+  FROM grid
+), dist AS (
+  SELECT lang, source, n_c,
+         sum(abs(cum_c * N - cum_g * n_c)) AS s
+  FROM cums CROSS JOIN tot
+  GROUP BY lang, source, n_c
+)
+SELECT lang, source, CAST(n_c AS BIGINT) AS class_size,
+       CAST((s * 1000000) // (greatest(m - 1, 1) * n_c * N) AS BIGINT)
+         AS t_ppm,
+       (s * 1000000) // (greatest(m - 1, 1) * n_c * N) <= 200000 AS t_close
+FROM dist CROSS JOIN tot
+ORDER BY lang, source
+"""
+
+
+def autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags
+    1..24 h -- the seasonality detector behind traffic forecasting and
+    anomaly baselines (a strong lag-24 peak = daily cycle).
+
+    Exact integer ppm with NO mean subtraction in floats: with
+    S = sum(x), n = hours, multiplying the centered estimator through
+    by n^2 gives
+
+        acf_ppm(k) = 1e6 * sum_t (n*x_t - S)(n*x_{t+k} - S)
+                     div sum_t (n*x_t - S)^2
+
+    where the numerator runs over observed hour pairs exactly k hours
+    apart and the denominator over all observed hours.  n*x ~ 1e14 at
+    warehouse scale, its square ~1e28: products are formed in
+    DECIMAL(38,0) (DuckDB: HUGEINT), per the cast-before-multiply
+    discipline.  Missing hours simply contribute no pair (identical
+    rule in both engines).
+
+    Scale: ONE aggregate collapses the event log to the hourly grid --
+    bounded by the time range, not data size (26 M rows for 3000
+    years) -- and the 24-lag self-join runs on that grid."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias(
+            "hh"
+        )
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("x"))
+    tot = hourly.agg(
+        F.sum("x").cast("decimal(38,0)").alias("S"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    centered = hourly.crossJoin(F.broadcast(tot)).select(
+        "hh", (F.col("n") * F.col("x") - F.col("S")).alias("c")
+    )
+    den = centered.agg(
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("den")
+    )
+    lags = spark.range(1, 25).select(F.col("id").cast("long").alias("lag"))
+    l, r = centered.alias("l"), centered.alias("r")
+    pairs = l.crossJoin(F.broadcast(lags)).join(
+        r, F.col("r.hh") == F.col("l.hh") + F.col("lag")
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("l.c") * F.col("r.c"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .where(F.col("den") > 0)
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr("CAST((num * 1000000) div den AS BIGINT)").alias(
+                "acf_ppm"
+            ),
+        )
+        .orderBy("lag")
+    )
+
+
+AUTOCORR_SQL = r"""
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hh,
+         CAST(count(*) AS HUGEINT) AS x
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(x) AS HUGEINT) AS S, CAST(count(*) AS HUGEINT) AS n
+  FROM hourly
+), centered AS (
+  SELECT hh, n * x - S AS c FROM hourly CROSS JOIN tot
+), den AS (
+  SELECT sum(c * c) AS den FROM centered
+), lags AS (
+  SELECT CAST(k AS BIGINT) AS lag FROM generate_series(1, 24) t(k)
+), pairs AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(l.c * r.c) AS num
+  FROM lags JOIN centered l ON true
+  JOIN centered r ON r.hh = l.hh + lag
+  GROUP BY lag
+)
+SELECT lag, n_pairs,
+       CAST((num * 1000000) // den AS BIGINT) AS acf_ppm
+FROM pairs CROSS JOIN den
+WHERE den > 0
+ORDER BY lag
+"""
+
+
+def degree_assortativity_users(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Degree assortativity of the user co-occurrence graph: the
+    Pearson correlation between the degrees at the two ends of each
+    edge -- positive means hubs link to hubs (community structure),
+    negative means hubs link to leaves (star/broadcast patterns, the
+    bot-ring signature).  Third metric over the SAME staged co-event
+    graph as the triangle census and clustering coefficient
+    (``edges=`` accepts the ``co_event_edges_users`` frame).
+
+    Exactness: over the symmetrized edge list both degree marginals
+    are identical, so Pearson reduces to the SQRT-FREE rational
+
+        r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2)
+
+    published as integer ppm; products of degree sums reach ~1e24 on
+    a billion-edge graph, so every term is formed in DECIMAL(38,0)
+    (DuckDB: HUGEINT).
+
+    Scale: degrees are one aggregate over the (persisted) edge list;
+    the stats are one aggregate over 2|E| rows; output is one row."""
+    if edges is None:
+        edges = _co_event_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = directed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    joined = (
+        directed.join(deg.withColumnRenamed("src", "s2"),
+                      F.col("src") == F.col("s2"))
+        .select("src", "dst", F.col("d").alias("dx"))
+        .join(
+            deg.select(F.col("src").alias("d2"), F.col("d").alias("dy")),
+            F.col("dst") == F.col("d2"),
+        )
+        .select("dx", "dy")
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("M"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return stats.select(
+        F.expr("CAST(M div 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN M * sxx - sx * sx > 0 THEN "
+            "((M * sxy - sx * sx) * 1000000) div (M * sxx - sx * sx) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = r"""
+WITH b0 AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS bh
+  FROM events
+), b AS (
+  SELECT user_id, event_type, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY event_type, bh) AS bsize
+        FROM b0)
+  WHERE bsize <= 1000
+), prs AS (
+  SELECT l.user_id AS u, r.user_id AS v, count(*) AS n_shared
+  FROM b l JOIN b r
+    ON l.event_type = r.event_type AND l.bh = r.bh
+   AND l.user_id < r.user_id
+  GROUP BY l.user_id, r.user_id
+), e AS (
+  SELECT u, v FROM prs WHERE n_shared >= 2
+), directed AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL
+  SELECT v AS src, u AS dst FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS HUGEINT) AS d FROM directed GROUP BY src
+), joined AS (
+  SELECT a.d AS dx, bb.d AS dy
+  FROM directed t
+  JOIN deg a ON a.src = t.src
+  JOIN deg bb ON bb.src = t.dst
+), stats AS (
+  SELECT CAST(count(*) AS HUGEINT) AS M,
+         sum(dx) AS sx, sum(dx * dx) AS sxx, sum(dx * dy) AS sxy
+  FROM joined
+)
+SELECT CAST(M // 2 AS BIGINT) AS n_edges,
+       CAST(CASE WHEN M * sxx - sx * sx > 0 THEN
+              ((M * sxy - sx * sx) * 1000000) // (M * sxx - sx * sx)
+            ELSE 0 END AS BIGINT) AS assortativity_ppm
+FROM stats
+"""
+
+
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK fan-out audit across the star schema's six edges: per edge,
+    child rows (non-null FK), distinct keys, the heaviest key's child
+    count, mean fan-out in milli, and the top key's share in ppm --
+    the pre-join skew census a planner (or a human sizing a shuffle)
+    reads BEFORE running the join that referential_integrity_audit has
+    validated.  A top-share spike says 'salt this key' (cf.
+    salted_skew_join_events for the treatment).
+
+    Scale: per edge one (fk)-keyed aggregate then one tiny rollup --
+    the same shuffle the later join would need anyway, nothing
+    quadratic; six edges union for free.  Counts cast to
+    DECIMAL(38,0) before the *1000/*1e6 scalings (1e12 children x 1e6
+    brushes int64's ceiling)."""
+    edges = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey"),
+    ]
+    out = None
+    for name, child, fk in edges:
+        c = _t(spark, sf_dir, child)
+        per_key = (
+            c.where(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+        )
+        one = per_key.agg(
+            F.lit(name).alias("edge"),
+            F.sum("cnt").cast("decimal(38,0)").alias("n_children"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_keys"),
+            F.max("cnt").cast("decimal(38,0)").alias("max_per_key"),
+        ).select(
+            "edge",
+            F.col("n_children").cast("long").alias("n_children"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_per_key").cast("long").alias("max_per_key"),
+            F.expr("CAST((n_children * 1000) div n_keys AS BIGINT)").alias(
+                "avg_fanout_milli"
+            ),
+            F.expr(
+                "CAST((max_per_key * 1000000) div n_children AS BIGINT)"
+            ).alias("top_key_share_ppm"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("edge")
+
+
+JOIN_FANOUT_SQL = r"""
+WITH per AS (
+  SELECT edge, CAST(sum(cnt) AS HUGEINT) AS n_children,
+         CAST(count(*) AS HUGEINT) AS n_keys,
+         CAST(max(cnt) AS HUGEINT) AS max_per_key
+  FROM (
+    SELECT 'customer.c_nationkey->nation' AS edge, c_nationkey AS k,
+           count(*) AS cnt
+    FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', l_orderkey, count(*)
+    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', l_partkey, count(*)
+    FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', l_suppkey, count(*)
+    FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', o_custkey, count(*)
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', s_nationkey, count(*)
+    FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 2
+  )
+  GROUP BY edge
+)
+SELECT edge, CAST(n_children AS BIGINT) AS n_children,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_per_key AS BIGINT) AS max_per_key,
+       CAST((n_children * 1000) // n_keys AS BIGINT) AS avg_fanout_milli,
+       CAST((max_per_key * 1000000) // n_children AS BIGINT)
+         AS top_key_share_ppm
+FROM per
+ORDER BY edge
+"""
+
+
+def interarrival_histogram_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-arrival-time histogram: per-user gaps between consecutive
+    events (ordered by ts, event_id), bucketed on a log2 scale --
+    bucket 0 is a 0-second gap, bucket b covers [2^(b-1), 2^b)
+    seconds -- the burstiness profile behind rate limiting, bot
+    screens, and session-timeout tuning (sessionize_events' 1800 s
+    gap sits where this histogram's mass splits).
+
+    Exactness: gaps are computed on integer MICROseconds then floored
+    to whole seconds once (floor(a) - floor(b) != floor(a-b) on
+    sub-second timestamps -- both engines difference first); the
+    bucket is length(bin(gap)) (= floor(log2)+1), a string-length
+    identity both engines share, never a float log.
+
+    Scale: one user-partitioned window (lag) over the log, then a
+    ~40-group aggregate -- no global sort anywhere."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", "event_id",
+                 F.unix_micros("ts").alias("tus"))
+        .withColumn("prev", F.lag("tus").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.expr("CAST((tus - prev) div 1000000 AS BIGINT)").alias("gap_s")
+        )
+    )
+    return (
+        gaps.select(
+            F.when(F.col("gap_s") <= 0, F.lit(0))
+            .otherwise(F.length(F.bin("gap_s")))
+            .cast("long")
+            .alias("bucket"),
+            "gap_s",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("bucket")
+    )
+
+
+INTERARRIVAL_SQL = r"""
+WITH gaps AS (
+  SELECT (epoch_us(ts)
+          - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) // 1000000
+         AS gap_s
+  FROM events
+)
+SELECT CASE WHEN gap_s <= 0 THEN 0
+            ELSE length(bin(gap_s)) END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def monotonic_violations_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-order ingestion audit: within each customer's order
+    stream (ordered by o_orderkey -- the ingestion sequence), count
+    consecutive pairs where o_orderdate moves BACKWARD, grouped by the
+    violating order's priority -- the data-quality screen that
+    separates 'late-arriving data' (expected, handled by watermarks)
+    from 'broken upstream ordering' (not).  Publishes violation rate
+    in ppm per priority class.
+
+    Exactness: pair and violation counts are exact integers; the rate
+    is one integer division with counts cast to DECIMAL(38,0) before
+    the 1e6 scaling.  Scale: one customer-partitioned window (lag)
+    over orders, then a 5-group aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    pairs = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_d").isNotNull())
+    )
+    return (
+        pairs.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_pairs"),
+            F.sum((F.col("o_orderdate") < F.col("prev_d")).cast("int"))
+            .cast("decimal(38,0)")
+            .alias("n_violations"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.expr(
+                "CAST((n_violations * 1000000) div n_pairs AS BIGINT)"
+            ).alias("violation_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MONOTONIC_VIOLATIONS_SQL = r"""
+WITH pairs AS (
+  SELECT o_orderpriority, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS prev_d
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN o_orderdate < prev_d THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST((CAST(sum(CASE WHEN o_orderdate < prev_d THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000)
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS violation_ppm
+FROM pairs
+WHERE prev_d IS NOT NULL
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def trimmed_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of line-item price: drop the bottom and
+    top decile BY GLOBAL RANK (total order: price, orderkey,
+    linenumber) and average the middle 80% -- the robust center that
+    survives the fat tails MAD/IQR screens only flag.  One row:
+    total rows, kept rows, kept sum in cents, mean in milli-cents.
+
+    Exactness: prices become integer cents once (round(p*100), the
+    house money convention); rank boundaries are integer (n div 10);
+    the mean is one integer division with the sum in DECIMAL(38,0)
+    (cents x 1e12 rows x1000 is past int64).
+
+    Scale: the global rank is ``functions.scan.global_row_number`` --
+    one range shuffle, partition-local sorts, closed-form offsets --
+    never a single-task ROW_NUMBER window; everything after is one
+    aggregate."""
+    from .functions.scan import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_number(
+        cents, ["cents", "l_orderkey", "l_linenumber"], out_col="rn"
+    )
+    n = cents.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    kept = ranked.crossJoin(F.broadcast(n)).where(
+        (F.col("rn") > F.expr("n_total div 10"))
+        & (F.col("rn") <= F.expr("n_total - n_total div 10"))
+    )
+    return kept.groupBy("n_total").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_cents"),
+    ).select(
+        "n_total",
+        "n_kept",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.expr(
+            "CAST((sum_cents * 1000) div n_kept AS BIGINT)"
+        ).alias("mean_millicents"),
+    )
+
+
+TRIMMED_MEAN_SQL = r"""
+WITH ranked AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                    l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM ranked
+)
+SELECT n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents,
+       CAST((sum(CAST(cents AS HUGEINT)) * 1000)
+            // CAST(count(*) AS HUGEINT) AS BIGINT) AS mean_millicents
+FROM ranked CROSS JOIN tot
+WHERE rn > n_total // 10 AND rn <= n_total - n_total // 10
+GROUP BY n_total
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -11603,6 +12248,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join_customers": semi_anti_join_customers,
     "exists_subquery_suppliers": exists_subquery_suppliers,
     "distinct_agg_orders": distinct_agg_orders,
+    "t_closeness_documents": t_closeness_documents,
+    "autocorr_events": autocorr_events,
+    "degree_assortativity_users": degree_assortativity_users,
+    "join_fanout_audit": join_fanout_audit,
+    "interarrival_histogram_events": interarrival_histogram_events,
+    "monotonic_violations_orders": monotonic_violations_orders,
+    "trimmed_mean_lineitem": trimmed_mean_lineitem,
 }
 
 # ROUND-7 ROTATION (ordering contract): the driver hash-samples the
@@ -11646,6 +12298,13 @@ _ROUND7_NEW: list[str] = [
     "lang_id_confusion",
     "co_event_edges_users",
     "dedup_threshold_sweep",
+    "t_closeness_documents",
+    "autocorr_events",
+    "degree_assortativity_users",
+    "join_fanout_audit",
+    "interarrival_histogram_events",
+    "monotonic_violations_orders",
+    "trimmed_mean_lineitem",
 ]
 _CHANGED_R7: list[str] = [
     # triangle census edge construction factored into the shared
@@ -11763,6 +12422,13 @@ ORACLES: dict[str, str] = {
     "lang_id_confusion": LANG_CONFUSION_SQL,
     "co_event_edges_users": CO_EVENT_EDGES_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
+    "t_closeness_documents": T_CLOSENESS_SQL,
+    "autocorr_events": AUTOCORR_SQL,
+    "degree_assortativity_users": DEGREE_ASSORTATIVITY_SQL,
+    "join_fanout_audit": JOIN_FANOUT_SQL,
+    "interarrival_histogram_events": INTERARRIVAL_SQL,
+    "monotonic_violations_orders": MONOTONIC_VIOLATIONS_SQL,
+    "trimmed_mean_lineitem": TRIMMED_MEAN_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,

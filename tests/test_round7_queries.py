@@ -127,3 +127,15 @@ def test_trend_slope_no_int64_wrap_on_long_horizon(spark):
         # a wrapped sxx/sxy would produce a wildly wrong magnitude
         assert row.n_events == n
         assert abs(row.slope_micro) < 10_000, row.slope_micro
+
+
+def test_clean_pipeline_staged_edges_identical(spark, sf_dir, staged_edges):
+    # pairwise Jaccard: the full-corpus staged edge frame semi-joined
+    # to the pipeline's survivor ids must reproduce the survivor-only
+    # AllPairs join bit-for-bit, so the final (doc_id, lang, quality,
+    # split) output is identical under either path
+    from nearscan_kafka_streams_spark.queries import corpus_clean_pipeline
+
+    assert _rows(
+        corpus_clean_pipeline(spark, sf_dir, edges=staged_edges)
+    ) == _rows(corpus_clean_pipeline(spark, sf_dir))

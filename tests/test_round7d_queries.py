@@ -67,3 +67,28 @@ def test_edge_list_is_canonical_and_deduped(spark, sf_dir):
     assert rows, "co-event graph empty at test scale"
     assert all(u < v for u, v in rows)
     assert len(rows) == len(set(rows))
+
+
+def test_degree_assortativity_staged_edges_identical(
+    spark, sf_dir, staged_co_edges
+):
+    from nearscan_kafka_streams_spark.queries import (
+        degree_assortativity_users,
+    )
+
+    assert _rows(
+        degree_assortativity_users(spark, sf_dir, edges=staged_co_edges)
+    ) == _rows(degree_assortativity_users(spark, sf_dir))
+
+
+def test_degree_assortativity_bounded(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import (
+        degree_assortativity_users,
+    )
+
+    rows = degree_assortativity_users(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_edges"] > 0
+    # Pearson in ppm lives in [-1e6, 1e6]
+    assert -1_000_000 <= r["assortativity_ppm"] <= 1_000_000
