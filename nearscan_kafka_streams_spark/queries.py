@@ -11117,8 +11117,18 @@ def minhash_candidate_pr_audit(
         _md5_banded_candidates(d, n_hashes=8, rows_per_band=4, bucket_cap=200)
     )
     if edges is None:
-        edges = jaccard_edges_frame(spark, sf_dir)
-    truth = _persist_tracked(edges.select("left_id", "right_id"))
+        # self-computed truth leg: persist it (read by the hits join
+        # AND the count).  A CALLER-provided staged frame is already
+        # cached -- re-persisting a projection of it risks sharing
+        # its CacheManager entry (see dedup_threshold_sweep) and
+        # buys nothing, so the staged path projects lazily.
+        truth = _persist_tracked(
+            jaccard_edges_frame(spark, sf_dir).select(
+                "left_id", "right_id"
+            )
+        )
+    else:
+        truth = edges.select("left_id", "right_id")
     hits = cand.join(truth, ["left_id", "right_id"])
     n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -11291,10 +11301,23 @@ def dedup_threshold_sweep(
     )
 
     if edges is None:
-        edges = jaccard_edges_frame(spark, sf_dir)
-    edges = _persist_tracked(
-        edges.select("left_id", "right_id", "inter_size", "union_size")
-    )
+        edges = _persist_tracked(
+            jaccard_edges_frame(spark, sf_dir).select(
+                "left_id", "right_id", "inter_size", "union_size"
+            )
+        )
+    else:
+        # caller-owned staged frame: do NOT re-persist.  A full-width
+        # projection canonicalizes to the SAME CacheManager entry as
+        # the staged frame itself (sameResult), so tracking it hands
+        # the CALLER's cache to release_cached() -- measured in bench:
+        # the staged frame died here and every later consumer in the
+        # staging window silently recomputed the AllPairs join
+        # (corpus_clean_pipeline 24.6 s instead of ~3 s).  Rule: only
+        # _persist_tracked frames THIS function built.
+        edges = edges.select(
+            "left_id", "right_id", "inter_size", "union_size"
+        )
     out = None
     for pct, (p, q) in [(80, (4, 5)), (85, (17, 20)), (90, (9, 10)),
                         (95, (19, 20))]:
@@ -12276,6 +12299,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #      round-6-green front entries rotate to the back.
 # Remainder (rounds-5/6 green + the declared no_oracle approximates,
 # each pinned by an exact hash-matched sibling) keeps prior order.
+# Budget arithmetic (driver samples ~50): 1 reverify + 25 new + 11
+# changed = 37 lanes 1-3, leaving ~13 stale re-verifications this
+# round -- short of the round-6 verdict's hoped-for >=20 because the
+# round produced 36 genuinely new/changed entries, which the standing
+# contract (and that same verdict's item 2) puts first.  The stale
+# backlog is ordered oldest-green-first so whatever budget remains
+# always lands on the most overdue entries.
 _REVERIFY_R7 = [
     "sessionize_events",
 ]

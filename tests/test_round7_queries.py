@@ -139,3 +139,37 @@ def test_clean_pipeline_staged_edges_identical(spark, sf_dir, staged_edges):
     assert _rows(
         corpus_clean_pipeline(spark, sf_dir, edges=staged_edges)
     ) == _rows(corpus_clean_pipeline(spark, sf_dir))
+
+
+def test_consumers_leave_staged_cache_alive(spark, sf_dir, staged_edges):
+    # bench contract: a consumer given a staged edges= frame must not
+    # destroy the caller's cache entry.  Regression for the
+    # dedup_threshold_sweep bug where _persist_tracked(edges.select(
+    # <all columns>)) CANONICALIZED to the staged frame's own
+    # CacheManager entry, so the consumer's release_cached() silently
+    # unpersisted the staged frame and every later consumer in the
+    # bench staging window recomputed the AllPairs join.
+    from nearscan_kafka_streams_spark.functions.dedup import release_cached
+    from nearscan_kafka_streams_spark.queries import (
+        corpus_clean_pipeline,
+        dedup_threshold_sweep,
+        minhash_candidate_pr_audit,
+    )
+
+    def plan_cached(df):
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(df._jdf).isDefined()
+
+    assert plan_cached(staged_edges), "fixture must arrive cached"
+    for fn in (
+        dedup_threshold_sweep,
+        minhash_candidate_pr_audit,
+        corpus_clean_pipeline,
+    ):
+        fn(spark, sf_dir, edges=staged_edges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        release_cached()
+        assert plan_cached(staged_edges), (
+            f"{fn.__name__} destroyed the caller's staged cache entry"
+        )
