@@ -45,6 +45,28 @@ _SIMHASH_CHUNK = 1 << 20
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and take ownership of the cache entry, UNLESS a
+    cache entry for the same canonicalized plan already exists.
+
+    Spark's CacheManager keys entries by canonicalized logical plan, so
+    persisting a frame whose plan equals an already-cached frame (e.g. a
+    caller-persisted staged ``edges=`` frame, or a frame tracked earlier
+    in the same query) shares ONE entry.  If we appended such a handle
+    to ``_CACHED``, ``release_cached()`` would destroy a cache entry we
+    did not create -- the staged-frame ownership bug fixed instance-wise
+    in dedup_threshold_sweep (queries.py) and here fixed at the
+    mechanism: ownership is only taken when the lookup comes back empty,
+    which makes ``release_cached()`` provably unable to free a cache it
+    didn't create.  An uncached handle over an externally-cached plan
+    still reads the cache at execution (CacheManager.useCachedData
+    substitutes InMemoryRelation by canonicalized-subplan match).
+    """
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        if cm.lookupCachedData(df._jdf).isDefined():
+            return df
+    except Exception:
+        pass  # lookup is a safety net only; fall through to own it
     out = df.persist()
     _CACHED.append(out)
     return out

@@ -48,6 +48,67 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+# node names can be multi-word with trailing spaces ("Scan parquet  (3)")
+_TREE_NODE = re.compile(r"([A-Za-z][A-Za-z0-9_]*(?:\s+[A-Za-z][A-Za-z0-9_.]*)*)\s+\((\d+)\)")
+_DETAIL_HDR = re.compile(r"^\((\d+)\) ")
+
+
+def strip_cached_lineage(plan: str) -> str:
+    """Drop every InMemoryRelation's embedded child plan from a
+    ``formatted`` explain string.
+
+    A consumer of a persisted frame does NOT execute the frame's build
+    plan -- it reads the in-memory columnar blocks -- yet formatted
+    explain renders the build plan twice per cache reference (tree
+    subtree under InMemoryRelation + the numbered node details), so a
+    regex fingerprint over the raw text double-counts exchanges/scans
+    that never run.  Round-7 adjudication (SCALE.md): staged-family
+    fingerprints reported ~2x exchange/scan counts while measured
+    times FELL.  This walker keeps the tree down to and including each
+    ``InMemoryRelation (N)`` line, drops its deeper-indented subtree,
+    and then drops the detail sections of node numbers reachable ONLY
+    through dropped subtrees (a number also reachable outside stays).
+    """
+    lines = plan.splitlines(keepends=True)
+    # tree section = everything before the first detail header
+    first_detail = next(
+        (i for i, ln in enumerate(lines) if _DETAIL_HDR.match(ln)), len(lines)
+    )
+    kept: list[str] = []
+    excluded: set[int] = set()
+    included: set[int] = set()
+    imr_indent: int | None = None
+    for ln in lines[:first_detail]:
+        m = _TREE_NODE.search(ln)
+        if not m:
+            if imr_indent is None:
+                kept.append(ln)
+            continue
+        indent, num = m.start(1), int(m.group(2))
+        name = m.group(1).split()[0]
+        if imr_indent is not None and indent <= imr_indent:
+            imr_indent = None
+        if imr_indent is not None:
+            excluded.add(num)
+            continue
+        included.add(num)
+        kept.append(ln)
+        if name == "InMemoryRelation":
+            imr_indent = indent
+    drop = excluded - included
+    # detail sections: drop whole blocks whose header number is dropped
+    keep_block = True
+    for ln in lines[first_detail:]:
+        h = _DETAIL_HDR.match(ln)
+        if h:
+            keep_block = int(h.group(1)) not in drop
+        elif ln.startswith("====="):
+            keep_block = True  # subqueries separator resets scope
+        if keep_block:
+            kept.append(ln)
+    return "".join(kept)
+
+
 def plan_summary(df: DataFrame) -> dict:
     """Compact physical-plan fingerprint for round-over-round diffing
     (bench.py embeds one per headline query in BENCH_r{N}.json).
@@ -62,8 +123,14 @@ def plan_summary(df: DataFrame) -> dict:
     round-over-round (the diff signal), not an absolute coverage
     metric.  ``python_eval`` and join/exchange/scan counts ARE visible
     pre-execution.
+
+    Cached lineage is excluded (``strip_cached_lineage``): a consumer
+    of a persisted frame reads in-memory blocks, so the frame's build
+    plan must not inflate the consumer's shuffle/scan counts.  The
+    ``in_memory_scans`` counter makes the cache reference itself
+    visible in the fingerprint instead.
     """
-    plan = formatted_plan(df)
+    plan = strip_cached_lineage(formatted_plan(df))
 
     def n(pat: str) -> int:
         return len(re.findall(pat, plan))
@@ -75,6 +142,7 @@ def plan_summary(df: DataFrame) -> dict:
         "nested_loop_join": n(r"BroadcastNestedLoopJoin|CartesianProduct"),
         "exchanges": n(r"\bExchange\b"),
         "scans": n(r"Scan parquet"),
+        "in_memory_scans": n(r"InMemoryTableScan"),
         "pushed_filters": len(_parse_pushed(plan)),
         "wholestage_codegen": n(r"WholeStageCodegen"),
         "python_eval": n(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas"),

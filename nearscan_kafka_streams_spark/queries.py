@@ -11117,18 +11117,16 @@ def minhash_candidate_pr_audit(
         _md5_banded_candidates(d, n_hashes=8, rows_per_band=4, bucket_cap=200)
     )
     if edges is None:
-        # self-computed truth leg: persist it (read by the hits join
-        # AND the count).  A CALLER-provided staged frame is already
-        # cached -- re-persisting a projection of it risks sharing
-        # its CacheManager entry (see dedup_threshold_sweep) and
-        # buys nothing, so the staged path projects lazily.
-        truth = _persist_tracked(
-            jaccard_edges_frame(spark, sf_dir).select(
-                "left_id", "right_id"
-            )
-        )
+        truth = jaccard_edges_frame(spark, sf_dir)
     else:
-        truth = edges.select("left_id", "right_id")
+        truth = edges
+    # the truth leg is consumed twice (hits join + n_truth count), so
+    # persist it in BOTH branches: _persist_tracked declines ownership
+    # of any plan already cached (e.g. a caller-persisted staged
+    # ``edges=`` frame), so this can never hand the caller's cache to
+    # release_cached() -- and a caller passing an UNPERSISTED frame
+    # still gets the exact-Jaccard leg computed once, not twice.
+    truth = _persist_tracked(truth.select("left_id", "right_id"))
     hits = cand.join(truth, ["left_id", "right_id"])
     n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -11307,16 +11305,18 @@ def dedup_threshold_sweep(
             )
         )
     else:
-        # caller-owned staged frame: do NOT re-persist.  A full-width
-        # projection canonicalizes to the SAME CacheManager entry as
-        # the staged frame itself (sameResult), so tracking it hands
-        # the CALLER's cache to release_cached() -- measured in bench:
+        # caller-owned staged frame.  The full-width projection
+        # canonicalizes to the SAME CacheManager entry as the staged
+        # frame itself (sameResult) -- the round-7 bug where tracking
+        # it handed the CALLER's cache to release_cached() (measured:
         # the staged frame died here and every later consumer in the
-        # staging window silently recomputed the AllPairs join
-        # (corpus_clean_pipeline 24.6 s instead of ~3 s).  Rule: only
-        # _persist_tracked frames THIS function built.
-        edges = edges.select(
-            "left_id", "right_id", "inter_size", "union_size"
+        # bench staging window recomputed the AllPairs join;
+        # corpus_clean_pipeline 24.6 s instead of ~3 s).  Safe now:
+        # _persist_tracked declines ownership of any already-cached
+        # plan, and a caller passing an UNPERSISTED frame gets it
+        # computed once instead of once per threshold.
+        edges = _persist_tracked(
+            edges.select("left_id", "right_id", "inter_size", "union_size")
         )
     out = None
     for pct, (p, q) in [(80, (4, 5)), (85, (17, 20)), (90, (9, 10)),
@@ -11972,7 +11972,14 @@ def trimmed_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: prices become integer cents once (round(p*100), the
     house money convention); rank boundaries are integer (n div 10);
     the mean is one integer division with the sum in DECIMAL(38,0)
-    (cents x 1e12 rows x1000 is past int64).
+    (cents x 1e12 rows x1000 is past int64) -- and ``sum_cents`` is
+    PUBLISHED wide too, as the decimal's exact string form: a BIGINT
+    publish would silently null in Spark's non-ANSI overflow cast
+    (while DuckDB raises on HUGEINT->BIGINT) exactly at the 1e12-row
+    scale the query claims to support.  String rather than decimal
+    because DuckDB hands DECIMAL(38,0) to pandas as float64, which
+    breaks the cross-engine value hash; the digits string is exact
+    and hash-stable in both engines.
 
     Scale: the global rank is ``functions.scan.global_row_number`` --
     one range shuffle, partition-local sorts, closed-form offsets --
@@ -12002,7 +12009,7 @@ def trimmed_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_total",
         "n_kept",
-        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("sum_cents").cast("decimal(38,0)").cast("string").alias("sum_cents"),
         F.expr(
             "CAST((sum_cents * 1000) div n_kept AS BIGINT)"
         ).alias("mean_millicents"),
@@ -12021,7 +12028,7 @@ WITH ranked AS (
 )
 SELECT n_total,
        CAST(count(*) AS BIGINT) AS n_kept,
-       CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(cents AS HUGEINT)) AS VARCHAR) AS sum_cents,
        CAST((sum(CAST(cents AS HUGEINT)) * 1000)
             // CAST(count(*) AS HUGEINT) AS BIGINT) AS mean_millicents
 FROM ranked CROSS JOIN tot

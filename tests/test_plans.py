@@ -351,3 +351,82 @@ def test_sixth_batch_plan_shapes(spark, sf_dir):
 
     norm_plan = formatted_plan(normalize_events_features(spark, sf_dir))
     assert "BroadcastHashJoin" in norm_plan
+
+
+def test_plan_summary_stops_at_inmemoryrelation(spark, sf_dir):
+    """A consumer of a persisted frame executes zero of the frame's
+    build plan, so the fingerprint must not count the build plan's
+    exchanges/scans (round-7 adjudication: staged-family fingerprints
+    double-counted through InMemoryRelation while measured times
+    fell).  The cache reference itself stays visible via the
+    in_memory_scans counter."""
+    from nearscan_kafka_streams_spark.plans.explain import plan_summary
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    built = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .persist()
+    )
+    try:
+        built.count()
+        consumer = built.join(
+            built.select(
+                F.col("l_returnflag").alias("r2"), F.col("s").alias("s2")
+            ),
+            F.col("l_returnflag") == F.col("r2"),
+        )
+        s = plan_summary(consumer)
+        # the build plan's shuffle + parquet scan must NOT leak in
+        assert s["scans"] == 0, s
+        assert s["exchanges"] == 0, s
+        assert s["in_memory_scans"] > 0, s
+    finally:
+        built.unpersist()
+
+
+def test_persist_tracked_never_adopts_foreign_cache(spark, sf_dir):
+    """Mechanism contract behind the staged-edges ownership bug: if a
+    plan is ALREADY cached (by a caller or an earlier track),
+    _persist_tracked must not take ownership, so release_cached() can
+    never free a cache entry it did not create."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+        release_cached,
+    )
+
+    def plan_cached(df):
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(df._jdf).isDefined()
+
+    mine = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        mine.count()
+        assert plan_cached(mine)
+        # same canonicalized plan, built independently -> must not adopt
+        same_plan = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        handle = _persist_tracked(same_plan)
+        handle.count()
+        release_cached()
+        assert plan_cached(mine), "release_cached freed a foreign cache"
+        # a genuinely new plan IS owned and released
+        other = _persist_tracked(
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        other.count()
+        assert plan_cached(other)
+        release_cached()
+        assert not plan_cached(other)
+    finally:
+        mine.unpersist()
