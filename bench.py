@@ -684,8 +684,12 @@ def main() -> None:
         embs = generate_embeddings(spark, n_vecs)
         out: dict[str, float] = {}
         jac_stats: dict = {}
+        pack_stats: dict = {}
+        decon_stats: dict = {}
         if only is None:
             stress_diag[f"dedup_ngram_jaccard@{n_docs}"] = jac_stats
+            stress_diag[f"pack_training_sequences@{n_docs}"] = pack_stats
+            stress_diag[f"decontaminate@{n_docs}"] = decon_stats
         for op_name, thunk in (
             ("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs)),
             (
@@ -737,7 +741,17 @@ def main() -> None:
             ),
             ("kmeans", lambda: _kmeans_thunk(embs)),
             ("pagerank", lambda: _pagerank_thunk(embs, n_vecs)),
-            ("pack_training_sequences", lambda: pack_sequences(docs, 2048)),
+            (
+                # stats record the linear terms (docs, tokens) next to
+                # the timing -- the 10x ratio drifted 6.6 -> 8.3 across
+                # rounds with no size evidence either way (r7 verdict)
+                "pack_training_sequences",
+                lambda: pack_sequences(
+                    docs,
+                    2048,
+                    stats_out=pack_stats if only is None else None,
+                ),
+            ),
             (
                 "dedup_repeated_chunks",
                 lambda: remove_repeated_chunks(docs, 10),
@@ -749,7 +763,9 @@ def main() -> None:
                 # explode only (eval grams stay a tiny broadcast)
                 "decontaminate",
                 lambda: contamination_report(
-                    docs, docs.where(SF.col("doc_id") < 50)
+                    docs,
+                    docs.where(SF.col("doc_id") < 50),
+                    stats_out=decon_stats if only is None else None,
                 ),
             ),
         ):

@@ -21,6 +21,7 @@ def pack_sequences(
     seq_len: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """GPT-style pretraining packing: concatenate the corpus token
     stream in ``id_col`` order and split at fixed ``seq_len``-token
@@ -32,6 +33,12 @@ def pack_sequences(
     (functions/scan.py -- no single-task window); the per-doc explode
     emits at most ``1 + ceil(n_tokens / seq_len)`` rows, so output is
     proportional to input and the corpus shuffles exactly once.
+
+    ``stats_out``: pass a dict to have the linear terms COUNTED into
+    it (n_docs, total_tokens; output rows are bounded by
+    n_docs + total_tokens/seq_len) so a scale-stress harness can tell
+    data growth from host noise next to the timing.  Costs one extra
+    action; diagnostics path only.
     """
     from nearscan_kafka_streams_spark.functions.scan import global_running_sum
     from nearscan_kafka_streams_spark.functions.text import token_count
@@ -39,6 +46,17 @@ def pack_sequences(
     toks = df.select(
         F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
     ).where(F.col("n_tokens") > 0)
+    if stats_out is not None:
+        from nearscan_kafka_streams_spark.functions.dedup import (
+            _persist_tracked,
+        )
+
+        toks = _persist_tracked(toks)
+        agg = toks.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+        ).collect()[0]
+        stats_out["n_docs"] = agg["n"]
+        stats_out["total_tokens"] = agg["t"]
     run = global_running_sum(toks, id_col, "n_tokens", out_col="end_tok")
     run = run.withColumn("beg_tok", F.col("end_tok") - F.col("n_tokens"))
     frag = run.select(

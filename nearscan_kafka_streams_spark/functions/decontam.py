@@ -58,14 +58,27 @@ def contamination_report(
     id_col: str = "doc_id",
     n: int = 5,
     broadcast_eval: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Per-train-doc contamination counts against an eval corpus.
 
     Output: (id_col, n_grams, n_contaminated) for every train doc
     sharing >= 1 word n-gram with ANY eval doc; clean docs are absent
     (anti-join against this result to keep the clean corpus).
+
+    ``stats_out``: pass a dict to have the stage sizes COUNTED into it
+    (n_eval_grams = broadcast set size, n_train_gram_rows = the
+    exploded train-side stream, n_hit_rows = join output before the
+    per-doc rollup).  The operator is linear by construction -- cost ~
+    n_train_gram_rows -- so a scale-stress harness recording these
+    next to the timing can tell data growth from host noise (the same
+    observability discipline jaccard_similarity_join's candidate
+    counts follow).  Costs extra actions; diagnostics path only.
     """
-    from nearscan_kafka_streams_spark.functions.dedup import _spread
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+        _spread,
+    )
 
     grams = word_ngrams(F.col(text_col), n)
     # gram generation is the CPU-heavy narrow stage; a small corpus
@@ -78,11 +91,21 @@ def contamination_report(
     eval_grams = (
         _spread(eval_df).select(F.explode(grams).alias("gram")).distinct()
     )
+    if stats_out is not None:
+        eval_grams = _persist_tracked(eval_grams)
+        stats_out["n_eval_grams"] = eval_grams.count()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    return (
-        train_sets.select(id_col, "n_grams", F.explode("grams").alias("gram"))
-        .join(eval_grams, "gram")
-        .groupBy(id_col, "n_grams")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    train_stream = train_sets.select(
+        id_col, "n_grams", F.explode("grams").alias("gram")
+    )
+    if stats_out is not None:
+        train_stream = _persist_tracked(train_stream)
+        stats_out["n_train_gram_rows"] = train_stream.count()
+    hits = train_stream.join(eval_grams, "gram")
+    if stats_out is not None:
+        hits = _persist_tracked(hits)
+        stats_out["n_hit_rows"] = hits.count()
+    return hits.groupBy(id_col, "n_grams").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated")
     )
