@@ -217,6 +217,7 @@ HEADLINE = [
     "triangle_count_users",
     "clustering_coefficient_users",
     "degree_assortativity_users",
+    "k_core_peel_users",
     "dedup_near_time_events",
     "duplicate_share_by_source",
     "embedding_dim_stats",
@@ -235,6 +236,9 @@ HEADLINE = [
     "t_closeness_documents",
     "autocorr_events",
     "trimmed_mean_lineitem",
+    # round-8 additions
+    "mutual_nn_pairs_embeddings",
+    "scan_pruning_audit_lineitem",
 ]
 
 # Registry-to-family map backing the HEADLINE selection rule (module
@@ -407,6 +411,7 @@ def main() -> None:
             "triangle_count_users",
             "clustering_coefficient_users",
             "degree_assortativity_users",
+            "k_core_peel_users",
         ),
     }
     consumer_to_producer = {

@@ -25,6 +25,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _persist_ranked(df: DataFrame) -> DataFrame:
+    """Persist the range-partitioned+locally-ranked frame so the
+    offsets branch and the output branch read ONE materialization.
+
+    Both scans reference this frame twice (per-partition totals/counts
+    AND the broadcast-join back), and ``repartitionByRange`` derives
+    its bounds from a SAMPLE taken when each exchange materializes:
+    if Catalyst evaluates the two references as separate exchanges
+    (observed under AQE in a multi-leg union -- ReuseExchange is not
+    guaranteed), the branches can see DIFFERENT partition boundaries,
+    making offsets disagree with local ranks -- measured as 65
+    "64-bucket" groups and rank values past n_total in
+    scan_pruning_audit_lineitem.  One persisted materialization pins
+    the boundaries for every consumer.  Cost at scale: one
+    MEMORY_AND_DISK materialization of the input, the same cost class
+    as the shuffle spill the range exchange already wrote; released
+    via functions.dedup.release_cached like every staged frame.
+    """
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
+    return _persist_tracked(df)
+
+
 def global_running_sum(
     df: DataFrame,
     order_col: str,
@@ -44,9 +69,11 @@ def global_running_sum(
         # a valid (coarse) order for the offset pass
         .withColumn("_pid", F.spark_partition_id())
     )
-    local = ranged.withColumn(
-        "_local",
-        F.sum("_v").over(Window.partitionBy("_pid").orderBy(order_col)),
+    local = _persist_ranked(
+        ranged.withColumn(
+            "_local",
+            F.sum("_v").over(Window.partitionBy("_pid").orderBy(order_col)),
+        )
     )
 
     totals = local.groupBy("_pid").agg(F.sum("_v").alias("_tot"))
@@ -90,9 +117,11 @@ def global_row_number(
     ranged = df.repartitionByRange(n, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    local = ranged.withColumn(
-        "_local",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    local = _persist_ranked(
+        ranged.withColumn(
+            "_local",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+        )
     )
     counts = local.groupBy("_pid").agg(
         F.count(F.lit(1)).cast("long").alias("_cnt")

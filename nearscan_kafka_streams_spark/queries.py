@@ -12037,6 +12037,463 @@ GROUP BY n_total
 """
 
 
+def mutual_nn_pairs_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs: (a, b) where b is a's exact
+    cosine top-1 neighbor AND a is b's -- the reciprocal-best-match
+    criterion used for cross-source record alignment and
+    high-confidence near-dup pairing (a one-sided top-1 match is
+    often a hub vector; mutuality filters hubs out).
+
+    Exact all-pairs variant, the oracle-checkable sibling of the
+    bucketed/LSH production path (same pattern as
+    ``dedup_embedding_allpairs``): cosine is computed ONCE per
+    unordered pair (u < v self-join, the symmetric closure is a
+    projection), each side's top-1 is a per-node window with a
+    deterministic neighbor-id tie-break, and mutuality is one
+    equi-join of the top-1 list against its own transpose.
+
+    Scale: the u<v join is quadratic BY CONTRACT (exactness); at
+    corpus scale the same top-1-window + transpose-join construction
+    runs over LSH/IVF candidate pairs instead (functions.similarity),
+    where it is linear in candidates.  The pair frame is persisted:
+    it feeds the window AND the final cosine lookup."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+    )
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        dot_expr,
+        norm_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", norm_expr(F.col("embedding")).alias("_n")
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    pairs = _persist_tracked(
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id")).select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            (
+                dot_expr(F.col("l.embedding"), F.col("r.embedding"))
+                / (F.col("l._n") * F.col("r._n"))
+            ).alias("cosine"),
+        )
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "cosine"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("cosine").desc(), F.col("b").asc()
+    )
+    nn = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("a", "b", "cosine")
+    )
+    m1, m2 = nn.alias("m1"), nn.alias("m2")
+    return (
+        m1.join(
+            m2,
+            (F.col("m1.a") == F.col("m2.b"))
+            & (F.col("m1.b") == F.col("m2.a")),
+        )
+        .where(F.col("m1.a") < F.col("m1.b"))
+        .select(
+            F.col("m1.a").alias("left_id"),
+            F.col("m1.b").alias("right_id"),
+            F.round(F.col("m1.cosine"), 6).alias("cosine"),
+        )
+        .orderBy("left_id")
+    )
+
+
+MUTUAL_NN_SQL = r"""
+WITH pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), sym AS (
+  SELECT a, b, cosine FROM pairs
+  UNION ALL
+  SELECT b AS a, a AS b, cosine FROM pairs
+), nn AS (
+  SELECT a, b, cosine,
+         row_number() OVER (
+           PARTITION BY a ORDER BY cosine DESC, b ASC) AS rk
+  FROM sym
+)
+SELECT m1.a AS left_id, m1.b AS right_id, round(m1.cosine, 6) AS cosine
+FROM nn m1 JOIN nn m2 ON m1.a = m2.b AND m1.b = m2.a
+WHERE m1.rk = 1 AND m2.rk = 1 AND m1.a < m1.b
+ORDER BY left_id
+"""
+
+
+def k_core_peel_users(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core peeling of the user co-occurrence graph: ``rounds``
+    rounds of "drop every node whose current degree < k (and its
+    edges)", reporting per round how many nodes fell, and the node
+    and edge counts of the surviving subgraph -- the standard dense-
+    community / spam-ring core extraction (the r-th row is the graph
+    after r peels; once a row repeats, the k-core is reached).
+
+    k is DATA-DEPENDENT but exact: k = (3 * n_edges) div (2 * n_nodes)
+    of the initial graph -- three quarters of the mean degree, in pure
+    integer arithmetic -- so the peel bites at every scale factor: the
+    co-event graph's density grows with sf, and any fixed k is either
+    vacuous (dense graph, nothing below k) or total (sparse graph,
+    everything collapses).  Measured at sf0.01: removals cascade
+    10 -> 6 -> 2 -> 0 with a 132-node core surviving; k at the mean
+    or above instead collapses the whole graph by round 2 (survivors
+    lose their edges to peeled neighbors).
+
+    The round count is PART OF THE SEMANTICS (both engines run
+    exactly ``rounds`` peels; converged rounds remove 0), which keeps
+    the query a bounded DAG -- no driver-side fixpoint test, no
+    collect.  A node "remains" while it still has an edge, so counts
+    derive purely from the edge frame.  Each round's edge frame is
+    cut from its lineage (``_cut_lineage``, the iterative-algorithm
+    discipline connected_components follows): every round references
+    the previous frame ~5x (degree agg, two semi joins, node/edge
+    counts), so an uncut plan grows 5^rounds and stalls the driver in
+    analysis before any data moves.
+
+    Scale: each round is one degree aggregate over the (small) edge
+    list plus two semi joins -- never touches the event log after the
+    shared ``_co_event_edges`` build (bucket-capped pair generation);
+    the edge frame shrinks monotonically.  ``edges=`` accepts the
+    staged ``co_event_edges_users`` frame (same seam as the triangle
+    family)."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _cut_lineage,
+        _persist_tracked,
+    )
+
+    if edges is None:
+        cur = _co_event_edges(spark, sf_dir)
+    else:
+        cur = _persist_tracked(edges.select("u", "v"))
+
+    def nodes_of(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .distinct()
+        )
+
+    kval = (
+        cur.agg(F.count(F.lit(1)).alias("ne"))
+        .crossJoin(
+            nodes_of(cur).agg(F.count(F.lit(1)).alias("nn"))
+        )
+        .select(F.expr("CAST((3 * ne) div (2 * nn) AS BIGINT)").alias("kk"))
+    )
+    kval = _persist_tracked(kval)
+    out = None
+    for r in range(1, rounds + 1):
+        n_prev = nodes_of(cur).agg(
+            F.count(F.lit(1)).cast("long").alias("n_prev")
+        )
+        keep = _persist_tracked(
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .crossJoin(F.broadcast(kval))
+            .where(F.col("deg") >= F.col("kk"))
+            .select("node")
+        )
+        nxt = _cut_lineage(
+            cur.join(
+                keep.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+        )
+        stats = (
+            nodes_of(nxt)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                nxt.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+            .crossJoin(n_prev)
+        )
+        row = stats.crossJoin(F.broadcast(kval)).select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("kk").cast("long").alias("k"),
+            (F.col("n_prev") - F.col("n_nodes"))
+            .cast("long")
+            .alias("n_removed"),
+            "n_nodes",
+            "n_edges",
+        )
+        out = row if out is None else out.unionAll(row)
+        cur = nxt
+    return out.orderBy("round")
+
+
+def _k_core_round_cte(r: int) -> str:
+    # every CTE is MATERIALIZED: each round references the previous
+    # round's edge set three times (degree agg, filter, node count),
+    # and DuckDB's default CTE inlining makes the unrolled 6-round
+    # chain EXPONENTIAL in evaluation (measured ~10x per extra round;
+    # 3 rounds = 85 s at sf0.01).  Materialization makes it linear.
+    p = r - 1
+    return f"""d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e{p} UNION ALL SELECT v AS node FROM e{p})
+  GROUP BY node
+),
+k{r} AS MATERIALIZED (
+  SELECT node FROM d{r} WHERE deg >= (SELECT k FROM kk)
+),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+),
+n{r} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT u AS node FROM e{r} UNION SELECT v AS node FROM e{r})
+)"""
+
+
+def _k_core_sql(rounds: int = 6) -> str:
+    base = """b0 AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS bh
+  FROM events
+), b AS MATERIALIZED (
+  SELECT user_id, event_type, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY event_type, bh) AS bsize
+        FROM b0)
+  WHERE bsize <= 1000
+), p0 AS MATERIALIZED (
+  SELECT l.user_id AS u, r.user_id AS v, count(*) AS n_shared
+  FROM b l JOIN b r
+    ON l.event_type = r.event_type AND l.bh = r.bh
+   AND l.user_id < r.user_id
+  GROUP BY l.user_id, r.user_id
+), e0 AS MATERIALIZED (SELECT u, v FROM p0 WHERE n_shared >= 2),
+n0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0)
+),
+kk AS MATERIALIZED (
+  SELECT CAST((3 * (SELECT count(*) FROM e0)) // (2 * (SELECT n FROM n0))
+              AS BIGINT) AS k
+)"""
+    ctes = [base] + [_k_core_round_cte(r) for r in range(1, rounds + 1)]
+    legs = [
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       (SELECT k FROM kk) AS k,
+       (SELECT n FROM n{r - 1}) - (SELECT n FROM n{r}) AS n_removed,
+       (SELECT n FROM n{r}) AS n_nodes,
+       CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY round"
+    )
+
+
+K_CORE_SQL = _k_core_sql()
+
+
+_PRUNE_Z = (
+    "((bp div 1) % 2) * 2 + ((bs div 1) % 2) * 1 + "
+    "((bp div 2) % 2) * 8 + ((bs div 2) % 2) * 4 + "
+    "((bp div 4) % 2) * 32 + ((bs div 4) % 2) * 16 + "
+    "((bp div 8) % 2) * 128 + ((bs div 8) % 2) * 64"
+)
+
+
+def scan_pruning_audit_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map pruning audit: how many of 64 equal-row file buckets a
+    min/max footer would SKIP for a (l_partkey band, l_suppkey band)
+    predicate pair, under three physical layouts of the same rows --
+    natural arrival order, single-column sort on l_partkey, and the
+    Z-order interleave of (l_partkey, l_suppkey).  This is the
+    decision table behind ``zorder_layout_lineitem``'s layout stats:
+    single-column sort prunes its own dimension perfectly and the
+    other not at all; Z-order prunes both; natural order neither.
+    Output: (layout, predicate, n_buckets, n_pruned, rows_skipped).
+
+    Exactness: band bounds are integer fractions of the column maxima
+    (mp div 4 .. mp div 2); bucket = ((rn - 1) * 64) div n_total over
+    a total-order global rank; everything integer.
+
+    Scale: each layout's rank is ``functions.scan.global_row_number``
+    (one range shuffle, partition-local sorts -- never a single-task
+    ROW_NUMBER), zone maps are one 64-group aggregate with map-side
+    combine, and the verdict reads the 64-row zone table only."""
+    from nearscan_kafka_streams_spark.functions.scan import (
+        global_row_number,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    maxima = li.agg(
+        F.max("l_partkey").alias("mp"),
+        F.max("l_suppkey").alias("ms"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    base = (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(maxima))
+        .select(
+            "*",
+            F.expr("CAST(l_partkey * 16 div (mp + 1) AS BIGINT)").alias(
+                "bp"
+            ),
+            F.expr("CAST(l_suppkey * 16 div (ms + 1) AS BIGINT)").alias(
+                "bs"
+            ),
+        )
+        .withColumn("z", F.expr(f"CAST({_PRUNE_Z} AS BIGINT)"))
+    )
+    layouts = [
+        ("natural", ["l_orderkey", "l_linenumber"]),
+        ("part_sorted", ["l_partkey", "l_orderkey", "l_linenumber"]),
+        ("zorder", ["z", "l_orderkey", "l_linenumber"]),
+    ]
+    out = None
+    for layout, order_cols in layouts:
+        ranked = global_row_number(base, order_cols, out_col="rn")
+        zone = (
+            ranked.withColumn(
+                "bucket", F.expr("CAST((rn - 1) * 64 div n_total AS BIGINT)")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("l_partkey").alias("min_part"),
+                F.max("l_partkey").alias("max_part"),
+                F.min("l_suppkey").alias("min_supp"),
+                F.max("l_suppkey").alias("max_supp"),
+                F.max("mp").alias("mp"),
+                F.max("ms").alias("ms"),
+            )
+        )
+        part_pruned = F.expr(
+            "max_part < mp div 4 OR min_part > mp div 2"
+        )
+        supp_pruned = F.expr(
+            "max_supp < ms div 4 OR min_supp > ms div 2"
+        )
+        stats = zone.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(part_pruned, 1).otherwise(0))
+            .cast("long")
+            .alias("np_part"),
+            F.sum(F.when(part_pruned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rs_part"),
+            F.sum(F.when(supp_pruned, 1).otherwise(0))
+            .cast("long")
+            .alias("np_supp"),
+            F.sum(F.when(supp_pruned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rs_supp"),
+        )
+        for pred, np_col, rs_col in (
+            ("part_band", "np_part", "rs_part"),
+            ("supp_band", "np_supp", "rs_supp"),
+        ):
+            row = stats.select(
+                F.lit(layout).alias("layout"),
+                F.lit(pred).alias("predicate"),
+                "n_buckets",
+                F.col(np_col).alias("n_pruned"),
+                F.col(rs_col).alias("rows_skipped"),
+            )
+            out = row if out is None else out.unionAll(row)
+    return out.orderBy("layout", "predicate")
+
+
+def _prune_layout_sql(layout: str, order_by: str) -> str:
+    z_sql = _PRUNE_Z.replace("div", "//")
+    return f"""zone_{layout} AS (
+  SELECT (rn - 1) * 64 // n_total AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+         max(mp) AS mp, max(ms) AS ms
+  FROM (SELECT *, row_number() OVER (ORDER BY {order_by}) AS rn
+        FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     mp, ms, n_total,
+                     CAST({z_sql} AS BIGINT) AS z
+              FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                           l_suppkey, mp, ms, n_total,
+                           CAST(l_partkey * 16 // (mp + 1) AS BIGINT) AS bp,
+                           CAST(l_suppkey * 16 // (ms + 1) AS BIGINT) AS bs
+                    FROM lineitem CROSS JOIN maxima)))
+  GROUP BY bucket
+),
+stat_{layout} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN max_part < mp // 4 OR min_part > mp // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS np_part,
+         CAST(sum(CASE WHEN max_part < mp // 4 OR min_part > mp // 2
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rs_part,
+         CAST(sum(CASE WHEN max_supp < ms // 4 OR min_supp > ms // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS np_supp,
+         CAST(sum(CASE WHEN max_supp < ms // 4 OR min_supp > ms // 2
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rs_supp
+  FROM zone_{layout}
+)"""
+
+
+def _scan_pruning_sql() -> str:
+    layouts = [
+        ("natural", "l_orderkey, l_linenumber"),
+        ("part_sorted", "l_partkey, l_orderkey, l_linenumber"),
+        ("zorder", "z, l_orderkey, l_linenumber"),
+    ]
+    ctes = [
+        """maxima AS (
+  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM lineitem
+)"""
+    ] + [_prune_layout_sql(name, ob) for name, ob in layouts]
+    legs = []
+    for name, _ in layouts:
+        for pred, np_col, rs_col in (
+            ("part_band", "np_part", "rs_part"),
+            ("supp_band", "np_supp", "rs_supp"),
+        ):
+            legs.append(
+                f"""SELECT '{name}' AS layout, '{pred}' AS predicate,
+       n_buckets, {np_col} AS n_pruned, {rs_col} AS rows_skipped
+FROM stat_{name}"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\nORDER BY layout, predicate"
+    )
+
+
+SCAN_PRUNING_SQL = _scan_pruning_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12285,6 +12742,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interarrival_histogram_events": interarrival_histogram_events,
     "monotonic_violations_orders": monotonic_violations_orders,
     "trimmed_mean_lineitem": trimmed_mean_lineitem,
+    # round-8 additions
+    "mutual_nn_pairs_embeddings": mutual_nn_pairs_embeddings,
+    "k_core_peel_users": k_core_peel_users,
+    "scan_pruning_audit_lineitem": scan_pruning_audit_lineitem,
 }
 
 # ROUND-7 ROTATION (ordering contract): the driver hash-samples the
@@ -12412,11 +12873,39 @@ _STALE_R7 = [
     "retrieval_eval_metrics", "salted_skew_join_events",
     "scd2_user_state", "snapshot_diff_events", "store_changelog_events",
 ]
+# ROUND-8 ROTATION (same contract: reverify -> new -> changed ->
+# oldest-green-stale; CORRECTNESS_r07.json came back 50/50 green, so
+# the reverify lane is empty).  Round 8 is deliberately a LIGHT wave
+# -- 3 new + 3 changed = 6 front rows -- because the round-7 verdict's
+# one freshness gap was the 74-entry backlog whose last driver green
+# is round <= 4: with ~50 sample slots this ordering re-greens ~44 of
+# them, leaving ~30 for round 9.
+_REVERIFY_R8: list[str] = []
+_ROUND8_NEW: list[str] = [
+    "mutual_nn_pairs_embeddings",
+    "k_core_peel_users",
+    "scan_pruning_audit_lineitem",
+]
+_CHANGED_R8: list[str] = [
+    # sum_cents published as exact digit string (BIGINT nulls past
+    # int64 in Spark's non-ANSI cast; DECIMAL returns float64 from
+    # DuckDB->pandas) -- round-7 ADVICE
+    "trimmed_mean_lineitem",
+    # truth leg now persisted in BOTH branches (ownership-safe
+    # _persist_tracked); staged-edges contract -- round-7 ADVICE
+    "minhash_candidate_pr_audit",
+    # staged branch persists defensively under the same ownership rule
+    "dedup_threshold_sweep",
+]
+# r7 sampled the first 13 of _STALE_R7 (CORRECTNESS_r07.json rows
+# 38-50); the remaining 74 keep their oldest-green-first order
+_R7_STALE_SAMPLED = 13
+_STALE_R8 = _STALE_R7[_R7_STALE_SAMPLED:]
 _FRONT = [
-    *_REVERIFY_R7,
-    *_ROUND7_NEW,
-    *_CHANGED_R7,
-    *_STALE_R7,
+    *_REVERIFY_R8,
+    *_ROUND8_NEW,
+    *_CHANGED_R8,
+    *_STALE_R8,
 ]
 assert len(_FRONT) == len(set(_FRONT)), "duplicate rotation entry"
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
@@ -12466,6 +12955,9 @@ ORACLES: dict[str, str] = {
     "interarrival_histogram_events": INTERARRIVAL_SQL,
     "monotonic_violations_orders": MONOTONIC_VIOLATIONS_SQL,
     "trimmed_mean_lineitem": TRIMMED_MEAN_SQL,
+    "mutual_nn_pairs_embeddings": MUTUAL_NN_SQL,
+    "k_core_peel_users": K_CORE_SQL,
+    "scan_pruning_audit_lineitem": SCAN_PRUNING_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,

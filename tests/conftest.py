@@ -27,3 +27,25 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Drain the _persist_tracked registry after EVERY test.
+
+    A tracked handle that outlives its test is a delayed cache bomb:
+    if a later fixture persists the SAME canonicalized plan, Spark
+    keeps ONE CacheManager entry, the fixture's persist() is a no-op
+    on the leftover's entry, and whichever test next calls
+    release_cached() destroys the fixture's cache from under it --
+    the cross-module flake behind
+    test_consumers_leave_staged_cache_alive (passed in module
+    isolation, failed its fixture-arrives-cached precondition in the
+    full suite).  _persist_tracked's decline-foreign-ownership check
+    prevents NEW adoptions of an existing entry but cannot retire
+    handles tracked BEFORE that entry existed; draining per-test
+    guarantees _CACHED never crosses a test boundary."""
+    yield
+    from nearscan_kafka_streams_spark.functions.dedup import release_cached
+
+    release_cached()

@@ -1,0 +1,107 @@
+"""Round-8 wave tests: mutual-NN pairing, k-core peeling, zone-map
+pruning audit, and the global-scan determinism regression.
+
+Full-value correctness is pinned by the DuckDB hash oracles; these
+pin the properties the oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from nearscan_kafka_streams_spark.queries import (
+    co_event_edges_users,
+    k_core_peel_users,
+    mutual_nn_pairs_embeddings,
+    scan_pruning_audit_lineitem,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_mutual_nn_pairs_are_disjoint(spark, sf_dir):
+    # mutuality makes the pair set a partial matching: a vector has
+    # ONE top-1 neighbor, so it can appear in at most one mutual pair
+    rows = mutual_nn_pairs_embeddings(spark, sf_dir).collect()
+    seen = [r[c] for r in rows for c in ("left_id", "right_id")]
+    assert len(seen) == len(set(seen))
+    assert all(r.left_id < r.right_id for r in rows)
+
+
+def test_k_core_staged_edges_identical(spark, sf_dir):
+    from nearscan_kafka_streams_spark.functions.dedup import release_cached
+
+    edges = co_event_edges_users(spark, sf_dir).persist()
+    try:
+        edges.count()
+        assert _rows(k_core_peel_users(spark, sf_dir, edges=edges)) == _rows(
+            k_core_peel_users(spark, sf_dir)
+        )
+    finally:
+        edges.unpersist()
+        release_cached()
+
+
+def test_k_core_monotone_shrink(spark, sf_dir):
+    rows = k_core_peel_users(spark, sf_dir).orderBy("round").collect()
+    assert len(rows) == 6
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_nodes <= prev.n_nodes
+        assert cur.n_edges <= prev.n_edges
+        assert cur.k == prev.k
+    # the data-dependent k must actually bite at every test scale
+    assert rows[0].n_removed > 0
+
+
+def test_scan_pruning_layout_story(spark, sf_dir):
+    # the whole point of the audit: single-column sort prunes its own
+    # dimension at least as well as z-order, z-order prunes BOTH
+    # dimensions, natural order prunes neither; and every layout
+    # partitions the same rows into the same 64 buckets
+    out = {
+        (r.layout, r.predicate): r
+        for r in scan_pruning_audit_lineitem(spark, sf_dir).collect()
+    }
+    assert len(out) == 6
+    assert all(r.n_buckets == 64 for r in out.values())
+    assert (
+        out[("part_sorted", "part_band")].n_pruned
+        >= out[("zorder", "part_band")].n_pruned
+        > 0
+    )
+    assert out[("zorder", "supp_band")].n_pruned > 0
+    assert (
+        out[("part_sorted", "supp_band")].n_pruned
+        <= out[("zorder", "supp_band")].n_pruned
+    )
+
+
+def test_global_row_number_consistent_across_plan_branches(spark, sf_dir):
+    # regression for the repartitionByRange double-evaluation hazard:
+    # a frame built from global_row_number and referenced in MULTIPLE
+    # union legs must see ONE consistent numbering (observed failure:
+    # 65 distinct "64-bucket" values and rn past n_total when the
+    # offsets branch sampled different range bounds than the join
+    # branch)
+    import pyspark.sql.functions as F
+
+    from nearscan_kafka_streams_spark.functions.dedup import release_cached
+    from nearscan_kafka_streams_spark.functions.scan import global_row_number
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    ranked = global_row_number(
+        li, ["l_orderkey", "l_linenumber"], out_col="rn"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("rn").alias("d"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    )
+    # two legs referencing the same ranked frame, like the audit does
+    both = agg.unionAll(agg).collect()
+    release_cached()
+    for r in both:
+        assert (r.cnt, r.d, r.lo, r.hi) == (n, n, 1, n), r
