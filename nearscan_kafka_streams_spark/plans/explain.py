@@ -129,21 +129,46 @@ def plan_summary(df: DataFrame) -> dict:
     plan must not inflate the consumer's shuffle/scan counts.  The
     ``in_memory_scans`` counter makes the cache reference itself
     visible in the fingerprint instead.
+
+    Operators are counted as DISTINCT plan nodes (one detail header
+    per node id), not string occurrences: the tree section re-renders
+    a shared subtree once PER REFERENCE, so raw string counts grow
+    with rendering duplication rather than with physical operators --
+    chained scan passes (rfm's three NTILEs) fingerprinted as ~1400
+    "exchanges" for a plan with a few dozen distinct nodes.
     """
     plan = strip_cached_lineage(formatted_plan(df))
 
-    def n(pat: str) -> int:
-        return len(re.findall(pat, plan))
+    nodes: dict[tuple[int, str], str] = {}
+    for m in re.finditer(r"^\((\d+)\) (.+)$", plan, flags=re.M):
+        name = m.group(2).strip()
+        # detail headers carry suffixes like "[codegen id : 1]"
+        name = re.sub(r"\s*\[codegen id.*$", "", name)
+        nodes[(int(m.group(1)), name)] = name
+
+    def n(pred) -> int:
+        return sum(1 for v in nodes.values() if pred(v))
 
     return {
-        "broadcast_hash_join": n(r"BroadcastHashJoin"),
-        "sort_merge_join": n(r"SortMergeJoin"),
-        "shuffled_hash_join": n(r"ShuffledHashJoin"),
-        "nested_loop_join": n(r"BroadcastNestedLoopJoin|CartesianProduct"),
-        "exchanges": n(r"\bExchange\b"),
-        "scans": n(r"Scan parquet"),
-        "in_memory_scans": n(r"InMemoryTableScan"),
+        "broadcast_hash_join": n(lambda v: v == "BroadcastHashJoin"),
+        "sort_merge_join": n(lambda v: v == "SortMergeJoin"),
+        "shuffled_hash_join": n(lambda v: v == "ShuffledHashJoin"),
+        "nested_loop_join": n(
+            lambda v: v in ("BroadcastNestedLoopJoin", "CartesianProduct")
+        ),
+        "exchanges": n(lambda v: v == "Exchange"),
+        "scans": n(lambda v: v.startswith("Scan parquet")),
+        "in_memory_scans": n(lambda v: v.startswith("InMemoryTableScan")),
         "pushed_filters": len(_parse_pushed(plan)),
-        "wholestage_codegen": n(r"WholeStageCodegen"),
-        "python_eval": n(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas"),
+        "wholestage_codegen": len(re.findall(r"WholeStageCodegen", plan)),
+        "python_eval": n(
+            lambda v: v.startswith(
+                (
+                    "ArrowEvalPython",
+                    "BatchEvalPython",
+                    "MapInPandas",
+                    "FlatMapGroupsInPandas",
+                )
+            )
+        ),
     }

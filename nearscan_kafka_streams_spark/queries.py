@@ -12061,19 +12061,36 @@ def mutual_nn_pairs_embeddings(
     it feeds the window AND the final cosine lookup."""
     from nearscan_kafka_streams_spark.functions.dedup import (
         _persist_tracked,
+        _spread,
     )
     from nearscan_kafka_streams_spark.functions.similarity import (
         dot_expr,
         norm_expr,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # _spread: the embeddings file arrives as ONE scan split at test
+    # scale, which would serialize the quadratic cosine stage on a
+    # single task (measured 16.7 s at sf0.1; ~3 s spread); no-op at
+    # scale where the scan has many splits.
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    # constant bucket key keeps the exact all-pairs join HASH-join
+    # shaped (one bucket) instead of BroadcastNestedLoopJoin -- the
+    # same zero-bits trick dedup_embedding_allpairs uses; the LSH/IVF
+    # production path replaces _b with real bucket ids and the plan
+    # shape is then already right
     sig = emb.select(
-        "vec_id", "embedding", norm_expr(F.col("embedding")).alias("_n")
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("_b"),
+        norm_expr(F.col("embedding")).alias("_n"),
     )
     l, r = sig.alias("l"), sig.alias("r")
     pairs = _persist_tracked(
-        l.join(r, F.col("l.vec_id") < F.col("r.vec_id")).select(
+        l.join(
+            r,
+            (F.col("l._b") == F.col("r._b"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        ).select(
             F.col("l.vec_id").alias("a"),
             F.col("r.vec_id").alias("b"),
             (

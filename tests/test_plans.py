@@ -269,8 +269,8 @@ def test_round4_new_query_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, q.__name__
 
     s = plan_summary(heavy_hitters_words(spark, sf_dir))
-    # plan_summary counts tree line + detail section (2 per operator)
-    assert s["python_eval"] == 2, s
+    # plan_summary counts DISTINCT plan nodes (one per operator)
+    assert s["python_eval"] == 1, s
     assert s["nested_loop_join"] == 0, s
 
 
@@ -313,7 +313,7 @@ def test_selection_family_plan_shapes(spark, sf_dir):
     # GEMM: exactly one Python (Arrow) stage; the corpus scan feeds it
     # without a prior exchange (only the tiny candidate stream shuffles)
     s = plan_summary(ann_bruteforce_gemm(spark, sf_dir))
-    assert s["python_eval"] == 2, s  # tree line + detail section
+    assert s["python_eval"] == 1, s  # one distinct Arrow stage node
     assert s["nested_loop_join"] == 0, s
 
 
