@@ -19,6 +19,13 @@ cried wolf every round and trained readers to ignore exit 2.  Plan
 fingerprints are deterministic -- drift there is a real signal.
 Other plan drift (exchange counts, scan counts) is reported but
 informational -- AQE and staged persists legitimately move those.
+
+Fingerprint semantics changed in round 8 (SCALE.md "Bench variance
+adjudications"): counts are DISTINCT plan nodes, cached lineage
+excluded, with a new in_memory_scans key.  r<=7 side files counted
+raw string occurrences including cached build plans, so r7-vs-r8
+plan diffs are expected to drift everywhere; r8 is the first
+node-count baseline.
 """
 
 from __future__ import annotations
