@@ -239,6 +239,8 @@ HEADLINE = [
     # round-8 additions
     "mutual_nn_pairs_embeddings",
     "scan_pruning_audit_lineitem",
+    "token_budget_waterfill_sources",
+    "boilerplate_prefix_census",
 ]
 
 # Registry-to-family map backing the HEADLINE selection rule (module

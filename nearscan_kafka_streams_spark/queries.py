@@ -12511,6 +12511,174 @@ FROM stat_{name}"""
 SCAN_PRUNING_SQL = _scan_pruning_sql()
 
 
+def token_budget_waterfill_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    global budget B (= half the corpus's tokens, data-dependent but
+    exact), give every source min(its available tokens, waterline L)
+    where L is the leveled fair share -- the standard mixture
+    allocator when a pretraining recipe wants "equal shares, but a
+    small source can't contribute more than it has" (complements the
+    per-language fixed budget of ``mixture_budget_sample``).
+
+    Exact closed form, no iteration: sort sources by availability
+    ascending; source i is FULLY funded iff
+    prefix(i-1) + avail_i * (S - i + 1) <= B (funding it to its full
+    size leaves enough to level every later source at least as high);
+    feasibility is monotone in i, so k = max feasible i, and the
+    waterline for the S - k unfunded sources is
+    L = (B - prefix(k)) div (S - k).  Pure integer arithmetic.
+
+    Scale: the corpus collapses to ONE row per source (a hash
+    aggregate with map-side combine) before any window; the ordering
+    window runs over the #sources-sized grid (20 rows), the standard
+    pre-collapsed-grid discipline."""
+    from nearscan_kafka_streams_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("avail")
+    )
+    tot = per.agg(
+        F.sum("avail").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+    ).select("*", F.expr("total div 2").alias("budget"))
+    w = Window.orderBy("avail", "source")
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("prefix", F.sum("avail").over(w))
+        .withColumn(
+            "feasible",
+            F.expr("prefix - avail + avail * (s_n - i + 1) <= budget"),
+        )
+    )
+    kk = ranked.agg(
+        F.max(F.when(F.col("feasible"), F.col("i")).otherwise(0))
+        .cast("long")
+        .alias("k"),
+        F.max(F.when(F.col("feasible"), F.col("prefix")).otherwise(0))
+        .cast("long")
+        .alias("prefix_k"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kk))
+        .select(
+            "source",
+            "avail",
+            F.expr(
+                "CASE WHEN i <= k THEN avail "
+                "WHEN s_n > k THEN (budget - prefix_k) div (s_n - k) "
+                "ELSE 0 END"
+            )
+            .cast("long")
+            .alias("allocated"),
+            F.expr("i <= k").alias("fully_funded"),
+        )
+        .orderBy("source")
+    )
+
+
+WATERFILL_SQL = r"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(avail) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS s_n,
+         CAST(sum(avail) // 2 AS BIGINT) AS budget
+  FROM per
+), ranked AS (
+  SELECT source, avail, total, s_n, budget,
+         CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS i,
+         CAST(sum(avail) OVER (ORDER BY avail, source) AS BIGINT) AS prefix
+  FROM per CROSS JOIN tot
+), feas AS (
+  SELECT *, prefix - avail + avail * (s_n - i + 1) <= budget AS feasible
+  FROM ranked
+), kk AS (
+  SELECT CAST(max(CASE WHEN feasible THEN i ELSE 0 END) AS BIGINT) AS k,
+         CAST(max(CASE WHEN feasible THEN prefix ELSE 0 END) AS BIGINT)
+           AS prefix_k
+  FROM feas
+)
+SELECT source, avail,
+       CAST(CASE WHEN i <= k THEN avail
+                 WHEN s_n > k THEN (budget - prefix_k) // (s_n - k)
+                 ELSE 0 END AS BIGINT) AS allocated,
+       i <= k AS fully_funded
+FROM feas CROSS JOIN kk
+ORDER BY source
+"""
+
+
+def boilerplate_prefix_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shared-opening-template census: documents whose first 8
+    whitespace tokens are identical, grouped by that prefix -- the
+    C4-style boilerplate/template detector (navigation chrome, cookie
+    banners, licence headers, scraper templates all surface as
+    high-count shared prefixes spanning many sources) that catches
+    near-dups the whole-document fingerprint misses.
+
+    Output: top-20 shared prefixes (>= 2 docs) with doc count,
+    distinct-source span, and the smallest doc id as the inspection
+    sample; deterministic (count desc, prefix asc) ordering.
+
+    Scale: one projection computes the 8-token prefix per document
+    (the prefix string, not the document, is the shuffle key and is
+    bounded ~tens of bytes); one hash aggregate; top-20 via
+    TakeOrdered.  No self-joins, no windows over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    p = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(arr, 1, 8)).alias("prefix"),
+        F.size(arr).alias("nt"),
+    )
+    return (
+        p.where(F.col("nt") >= 8)
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("sample_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("prefix"))
+        .limit(20)
+    )
+
+
+BOILERPLATE_PREFIX_SQL = r"""
+WITH p AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8),
+           ' ') AS prefix,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nt
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+SELECT prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(doc_id) AS BIGINT) AS sample_doc_id
+FROM p
+WHERE nt >= 8
+GROUP BY prefix
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, prefix
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12763,6 +12931,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_nn_pairs_embeddings": mutual_nn_pairs_embeddings,
     "k_core_peel_users": k_core_peel_users,
     "scan_pruning_audit_lineitem": scan_pruning_audit_lineitem,
+    "token_budget_waterfill_sources": token_budget_waterfill_sources,
+    "boilerplate_prefix_census": boilerplate_prefix_census,
 }
 
 # ROUND-7 ROTATION (ordering contract): the driver hash-samples the
@@ -12893,15 +13063,19 @@ _STALE_R7 = [
 # ROUND-8 ROTATION (same contract: reverify -> new -> changed ->
 # oldest-green-stale; CORRECTNESS_r07.json came back 50/50 green, so
 # the reverify lane is empty).  Round 8 is deliberately a LIGHT wave
-# -- 3 new + 3 changed = 6 front rows -- because the round-7 verdict's
+# -- 5 new + 3 changed = 8 front rows -- because the round-7 verdict's
 # one freshness gap was the 74-entry backlog whose last driver green
-# is round <= 4: with ~50 sample slots this ordering re-greens ~44 of
-# them, leaving ~30 for round 9.
+# is round <= 4: with ~50 sample slots this ordering re-greens ~42 of
+# them, leaving ~32 for round 9.  (A local full-registry sweep this
+# round -- PARITY.md header -- additionally shows every entry green on
+# current code at sf0.01.)
 _REVERIFY_R8: list[str] = []
 _ROUND8_NEW: list[str] = [
     "mutual_nn_pairs_embeddings",
     "k_core_peel_users",
     "scan_pruning_audit_lineitem",
+    "token_budget_waterfill_sources",
+    "boilerplate_prefix_census",
 ]
 _CHANGED_R8: list[str] = [
     # sum_cents published as exact digit string (BIGINT nulls past
@@ -12975,6 +13149,8 @@ ORACLES: dict[str, str] = {
     "mutual_nn_pairs_embeddings": MUTUAL_NN_SQL,
     "k_core_peel_users": K_CORE_SQL,
     "scan_pruning_audit_lineitem": SCAN_PRUNING_SQL,
+    "token_budget_waterfill_sources": WATERFILL_SQL,
+    "boilerplate_prefix_census": BOILERPLATE_PREFIX_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,

@@ -105,3 +105,83 @@ def test_global_row_number_consistent_across_plan_branches(spark, sf_dir):
     release_cached()
     for r in both:
         assert (r.cnt, r.d, r.lo, r.hi) == (n, n, 1, n), r
+
+
+def test_waterfill_conservation_and_caps(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from nearscan_kafka_streams_spark.queries import (
+        token_budget_waterfill_sources,
+    )
+
+    rows = token_budget_waterfill_sources(spark, sf_dir).collect()
+    assert rows, "no sources"
+    total = sum(r.avail for r in rows)
+    budget = total // 2
+    spent = sum(r.allocated for r in rows)
+    # never over budget, never short by more than one floor-div
+    # remainder per unfunded source, never past any source's supply
+    assert spent <= budget
+    assert budget - spent < len(rows)
+    for r in rows:
+        assert 0 <= r.allocated <= r.avail
+        if r.fully_funded:
+            assert r.allocated == r.avail
+    # unfunded sources all sit at one waterline
+    levels = {r.allocated for r in rows if not r.fully_funded}
+    assert len(levels) <= 1
+
+
+def test_waterfill_scarce_sources_fully_funded(spark, sf_dir):
+    # synthetic skew: one tiny source must be funded fully while the
+    # giant ones level -- the property that distinguishes water-fill
+    # from a flat split
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from nearscan_kafka_streams_spark.queries import (
+        token_budget_waterfill_sources,
+    )
+
+    small = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("tiny doc").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("small_src").alias("source"),
+        F.lit(8).alias("n_chars"),
+    )
+    big = spark.range(2, 102).select(
+        F.col("id").alias("doc_id"),
+        F.lit(" ".join(["tok"] * 50)).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("big"), (F.col("id") % 2).cast("string")).alias(
+            "source"
+        ),
+        F.lit(200).alias("n_chars"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        small.unionByName(big).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.source: r
+            for r in token_budget_waterfill_sources(spark, d).collect()
+        }
+    assert out["small_src"].fully_funded
+    assert out["small_src"].allocated == out["small_src"].avail == 2
+    assert not out["big0"].fully_funded
+    assert out["big0"].allocated == out["big1"].allocated
+
+
+def test_boilerplate_census_counts(spark, sf_dir):
+    from nearscan_kafka_streams_spark.queries import (
+        boilerplate_prefix_census,
+    )
+
+    rows = boilerplate_prefix_census(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.n_docs >= 2 for r in rows)
+    assert all(1 <= r.n_sources <= r.n_docs for r in rows)
+    assert all(len(r.prefix.split(" ")) == 8 for r in rows)
+    # deterministic ordering: count desc, prefix asc
+    ordered = [(-r.n_docs, r.prefix) for r in rows]
+    assert ordered == sorted(ordered)
