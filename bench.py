@@ -77,6 +77,9 @@ HEADLINE = [
     # the staging window
     "minhash_candidate_pr_audit",
     "dedup_threshold_sweep",
+    # round-8: the mirror-crawl span census consumes the same staged
+    # edge frame (CC + one doc_id-keyed source join)
+    "dedup_cluster_source_span",
     # the clean pipeline's near-dup stage composes over the SAME
     # staged frame (pairwise Jaccard: full-corpus edges semi-joined
     # to its survivor ids == survivor-only self-join), so it closes
@@ -407,6 +410,7 @@ def main() -> None:
             "dedup_cluster_census",
             "minhash_candidate_pr_audit",
             "dedup_threshold_sweep",
+            "dedup_cluster_source_span",
             "corpus_clean_pipeline",
         ),
         "co_event_edges_users": (

@@ -12656,6 +12656,100 @@ def boilerplate_prefix_census(
     )
 
 
+def dedup_cluster_source_span(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Mirror-crawl detector: how many near-dup clusters span 1, 2, 3+
+    DISTINCT sources -- a cluster confined to one source is internal
+    re-posting, while clusters spanning many sources flag mirror
+    sites / syndication the per-source exact-dup share
+    (``duplicate_share_by_source``) cannot see (near-dups, and
+    cross-source by construction).  Output per span width: cluster
+    count, total docs involved, and the smallest component id as the
+    inspection sample.
+
+    Scale: connected components over the (tiny) exact Jaccard>=0.8
+    edge frame (staged via ``edges=`` like the rest of the cluster
+    family), ONE doc_id-keyed join against the (doc_id, source)
+    projection, then two aggregates whose output is bounded by the
+    number of distinct span widths (<= #sources)."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+    )
+
+    if edges is None:
+        edges = jaccard_edges_frame(spark, sf_dir)
+    comp = connected_components(edges)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    per_cluster = (
+        comp.join(docs, comp["node"] == docs["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.count_distinct("source").alias("ns"),
+        )
+    )
+    return (
+        per_cluster.groupBy("ns")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("nd").cast("long").alias("n_docs"),
+            F.min("component").cast("long").alias("sample_component"),
+        )
+        .select(
+            F.col("ns").cast("long").alias("n_sources"),
+            "n_clusters",
+            "n_docs",
+            "sample_component",
+        )
+        .orderBy("n_sources")
+    )
+
+
+CLUSTER_SOURCE_SPAN_SQL = r"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, greatest(length(t) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         length(list_intersect(a.grams, b.grams)) AS i,
+         length(a.grams) AS la, length(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+e AS (
+  SELECT left_id AS a, right_id AS b FROM p WHERE 5 * i >= 4 * (la + lb - i)
+  UNION ALL
+  SELECT right_id, left_id FROM p WHERE 5 * i >= 4 * (la + lb - i)
+),
+reach(node, label) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component
+  FROM reach GROUP BY node
+),
+per_cluster AS (
+  SELECT component, count(*) AS nd, count(DISTINCT d.source) AS ns
+  FROM comp JOIN documents d USING (doc_id)
+  GROUP BY component
+)
+SELECT CAST(ns AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(nd) AS BIGINT) AS n_docs,
+       CAST(min(component) AS BIGINT) AS sample_component
+FROM per_cluster
+GROUP BY ns
+ORDER BY n_sources
+"""
+
+
 BOILERPLATE_PREFIX_SQL = r"""
 WITH p AS (
   SELECT doc_id, source,
@@ -12933,6 +13027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_pruning_audit_lineitem": scan_pruning_audit_lineitem,
     "token_budget_waterfill_sources": token_budget_waterfill_sources,
     "boilerplate_prefix_census": boilerplate_prefix_census,
+    "dedup_cluster_source_span": dedup_cluster_source_span,
 }
 
 # ROUND-7 ROTATION (ordering contract): the driver hash-samples the
@@ -13063,10 +13158,10 @@ _STALE_R7 = [
 # ROUND-8 ROTATION (same contract: reverify -> new -> changed ->
 # oldest-green-stale; CORRECTNESS_r07.json came back 50/50 green, so
 # the reverify lane is empty).  Round 8 is deliberately a LIGHT wave
-# -- 5 new + 3 changed = 8 front rows -- because the round-7 verdict's
+# -- 6 new + 3 changed = 9 front rows -- because the round-7 verdict's
 # one freshness gap was the 74-entry backlog whose last driver green
-# is round <= 4: with ~50 sample slots this ordering re-greens ~42 of
-# them, leaving ~32 for round 9.  (A local full-registry sweep this
+# is round <= 4: with ~50 sample slots this ordering re-greens ~41 of
+# them, leaving ~33 for round 9.  (A local full-registry sweep this
 # round -- PARITY.md header -- additionally shows every entry green on
 # current code at sf0.01.)
 _REVERIFY_R8: list[str] = []
@@ -13076,6 +13171,7 @@ _ROUND8_NEW: list[str] = [
     "scan_pruning_audit_lineitem",
     "token_budget_waterfill_sources",
     "boilerplate_prefix_census",
+    "dedup_cluster_source_span",
 ]
 _CHANGED_R8: list[str] = [
     # sum_cents published as exact digit string (BIGINT nulls past
@@ -13151,6 +13247,7 @@ ORACLES: dict[str, str] = {
     "scan_pruning_audit_lineitem": SCAN_PRUNING_SQL,
     "token_budget_waterfill_sources": WATERFILL_SQL,
     "boilerplate_prefix_census": BOILERPLATE_PREFIX_SQL,
+    "dedup_cluster_source_span": CLUSTER_SOURCE_SPAN_SQL,
     "twap_events": TWAP_SQL,
     "triangle_count_users": TRIANGLE_SQL,
     "collocation_lift_documents": COLLOCATION_SQL,

@@ -185,3 +185,28 @@ def test_boilerplate_census_counts(spark, sf_dir):
     # deterministic ordering: count desc, prefix asc
     ordered = [(-r.n_docs, r.prefix) for r in rows]
     assert ordered == sorted(ordered)
+
+
+def test_cluster_source_span_staged_and_conservation(spark, sf_dir):
+    from nearscan_kafka_streams_spark.functions.dedup import release_cached
+    from nearscan_kafka_streams_spark.queries import (
+        dedup_cluster_source_span,
+        dedup_clusters,
+        jaccard_edges_frame,
+    )
+
+    edges = jaccard_edges_frame(spark, sf_dir).persist()
+    try:
+        edges.count()
+        staged = _rows(dedup_cluster_source_span(spark, sf_dir, edges=edges))
+        assert staged == _rows(dedup_cluster_source_span(spark, sf_dir))
+        rows = dedup_cluster_source_span(spark, sf_dir, edges=edges).collect()
+        # conservation: docs across all span widths == linked docs in
+        # the cluster frame; span widths start at 1
+        linked = dedup_clusters(spark, sf_dir, edges=edges).count()
+        assert sum(r.n_docs for r in rows) == linked
+        assert all(r.n_sources >= 1 for r in rows)
+        assert all(r.n_clusters >= 1 for r in rows)
+    finally:
+        edges.unpersist()
+        release_cached()
