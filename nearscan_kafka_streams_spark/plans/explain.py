@@ -51,6 +51,9 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
 # node names can be multi-word with trailing spaces ("Scan parquet  (3)")
 _TREE_NODE = re.compile(r"([A-Za-z][A-Za-z0-9_]*(?:\s+[A-Za-z][A-Za-z0-9_.]*)*)\s+\((\d+)\)")
 _DETAIL_HDR = re.compile(r"^\((\d+)\) ")
+# each subquery in the "===== Subqueries =====" section opens with its
+# own tree render followed by its own detail blocks
+_SUBQ_HDR = re.compile(r"^Subquery:\d+ Hosting")
 
 
 def strip_cached_lineage(plan: str) -> str:
@@ -64,48 +67,69 @@ def strip_cached_lineage(plan: str) -> str:
     regex fingerprint over the raw text double-counts exchanges/scans
     that never run.  Round-7 adjudication (SCALE.md): staged-family
     fingerprints reported ~2x exchange/scan counts while measured
-    times FELL.  This walker keeps the tree down to and including each
+    times FELL.  This walker keeps each tree down to and including each
     ``InMemoryRelation (N)`` line, drops its deeper-indented subtree,
     and then drops the detail sections of node numbers reachable ONLY
     through dropped subtrees (a number also reachable outside stays).
+
+    The formatted string is processed per SECTION: the main plan, then
+    each ``Subquery:N Hosting ...`` block inside the
+    ``===== Subqueries =====`` area -- each subquery re-renders its own
+    tree (which can embed InMemoryRelation build plans) before its own
+    detail blocks, so treating everything after the FIRST detail header
+    as details let cached build plans inside subqueries leak their
+    detail-header nodes into fingerprints (round-8 ADVICE).
+    Included/excluded node sets are accumulated globally across
+    sections before any detail block is dropped.
     """
     lines = plan.splitlines(keepends=True)
-    # tree section = everything before the first detail header
-    first_detail = next(
-        (i for i, ln in enumerate(lines) if _DETAIL_HDR.match(ln)), len(lines)
-    )
-    kept: list[str] = []
+    starts = [0] + [i for i, ln in enumerate(lines) if _SUBQ_HDR.match(ln)]
+    starts.append(len(lines))
+    section_bounds = list(zip(starts, starts[1:]))
     excluded: set[int] = set()
     included: set[int] = set()
-    imr_indent: int | None = None
-    for ln in lines[:first_detail]:
-        m = _TREE_NODE.search(ln)
-        if not m:
-            if imr_indent is None:
-                kept.append(ln)
-            continue
-        indent, num = m.start(1), int(m.group(2))
-        name = m.group(1).split()[0]
-        if imr_indent is not None and indent <= imr_indent:
-            imr_indent = None
-        if imr_indent is not None:
-            excluded.add(num)
-            continue
-        included.add(num)
-        kept.append(ln)
-        if name == "InMemoryRelation":
-            imr_indent = indent
+    tree_keep: dict[int, bool] = {}
+    first_details: list[int] = []
+    for s, e in section_bounds:
+        # within a section, the tree runs until the first detail header
+        first_detail = next(
+            (i for i in range(s, e) if _DETAIL_HDR.match(lines[i])), e
+        )
+        first_details.append(first_detail)
+        imr_indent: int | None = None
+        for i in range(s, first_detail):
+            m = _TREE_NODE.search(lines[i])
+            if not m:
+                tree_keep[i] = imr_indent is None
+                continue
+            indent, num = m.start(1), int(m.group(2))
+            if imr_indent is not None and indent <= imr_indent:
+                imr_indent = None
+            if imr_indent is not None:
+                excluded.add(num)
+                tree_keep[i] = False
+                continue
+            included.add(num)
+            tree_keep[i] = True
+            if m.group(1).split()[0] == "InMemoryRelation":
+                imr_indent = indent
     drop = excluded - included
-    # detail sections: drop whole blocks whose header number is dropped
-    keep_block = True
-    for ln in lines[first_detail:]:
-        h = _DETAIL_HDR.match(ln)
-        if h:
-            keep_block = int(h.group(1)) not in drop
-        elif ln.startswith("====="):
-            keep_block = True  # subqueries separator resets scope
-        if keep_block:
-            kept.append(ln)
+    kept: list[str] = []
+    for (s, e), first_detail in zip(section_bounds, first_details):
+        for i in range(s, first_detail):
+            if tree_keep[i]:
+                kept.append(lines[i])
+        # detail blocks: drop whole blocks whose header number is dropped
+        keep_block = True
+        for i in range(first_detail, e):
+            ln = lines[i]
+            h = _DETAIL_HDR.match(ln)
+            if h:
+                keep_block = int(h.group(1)) not in drop
+            elif ln.startswith("====="):
+                keep_block = True  # subqueries separator resets scope
+            if keep_block:
+                kept.append(ln)
     return "".join(kept)
 
 

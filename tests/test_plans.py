@@ -430,3 +430,36 @@ def test_persist_tracked_never_adopts_foreign_cache(spark, sf_dir):
         assert not plan_cached(other)
     finally:
         mine.unpersist()
+
+
+def test_plan_summary_strips_cached_lineage_in_subqueries(spark, sf_dir):
+    """The Subqueries section re-renders each subquery's tree before
+    its detail blocks; a cached frame referenced through a scalar
+    subquery embeds its build plan there, and the per-section walk
+    (round-8 ADVICE) must drop the build plan's scan/exchange details
+    just like it does in the main tree."""
+    from nearscan_kafka_streams_spark.plans.explain import plan_summary
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    built = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .persist()
+    )
+    try:
+        built.count()
+        built.createOrReplaceTempView("subq_cached_stats")
+        lineitem.createOrReplaceTempView("subq_lineitem")
+        consumer = spark.sql(
+            "select l_orderkey from subq_lineitem "
+            "where l_quantity > (select max(s) from subq_cached_stats)"
+        )
+        s = plan_summary(consumer)
+        # the main scan counts once; the cached frame's build-plan
+        # parquet scan inside the Subqueries section must not leak
+        assert s["scans"] == 1, s
+        assert s["in_memory_scans"] > 0, s
+    finally:
+        built.unpersist()
+        spark.catalog.dropTempView("subq_cached_stats")
+        spark.catalog.dropTempView("subq_lineitem")
