@@ -12104,8 +12104,13 @@ def mutual_nn_pairs_embeddings(
             F.col("b").alias("a"), F.col("a").alias("b"), "cosine"
         )
     )
+    # rank on the cosine QUANTIZED to 9 dp: full-precision doubles
+    # differ by an ulp between Spark's fold-dot/norm and DuckDB's
+    # list_cosine_similarity, and an ulp at a rank-1 near-tie flips
+    # the mutual pair set (round-8 ADVICE); sub-1e-9 ties fall to the
+    # deterministic b-asc tie-break in both engines instead
     w = Window.partitionBy("a").orderBy(
-        F.col("cosine").desc(), F.col("b").asc()
+        F.round(F.col("cosine"), 9).desc(), F.col("b").asc()
     )
     nn = (
         sym.withColumn("rk", F.row_number().over(w))
@@ -12142,7 +12147,7 @@ WITH pairs AS (
 ), nn AS (
   SELECT a, b, cosine,
          row_number() OVER (
-           PARTITION BY a ORDER BY cosine DESC, b ASC) AS rk
+           PARTITION BY a ORDER BY round(cosine, 9) DESC, b ASC) AS rk
   FROM sym
 )
 SELECT m1.a AS left_id, m1.b AS right_id, round(m1.cosine, 6) AS cosine
@@ -12214,7 +12219,14 @@ def k_core_peel_users(
         .crossJoin(
             nodes_of(cur).agg(F.count(F.lit(1)).alias("nn"))
         )
-        .select(F.expr("CAST((3 * ne) div (2 * nn) AS BIGINT)").alias("kk"))
+        # greatest(nn, 1): an empty thresholded edge set must yield
+        # k=0 in BOTH engines, not Spark's non-ANSI NULL vs DuckDB's
+        # division-by-zero error (round-8 ADVICE)
+        .select(
+            F.expr(
+                "CAST((3 * ne) div (2 * greatest(nn, 1)) AS BIGINT)"
+            ).alias("kk")
+        )
     )
     kval = _persist_tracked(kval)
     out = None
@@ -12306,7 +12318,8 @@ n0 AS MATERIALIZED (
   FROM (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0)
 ),
 kk AS MATERIALIZED (
-  SELECT CAST((3 * (SELECT count(*) FROM e0)) // (2 * (SELECT n FROM n0))
+  SELECT CAST((3 * (SELECT count(*) FROM e0))
+              // (2 * greatest((SELECT n FROM n0), 1))
               AS BIGINT) AS k
 )"""
     ctes = [base] + [_k_core_round_cte(r) for r in range(1, rounds + 1)]
