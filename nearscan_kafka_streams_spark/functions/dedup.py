@@ -1160,6 +1160,84 @@ def connected_components_star(
     )
 
 
+def refine_components(
+    edges: DataFrame,
+    base_labels: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Connected components of ``edges`` GIVEN a coarser labelling:
+    ``base_labels`` (node, component) are the components of a SUPERSET
+    edge set, so every component of ``edges`` lies entirely inside one
+    base component (edge-set monotonicity -- raising a similarity
+    threshold only removes edges).  That turns a distributed fixpoint
+    into ONE single-pass grouped union-find: each edge inherits its
+    base component (both endpoints share it by construction), edges
+    group by base component, and a per-group union-find labels the
+    group's nodes in one ``applyInPandas`` pass -- no iteration, no
+    per-round lineage cuts.
+
+    The threshold-sweep use: run :func:`connected_components` once at
+    the LOOSEST threshold, then each tighter threshold is a filter +
+    this refinement (round-8 verdict item 5 -- 1 fixpoint + 3
+    refinements instead of 4 fixpoints).
+
+    Scale: a group is one base near-dup cluster (small by the cluster
+    census); the giant-component regime stays with the distributed
+    fixpoint, which remains the correct tool for the BASE labelling.
+    Output schema matches connected_components: (node, component) with
+    component = min node id, long-typed ids.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    keyed = edges.join(
+        base_labels.select(
+            F.col("node").alias(left_col), F.col("component").alias("_bc")
+        ),
+        left_col,
+    ).select(
+        F.col(left_col).cast("long").alias("a"),
+        F.col(right_col).cast("long").alias("b"),
+        "_bc",
+    )
+
+    schema = StructType(
+        [
+            StructField("node", LongType()),
+            StructField("component", LongType()),
+        ]
+    )
+
+    def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root: the root of every set is its
+                # minimum node id, matching connected_components'
+                # component = min(node) contract by induction
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"node": nodes, "component": [find(x) for x in nodes]}
+        )
+
+    return keyed.groupBy("_bc").applyInPandas(_union_find, schema)
+
+
 def minhash_signature(shingle_hashes: F.Column, num_hashes: int = 64) -> F.Column:
     """MinHash signature: per permutation i, min over shingles of
     xxhash64(shingle_hash, i) -- a seeded-rehash family.

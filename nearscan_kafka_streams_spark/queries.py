@@ -11290,12 +11290,17 @@ def dedup_threshold_sweep(
     FILTER of the one staged frame, no recomputation, no floats.
 
     Scale: the AllPairs join runs once (or arrives staged via
-    ``edges=``); each sweep point is a filter + connected components
-    over a pair set orders of magnitude smaller than the corpus, and
-    the report is 4 rows."""
+    ``edges=``); the DISTRIBUTED component fixpoint runs once, at the
+    loosest threshold (0.80).  Every tighter threshold's components
+    are refinements of the 0.80 components (raising the threshold
+    only removes edges), so each is one filter + one single-pass
+    grouped union-find within its 0.80 cluster
+    (``refine_components`` -- round-8 verdict item 5: 1 fixpoint + 3
+    refinements instead of 4 fixpoints).  The report is 4 rows."""
     from nearscan_kafka_streams_spark.functions.dedup import (
         _persist_tracked,
         connected_components,
+        refine_components,
     )
 
     if edges is None:
@@ -11319,13 +11324,20 @@ def dedup_threshold_sweep(
             edges.select("left_id", "right_id", "inter_size", "union_size")
         )
     out = None
+    comps80 = None
     for pct, (p, q) in [(80, (4, 5)), (85, (17, 20)), (90, (9, 10)),
                         (95, (19, 20))]:
         et = edges.where(
             F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("union_size")
         ).select("left_id", "right_id")
         et = _persist_tracked(et)
-        comps = connected_components(et)
+        if comps80 is None:
+            # loosest threshold: the one distributed fixpoint; its
+            # labels seed every tighter threshold's refinement
+            comps = _persist_tracked(connected_components(et))
+            comps80 = comps
+        else:
+            comps = refine_components(et, comps80)
         n_pairs = et.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         stats = comps.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs_linked"),

@@ -758,3 +758,49 @@ def test_incremental_exact_dedup_upgrades_legacy_store(spark, tmp_path):
         ).collect()
     }
     assert s2 == {22}
+
+
+def test_refine_components_matches_fixpoint(spark):
+    """refine_components must reproduce connected_components exactly on
+    any subset edge set, given the superset's labels -- randomized
+    graphs with chains, triangles, isolated pairs, plus the empty
+    subset edge case."""
+    import random as _random
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+        refine_components,
+        release_cached,
+    )
+
+    rng = _random.Random(7)
+    for trial in range(3):
+        n = 60
+        full = set()
+        while len(full) < 90:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                full.add((min(a, b), max(a, b)))
+        full = sorted(full)
+        # subset = random half of the edges (threshold-raise analogue)
+        sub = [e for e in full if rng.random() < 0.5]
+        full_df = spark.createDataFrame(full, ["left_id", "right_id"])
+        base = connected_components(full_df)
+        if sub:
+            sub_df = spark.createDataFrame(sub, ["left_id", "right_id"])
+        else:
+            sub_df = full_df.limit(0)
+        got = {
+            (r["node"], r["component"])
+            for r in refine_components(sub_df, base).collect()
+        }
+        want = (
+            {
+                (r["node"], r["component"])
+                for r in connected_components(sub_df).collect()
+            }
+            if sub
+            else set()
+        )
+        release_cached()
+        assert got == want, (trial, got ^ want)
