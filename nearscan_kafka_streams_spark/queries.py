@@ -13213,11 +13213,64 @@ _CHANGED_R8: list[str] = [
 # 38-50); the remaining 74 keep their oldest-green-first order
 _R7_STALE_SAMPLED = 13
 _STALE_R8 = _STALE_R7[_R7_STALE_SAMPLED:]
+# ROUND-9 ROTATION (same contract: reverify -> new -> changed ->
+# oldest-green stale).  CORRECTNESS_r08.json came back 50/50 green so
+# the reverify lane is empty; per the round-8 verdict's item 1 this is
+# a pure FRESHNESS round -- zero new entries, four changed -- so all
+# 33 entries whose last driver green is round <= 4 (the r8-unsampled
+# tail of _STALE_R8) land inside the ~50-row sample, and the remaining
+# slots start on the round-5-green cohort (_NEXT_OLDEST_R9).  Budget
+# arithmetic: 4 changed + 33 stale + 13 fill = 50.  From round 10 on
+# the rotation is steady-state refresh, oldest-green first.
+_REVERIFY_R9: list[str] = []
+_ROUND9_NEW: list[str] = []
+_CHANGED_R9: list[str] = [
+    # rank-1 ordering key quantized to round(cosine, 9) in BOTH
+    # engines so an ulp-level cross-engine difference cannot flip the
+    # mutual pair set at a near-tie (round-8 ADVICE)
+    "mutual_nn_pairs_embeddings",
+    # k divisor guarded with greatest(n, 1) in both engines: an empty
+    # thresholded edge set yields k=0, not NULL-vs-error (ADVICE)
+    "k_core_peel_users",
+    # tighter thresholds now REFINE the t=0.80 component labels via a
+    # grouped single-pass union-find (refine_components) instead of
+    # running three more distributed fixpoints
+    "dedup_threshold_sweep",
+    # candidate generation restructured for the k-extended prefix
+    # scheme (functions/dedup.py prefix_ext); the registered default
+    # path keeps prefix_ext=1 -- same operators, same results -- but
+    # the code changed, so the green history no longer describes it
+    "dedup_ngram_jaccard",
+]
+# r8 sampled its 9 front rows + the first 41 of _STALE_R8
+# (CORRECTNESS_r08.json); the remaining 33 keep their order
+_R8_STALE_SAMPLED = 41
+_STALE_R9 = _STALE_R8[_R8_STALE_SAMPLED:]
+# oldest-green fill: everything in _STALE_R9 has last driver green
+# round <= 4; these 13 are the head of the round-5-green cohort (all
+# oracle-bearing), so one 50-row sample retires the <=4 backlog
+# entirely and begins on round 5's
+_NEXT_OLDEST_R9: list[str] = [
+    "ann_bruteforce_cosine",
+    "ann_ivf_append_fullprobe",
+    "ann_ivf_persisted_fullprobe",
+    "bigram_coverage_score",
+    "bpe_zero_merge_stats",
+    "chisq_lang_source",
+    "data_quality_orders",
+    "dedup_repeated_chunks",
+    "forward_fill_events",
+    "full_outer_join_nations",
+    "funnel_events",
+    "grouping_sets_orders",
+    "heavy_hitters_words",
+]
 _FRONT = [
-    *_REVERIFY_R8,
-    *_ROUND8_NEW,
-    *_CHANGED_R8,
-    *_STALE_R8,
+    *_REVERIFY_R9,
+    *_ROUND9_NEW,
+    *_CHANGED_R9,
+    *_STALE_R9,
+    *_NEXT_OLDEST_R9,
 ]
 assert len(_FRONT) == len(set(_FRONT)), "duplicate rotation entry"
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
