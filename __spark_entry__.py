@@ -6,7 +6,8 @@
 ``oracle_sql`` -- DuckDB-dialect oracle SQL per query (omitted for the
                   genuinely non-SQL-expressible ops -> rows-only check).
 
-Implementations live in ``nearscan_kafka_streams_spark/queries.py``;
+Implementations live in the ``nearscan_kafka_streams_spark/queries/``
+package (per-family modules; the registry tail in ``_registry.py``);
 the NEAR-domain topology itself (the reference's single hard-coded
 query) is exercised by ``tests/`` over FIXTURES.md fixtures and its
 operator shapes are each represented in the inventory below.

@@ -4,8 +4,8 @@ schedule.  These tests pin the standing contract (reverify lane
 first, then new, then changed, then the oldest-green backlog, then
 the oldest-green fill) so a stray re-registration can't silently push
 an unverified entry out of the driver's sampling window.  Round-9
-lanes are the current front; the round-7/8 lists remain in queries.py
-as the backlog's provenance."""
+lanes are the current front; the round-7/8 lists remain in
+queries/_registry.py as the backlog's provenance."""
 
 from __future__ import annotations
 
