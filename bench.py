@@ -749,15 +749,25 @@ def main() -> None:
                     "overwrite"
                 ).json(f"{stream_root}/fx/{sub}")
             stream_sp = max(4, min(32, n_stream // 2500))
+            # bridge_batches=4 sizes the balance replay to half 1's
+            # trigger count: per-FILE bridge replay runs one
+            # state-commit-weight micro-batch per transfer parquet file
+            # (~18 at this scale -- measured 18 balance batches for 4
+            # half-1 triggers), all fixed overhead with an identical
+            # final store.  4x4 batches is the genuine cross-batch
+            # state exercise this entry exists to time; per-file
+            # granularity remains the version-retention default.
             with _shuffle_override(spark, stream_sp):
                 run_fixture_pipeline(
-                    spark, f"{stream_root}/fx", f"{stream_root}/out_warm"
+                    spark, f"{stream_root}/fx", f"{stream_root}/out_warm",
+                    bridge_batches=4,
                 ).write.format("noop").mode("overwrite").save()
                 best = None
                 for rep in range(2):
                     t0 = time.perf_counter()
                     run_fixture_pipeline(
-                        spark, f"{stream_root}/fx", f"{stream_root}/out{rep}"
+                        spark, f"{stream_root}/fx", f"{stream_root}/out{rep}",
+                        bridge_batches=4,
                     ).write.format("noop").mode("overwrite").save()
                     elapsed = time.perf_counter() - t0
                     if best is None or elapsed < best:

@@ -82,6 +82,7 @@ def run_fixture_pipeline(
     out_dir: str,
     config: PipelineConfig = DEFAULT_CONFIG,
     retain_versions: int = 0,
+    bridge_batches: int | None = None,
 ) -> DataFrame:
     """End-to-end streaming run over JSON fixture directories
     (``{fixture_dir}/receipts`` etc.), multi-micro-batch via
@@ -93,6 +94,16 @@ def run_fixture_pipeline(
     ``retain_versions`` > 0 keeps per-micro-batch store history so
     ``read_store_as_of`` / ``store_changelog`` can audit the balance
     changelog after the run (the reference's compacted-topic replay).
+
+    ``bridge_batches`` caps the balance replay's micro-batch count: the
+    bridge holds one parquet file per non-empty transfer partition per
+    half-1 trigger (~shuffle-partitions x triggers files), and the
+    default per-file replay pays a fixed state-commit cost per file.
+    Passing N sizes ``maxFilesPerTrigger`` to ceil(files/N) AFTER the
+    bridge is written, so the balance half replays in ~N genuine
+    cross-batch triggers (matching half 1's granularity at N=triggers)
+    with an identical final store -- last-writer-wins per key.  Default
+    ``None`` keeps per-file replay (finest version-retention history).
     """
     r = read_fixture_stream(
         spark, f"{fixture_dir}/receipts", RECEIPTS_SCHEMA,
@@ -109,7 +120,8 @@ def run_fixture_pipeline(
 
     transfers = build_streaming_transfers(r, o, a, config)
     return _run_two_query_tail(
-        spark, transfers, out_dir, retain_versions
+        spark, transfers, out_dir, retain_versions,
+        bridge_batches=bridge_batches,
     )
 
 
@@ -251,6 +263,7 @@ def _run_two_query_tail(
     out_dir: str,
     retain_versions: int,
     bridge_files_per_trigger: int | None = 1,
+    bridge_batches: int | None = None,
 ) -> DataFrame:
     """Shared back half: append transfers to the bridge, then the
     update-mode balance aggregate into the keyed upsert store.
@@ -281,7 +294,7 @@ def _run_two_query_tail(
     try:
         return _run_two_query_tail_inner(
             spark, transfers, out_dir, retain_versions,
-            bridge_files_per_trigger,
+            bridge_files_per_trigger, bridge_batches,
         )
     finally:
         if one_shot:
@@ -294,6 +307,7 @@ def _run_two_query_tail_inner(
     out_dir: str,
     retain_versions: int,
     bridge_files_per_trigger: int | None,
+    bridge_batches: int | None = None,
 ) -> DataFrame:
     transfer_path = f"{out_dir}/token_transfer"
     q1 = (
@@ -324,6 +338,16 @@ def _run_two_query_tail_inner(
         read_store,
     )
 
+    if bridge_batches is not None:
+        # translate a target micro-batch COUNT into files-per-trigger
+        # now that the bridge exists: ceil(files/N) files per trigger
+        # replays in ~N batches regardless of how many partitions each
+        # half-1 trigger materialized (driver-side listing of one
+        # bounded directory, not data)
+        import glob as _glob
+
+        n_files = len(_glob.glob(f"{transfer_path}/part-*")) or 1
+        bridge_files_per_trigger = -(-n_files // max(bridge_batches, 1))
     reader = spark.readStream.schema(TOKEN_TRANSFER_SCHEMA)
     if bridge_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", bridge_files_per_trigger)

@@ -125,3 +125,26 @@ def test_streaming_store_history_auditable(spark, fixture_dir, tmp_path):
             else:
                 base[row["account"]] = row["after"]["balance"]
         assert base == expected["balances"]
+
+
+def test_streaming_bridge_batches_coarse_replay(spark, fixture_dir, tmp_path):
+    """bridge_batches=N replays the bridge in ~N balance micro-batches
+    (not one per file) with an identical final store -- the bench's
+    granularity for near_topology_stream."""
+    import glob
+
+    root, expected = fixture_dir
+    out_dir = str(tmp_path / "outb")
+    balances = run_fixture_pipeline(
+        spark, str(root), out_dir, bridge_batches=2
+    )
+    got = {r["account"]: r["balance"] for r in balances.collect()}
+    assert got == expected["balances"]
+
+    n_files = len(glob.glob(f"{out_dir}/token_transfer/part-*"))
+    n_batches = len(glob.glob(f"{out_dir}/ckpt_balances/offsets/*"))
+    # genuinely multi-batch, but bounded by the requested count (+1:
+    # availableNow may schedule one final drain/no-data batch)
+    assert n_batches <= 3, (n_batches, n_files)
+    if n_files >= 2:
+        assert n_batches >= 2, (n_batches, n_files)
