@@ -1027,11 +1027,15 @@ def main() -> None:
                 big[op] = min(big[op], rerun[op])
         # inverted legs (1x slower than 10x) are pure measurement
         # noise; re-measure the 1x leg solo and floor it so the
-        # recorded ratio carries information (round-8 kmeans)
+        # recorded ratio carries information (round-8 kmeans).  ANY
+        # ratio < 1.0 is inverted by construction on 10x data -- the
+        # r9 first run recorded kmeans at 0.82, just past a looser
+        # 0.8 trigger -- and the 1x re-measure costs seconds, so the
+        # trigger is exactly 1.0
         inverted = [
             op
             for op in small
-            if op in big and big[op] > 0 and small[op] / big[op] > 1.25
+            if op in big and big[op] > 0 and small[op] / big[op] > 1.0
         ]
         for op in inverted:
             if rerun_budget <= 0:
@@ -1050,6 +1054,29 @@ def main() -> None:
             }
             if rerun.get(op):
                 small[op] = min(small[op], rerun[op])
+        # still inverted after the 1x floor?  The op's cost at this
+        # scale is fixed per-job overhead (e.g. kmeans: capped fit
+        # sample + a fixed iteration count, assignment trivial at both
+        # sizes), so the two legs sit in the SAME noise band and their
+        # order is a coin flip.  Floor the 10x leg too; if inversion
+        # survives both floors, mark the entry overhead-dominated --
+        # ratio == parity within noise, not a scaling measurement.
+        still_inverted = [
+            op
+            for op in inverted
+            if op in big and big[op] > 0 and small[op] / big[op] > 1.0
+        ]
+        for op in still_inverted:
+            if rerun_budget > 0:
+                t0 = time.perf_counter()
+                rerun = _stress_ops(50_000, 20_000, only={op})
+                rerun_budget -= time.perf_counter() - t0
+                stress_diag[f"{op}@rerun10x"] = {
+                    "t_10x_first": big[op],
+                    "t_10x_rerun": rerun.get(op),
+                }
+                if rerun.get(op):
+                    big[op] = min(big[op], rerun[op])
         for op_name in small:
             if op_name in big and small[op_name] > 0:
                 stress[op_name] = {
@@ -1057,6 +1084,11 @@ def main() -> None:
                     "t_10x": big[op_name],
                     "ratio": round(big[op_name] / small[op_name], 2),
                 }
+                if (
+                    op_name in still_inverted
+                    and small[op_name] > big[op_name]
+                ):
+                    stress[op_name]["overhead_dominated"] = True
     except Exception as exc:  # noqa: BLE001
         errors["scale_stress"] = f"{type(exc).__name__}: {exc}"[:500]
 
