@@ -499,14 +499,22 @@ def main() -> None:
     # ---- automatic floor re-runs (round-8 verdict item 3, mechanism
     # not instance): any timed query whose wall regressed >1.5x vs the
     # PREVIOUS round's side file gets up to 3 solo re-runs under a
-    # wall budget; the floor is recorded next to the first reading and
-    # becomes the query's number (the same min-of-reps estimator, more
-    # samples, applied only to outliers).  Staged producers/consumers
-    # are excluded: their timings are coupled to the staging window,
-    # so a solo re-run would measure a different cost contract.
-    # FORCE_FLOOR backfills round 8's four floor-less regressions, one
-    # round only.
+    # wall budget; the floor is recorded NEXT TO the first reading in
+    # ``floors`` but no longer replaces it in ``queries`` (round-9
+    # verdict item 3: r09 mixed floors and first readings in one
+    # series, so cross-round diffs compared different estimators --
+    # ``queries`` is now uniformly the in-suite min-of-reps reading,
+    # and tools/diff_bench.py prefers floor-vs-floor when both rounds
+    # recorded one).  Staged producers/consumers are excluded: their
+    # timings are coupled to the staging window, so a solo re-run
+    # would measure a different cost contract.  FORCE_FLOOR backfilled
+    # round 8's four floor-less regressions, one round only.
     floors: dict[str, dict] = {}
+    # stress/diag side-file sections are declared here because the
+    # streaming-topology block below contributes its own 1x/10x pair
+    # before the dedup/ANN battery runs
+    stress: dict[str, dict] = {}
+    stress_diag: dict[str, dict] = {}
     prev_queries: dict[str, float] = {}
     try:
         prev_p = os.path.join(repo_dir, f"BENCH_PLANS_r{round_n - 1:02d}.json")
@@ -571,7 +579,6 @@ def main() -> None:
         entry["reruns"] = runs
         entry["floor"] = round(best, 3)
         floors[name] = entry
-        timings[name] = round(best, 3)
 
     # flagship: the reference's own topology end-to-end (dedup -> 3-way
     # join -> JSON flat-map -> balance agg) over generated NEAR-shaped
@@ -773,6 +780,59 @@ def main() -> None:
                     if best is None or elapsed < best:
                         best = elapsed
             timings["near_topology_stream"] = round(best, 3)
+            # pin the suite's largest single line (round-9 verdict
+            # item 2): n=1 history and no variance band made the 23.9 s
+            # entry dominate cross-round drift arithmetic.  (a) floor:
+            # 3 solo re-runs, the same estimator the regression floors
+            # use, recorded in ``floors`` (never into ``queries``);
+            # (b) a 1x/10x stress pair at FIXED sizes (like the dedup
+            # battery) so the side file shows the cost is per-micro-
+            # batch state-commit overhead amortizing with volume --
+            # expect a ratio well under 10.
+            runs = []
+            with _shuffle_override(spark, stream_sp):
+                for rep in range(3):
+                    t0 = time.perf_counter()
+                    run_fixture_pipeline(
+                        spark,
+                        f"{stream_root}/fx",
+                        f"{stream_root}/out_floor{rep}",
+                        bridge_batches=4,
+                    ).write.format("noop").mode("overwrite").save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+            floors["near_topology_stream"] = {
+                "first": timings["near_topology_stream"],
+                "prev_round": prev_queries.get("near_topology_stream"),
+                "reruns": runs,
+                "floor": round(
+                    min([timings["near_topology_stream"], *runs]), 3
+                ),
+            }
+            st_pair: dict[str, float] = {}
+            for leg, n_leg in (("t_1x", 5_000), ("t_10x", 50_000)):
+                lr, lo, la = generate_near_tables(spark, n_leg)
+                for sub, df, ts in (
+                    ("receipts", lr, "included_in_block_timestamp"),
+                    ("outcomes", lo, "executed_in_block_timestamp"),
+                    ("actions", la, "receipt_included_in_block_timestamp"),
+                ):
+                    df.repartitionByRange(4, ts).write.mode(
+                        "overwrite"
+                    ).json(f"{stream_root}/fx_{leg}/{sub}")
+                sp_leg = max(4, min(32, n_leg // 2500))
+                with _shuffle_override(spark, sp_leg):
+                    t0 = time.perf_counter()
+                    run_fixture_pipeline(
+                        spark,
+                        f"{stream_root}/fx_{leg}",
+                        f"{stream_root}/out_{leg}",
+                        bridge_batches=4,
+                    ).write.format("noop").mode("overwrite").save()
+                    st_pair[leg] = round(time.perf_counter() - t0, 3)
+            stress["near_topology_stream"] = {
+                **st_pair,
+                "ratio": round(st_pair["t_10x"] / st_pair["t_1x"], 2),
+            }
         finally:
             _shutil.rmtree(stream_root, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
@@ -790,8 +850,10 @@ def main() -> None:
         shuffle_to_shards,
     )
     from nearscan_kafka_streams_spark.functions.dedup import (
+        containment_join,
         jaccard_similarity_join,
         minhash_lsh_candidates,
+        winnowed_spans,
     )
     from nearscan_kafka_streams_spark.functions.similarity import (
         brute_force_topk_gemm,
@@ -837,8 +899,9 @@ def main() -> None:
 
     # candidate-stage counts per stress scale (the super-linear term in
     # exact set similarity is candidate growth, not verify cost -- make
-    # it observable next to the timing ratio); keyed "<op>@<n_docs>"
-    stress_diag: dict[str, dict] = {}
+    # it observable next to the timing ratio); keyed "<op>@<n_docs>".
+    # (stress_diag itself is declared up by the floors block -- the
+    # streaming-topology pin writes into it first.)
 
     def _stress_ops(
         n_docs: int,
@@ -864,6 +927,25 @@ def main() -> None:
                         prefix_ext="auto",
                         stats_out=s,
                     ),
+                ),
+                (
+                    # asymmetric predicate: no length-ratio prune, so
+                    # candidate growth is governed by rare-gram df --
+                    # the census makes that term observable (round-9
+                    # verdict item 4)
+                    "dedup_ngram_containment",
+                    lambda s: containment_join(
+                        docs,
+                        threshold=0.9,
+                        broadcast_verify=True,
+                        stats_out=s,
+                    ),
+                ),
+                (
+                    # linear by design (~len/window selected spans);
+                    # the census verifies the sampling rate held
+                    "dedup_winnowed_spans",
+                    lambda s: winnowed_spans(docs, stats_out=s),
                 ),
                 (
                     "pack_training_sequences",
@@ -909,6 +991,17 @@ def main() -> None:
                     broadcast_verify=True,
                     prefix_ext="auto",
                 ),
+            ),
+            (
+                # same params as the registered query (t=0.9, 5-grams)
+                "dedup_ngram_containment",
+                lambda: containment_join(
+                    docs, threshold=0.9, broadcast_verify=True
+                ),
+            ),
+            (
+                "dedup_winnowed_spans",
+                lambda: winnowed_spans(docs),
             ),
             (
                 "ann_ivf_cosine",
@@ -976,7 +1069,6 @@ def main() -> None:
                 spark.catalog.clearCache()
         return out
 
-    stress: dict[str, dict] = {}
     try:
         # tiny untimed warm pass: absorbs whole-stage-codegen
         # compilation, Python-worker spin-up and state init for EVERY
@@ -1058,25 +1150,25 @@ def main() -> None:
         # scale is fixed per-job overhead (e.g. kmeans: capped fit
         # sample + a fixed iteration count, assignment trivial at both
         # sizes), so the two legs sit in the SAME noise band and their
-        # order is a coin flip.  Floor the 10x leg too; if inversion
-        # survives both floors, mark the entry overhead-dominated --
-        # ratio == parity within noise, not a scaling measurement.
+        # order is a coin flip.  Adjudicate overhead-dominated
+        # DIRECTLY: a min-floor on the 10x leg can only LOWER t_10x,
+        # so it could never clear an inversion -- the old rerun loop
+        # spent budget pushing the recorded ratio further below 1.0
+        # while its "if inversion survives both floors" condition was
+        # vacuously true (round-9 ADVICE).  Ratio < 1 here reads as
+        # parity-within-noise, not a scaling measurement.
         still_inverted = [
             op
             for op in inverted
             if op in big and big[op] > 0 and small[op] / big[op] > 1.0
         ]
         for op in still_inverted:
-            if rerun_budget > 0:
-                t0 = time.perf_counter()
-                rerun = _stress_ops(50_000, 20_000, only={op})
-                rerun_budget -= time.perf_counter() - t0
-                stress_diag[f"{op}@rerun10x"] = {
-                    "t_10x_first": big[op],
-                    "t_10x_rerun": rerun.get(op),
-                }
-                if rerun.get(op):
-                    big[op] = min(big[op], rerun[op])
+            stress_diag[f"{op}@overhead_dominated"] = {
+                "t_1x_floored": small[op],
+                "t_10x": big[op],
+                "note": "inversion survived the 1x floor; both legs "
+                "sit in the same fixed-overhead noise band",
+            }
         for op_name in small:
             if op_name in big and small[op_name] > 0:
                 stress[op_name] = {

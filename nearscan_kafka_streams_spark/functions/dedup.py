@@ -239,7 +239,7 @@ def jaccard_similarity_join(
     broadcast_verify: bool = False,
     bitmap_max_vocab: int = 4096,
     stats_out: dict | None = None,
-    prefix_ext: int | str = 1,
+    prefix_ext: int | str = "auto",
 ) -> DataFrame:
     """EXACT set-similarity self-join via AllPairs prefix filtering.
 
@@ -271,8 +271,12 @@ def jaccard_similarity_join(
     collision mass (sum over grams of C(df_prefix, 2), one cheap
     aggregate over the prefix index) and jumps straight to k=3 when
     it exceeds max(50_000, 20 * n_docs); the decision and the
-    estimate are recorded in ``stats_out``.  Default 1 keeps the
-    classic plan bit-identical.  The positional (PPJoin) filter is
+    estimate are recorded in ``stats_out``.  ``"auto"`` is the
+    DEFAULT (round-10): the decision aggregate is linear and cheap,
+    and it retires the quadratic k=1 hot path everywhere the corpus
+    would pay for it; pass ``prefix_ext=1`` for the classic
+    bit-identical AllPairs plan (the outputs are identical either way
+    -- the scheme is lossless).  The positional (PPJoin) filter is
     row-level, so it applies only at k=1 -- dropping individual
     collision rows would undercount the k>=2 collision requirement.
 
@@ -617,6 +621,7 @@ def containment_join(
     materialize: bool = True,
     broadcast_verify: bool = False,
     bitmap_max_vocab: int = 4096,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT asymmetric set-CONTAINMENT self-join: pairs where the
     smaller document's n-gram set is mostly inside the larger's,
@@ -747,6 +752,18 @@ def containment_join(
         .select(F.col(lid).alias("inner_id"), F.col(rid).alias("outer_id"))
         .distinct()
     )
+
+    # candidate census (same contract as jaccard_similarity_join's
+    # stats_out): the super-linear risk under containment is candidate
+    # growth governed by rare-gram document frequency -- no length-
+    # ratio prune exists for this predicate -- so the stress harness
+    # records it next to the timing.  Persist+count here is shared
+    # with the verify stage below.
+    if stats_out is not None:
+        stats_out["vocab_size"] = vocab_size
+        stats_out["use_bitmap"] = use_bitmap
+        cands = _persist_tracked(cands)
+        stats_out["n_candidates_distinct"] = cands.count()
 
     hint = F.broadcast if broadcast_verify else (lambda x: x)
 
@@ -918,6 +935,7 @@ def winnowed_spans(
     id_col: str = "doc_id",
     k: int = 32,
     window: int = 8,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Cross-document duplicate k-char spans via WINNOWING
     fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 -- the MOSS
@@ -974,6 +992,14 @@ def winnowed_spans(
         )
         .where(F.length("gram") == k)
     )
+    # linear-term census: winnowing has no candidate-pair stage -- its
+    # scale story is the selected-span explode volume (~len/window rows
+    # per doc, content-defined).  stats_out records it so the stress
+    # harness can verify the ~1/window sampling rate held instead of
+    # inferring it from wall time.
+    if stats_out is not None:
+        spans = _persist_tracked(spans)
+        stats_out["n_selected_spans"] = spans.count()
     return (
         spans.groupBy("gram")
         .agg(

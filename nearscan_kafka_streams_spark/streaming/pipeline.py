@@ -301,6 +301,63 @@ def _run_two_query_tail(
             spark.conf.set(nodata_key, nodata_prev)
 
 
+def _committed_bridge_files(spark: SparkSession, dir_path: str) -> int | None:
+    """Count the files the streaming file sink COMMITTED into
+    ``dir_path``, from its ``_spark_metadata`` log.
+
+    Scheme-agnostic by construction (Hadoop FS API via the session's
+    JVM, never ``glob`` -- a plain-path glob silently returns 0 for
+    ``file:``/``hdfs://``/``s3a://`` URIs), and orphan-proof: aborted
+    task attempts leave ``part-*`` files on disk but never an entry in
+    the commit log, so sizing micro-batches from the log counts only
+    data a reader will actually see.  Log semantics: batch file ``N``
+    lists the files batch N added; ``N.compact`` supersedes everything
+    ``<= N`` -- so the committed total is the latest compact's ``add``
+    entries plus the ``add`` entries of later plain batch files.
+    Returns None when no metadata log exists (not a file-sink dir)."""
+    import json as _json
+
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/_spark_metadata")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta):
+        return None
+    batches: dict[int, tuple[bool, object]] = {}
+    for st in fs.listStatus(meta):
+        name = st.getPath().getName()
+        is_compact = name.endswith(".compact")
+        base = name[: -len(".compact")] if is_compact else name
+        if not base.isdigit():
+            continue  # .crc siblings, temp files
+        bid = int(base)
+        if is_compact or bid not in batches:
+            batches[bid] = (is_compact, st.getPath())
+    if not batches:
+        return 0
+    compact_ids = [b for b, (c, _) in batches.items() if c]
+    floor_id = max(compact_ids) if compact_ids else None
+    n = 0
+    for bid, (is_compact, path) in batches.items():
+        if floor_id is not None and (
+            bid < floor_id or (bid == floor_id and not is_compact)
+        ):
+            continue
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            fs.open(path), "UTF-8"
+        )
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue  # version header ("v1")
+            try:
+                entry = _json.loads(line)
+            except ValueError:
+                continue
+            if entry.get("action", "add") == "add":
+                n += 1
+    return n
+
+
 def _run_two_query_tail_inner(
     spark: SparkSession,
     transfers: DataFrame,
@@ -342,12 +399,39 @@ def _run_two_query_tail_inner(
         # translate a target micro-batch COUNT into files-per-trigger
         # now that the bridge exists: ceil(files/N) files per trigger
         # replays in ~N batches regardless of how many partitions each
-        # half-1 trigger materialized (driver-side listing of one
-        # bounded directory, not data)
-        import glob as _glob
+        # half-1 trigger materialized (driver-side read of the sink's
+        # bounded commit log, not data).  The committed-list count is
+        # scheme-agnostic and excludes aborted-attempt orphans; a
+        # missing log after a just-finished file-sink write is
+        # unexpected, so fall back loudly rather than silently sizing
+        # the replay to 1 file per trigger (the degenerate per-file
+        # mode bridge_batches exists to avoid).
+        n_files = _committed_bridge_files(spark, transfer_path)
+        if n_files is None:
+            import warnings
 
-        n_files = len(_glob.glob(f"{transfer_path}/part-*")) or 1
-        bridge_files_per_trigger = -(-n_files // max(bridge_batches, 1))
+            warnings.warn(
+                f"no _spark_metadata log under {transfer_path!r} after "
+                "the bridge write; sizing the balance replay from a "
+                "raw Hadoop FS listing (may include aborted-attempt "
+                "orphans)",
+                stacklevel=2,
+            )
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(transfer_path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            n_files = (
+                sum(
+                    1
+                    for st in fs.listStatus(hpath)
+                    if st.getPath().getName().startswith("part-")
+                )
+                if fs.exists(hpath)
+                else 0
+            )
+        # 0 committed files = genuinely empty bridge; one trigger
+        # drains it (correct and cheap), not the per-file degradation
+        bridge_files_per_trigger = -(-max(n_files, 1) // max(bridge_batches, 1))
     reader = spark.readStream.schema(TOKEN_TRANSFER_SCHEMA)
     if bridge_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", bridge_files_per_trigger)

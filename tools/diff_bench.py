@@ -34,17 +34,36 @@ import json
 import sys
 
 
-def _load(path: str) -> tuple[dict, dict, float | None]:
+def _load(path: str) -> tuple[dict, dict, float | None, dict]:
     with open(path) as fh:
         d = json.load(fh)
-    return d.get("queries") or {}, d.get("plans") or {}, d.get("value")
+    return (
+        d.get("queries") or {},
+        d.get("plans") or {},
+        d.get("value"),
+        d.get("floors") or {},
+    )
 
 
 def main() -> int:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    oq, op, oval = _load(sys.argv[1])
-    nq, np_, nval = _load(sys.argv[2])
+    oq, op, oval, ofl = _load(sys.argv[1])
+    nq, np_, nval, nfl = _load(sys.argv[2])
+
+    # measurement-series discipline (round-9 verdict item 3): since
+    # round 10 ``queries`` is uniformly the in-suite first reading and
+    # solo-rerun floors live in ``floors`` -- r09 mixed the two in one
+    # series.  When BOTH rounds recorded a floor for a query, compare
+    # floor-vs-floor (same estimator, more samples); otherwise compare
+    # the first-reading series.  The printed line labels which series
+    # was used so a cross-policy comparison is never silent.
+    def _series(name: str) -> tuple[float | None, float | None, str]:
+        o_f = (ofl.get(name) or {}).get("floor")
+        n_f = (nfl.get(name) or {}).get("floor")
+        if o_f is not None and n_f is not None:
+            return o_f, n_f, "floor"
+        return oq.get(name), nq.get(name), "first"
 
     regressions: list[str] = []
     print(f"total: {oval} -> {nval} s")
@@ -60,12 +79,14 @@ def main() -> int:
         if not known_new:
             print(f"  - {name}: removed (was {oq.get(name, '?')} s)")
             continue
-        a, b = oq.get(name), nq.get(name)
+        a, b, series = _series(name)
         notes: list[str] = []
         if a is not None and b is not None and b > a * 1.25 and b - a > 0.5:
             # timing-only: warn, never exit nonzero (4x run-to-run
             # variance on sub-second queries makes this pure noise)
-            notes.append(f"WARN slower {a} -> {b} s (timing only)")
+            notes.append(
+                f"WARN slower {a} -> {b} s ({series} series, timing only)"
+            )
         if name in op and name in np_ and op[name] != np_[name]:
             o, n = op[name], np_[name]
             changed = {
