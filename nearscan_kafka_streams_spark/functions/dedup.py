@@ -751,6 +751,14 @@ def containment_join(
         )
         .select(F.col(lid).alias("inner_id"), F.col(rid).alias("outer_id"))
         .distinct()
+        # the verify below is broadcast-join + per-candidate intersect,
+        # so it executes IN the candidates' partitioning -- and AQE
+        # coalesces the distinct's exchange to 1-2 tasks because the
+        # (inner_id, outer_id) pairs are byte-small, starving the
+        # compute-amplifying intersect (round-10 stage census: verify
+        # ran on 2 of 32 cores).  Explicit COUNT repartition pins it;
+        # same adjudication as the exact-Jaccard verify (SCALE.md r9).
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
 
     # candidate census (same contract as jaccard_similarity_join's

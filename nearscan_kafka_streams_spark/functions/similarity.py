@@ -785,6 +785,18 @@ def semantic_dedup(
         ).withColumn("_mnorm", norm_expr(F.col(vec_col))),
         id_col,
     )
+    # the within-cluster self-join is COMPUTE-AMPLIFYING (each row fans
+    # out to ~|cluster| pair rows, each paying a full-dimension dot
+    # product) while its INPUT is byte-small, so AQE coalesces its
+    # exchange to a handful of tasks (round-10 stage census: the pair
+    # verify ran 44.9 s of task time on 5 of 32 cores).  An explicit
+    # COUNT repartition on the join key pins the parallelism (user
+    # repartitions are exempt from AQE coalescing) and both self-join
+    # sides share the one exchange.  Same adjudication as the exact-
+    # Jaccard collision join (SCALE.md, round 9).
+    member = member.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, "cluster_id"
+    )
     l, r = member.alias("l"), member.alias("r")
     dup_ids = (
         l.join(

@@ -70,6 +70,9 @@ def main() -> None:
         app_name="stage-census",
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            # the library session disables the UI; this tool IS a UI
+            # consumer (extra_conf is applied after the defaults)
+            "spark.ui.enabled": "true",
             # keep every stress stage in the UI store
             "spark.ui.retainedStages": "5000",
         },
