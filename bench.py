@@ -580,6 +580,68 @@ def main() -> None:
         entry["floor"] = round(best, 3)
         floors[name] = entry
 
+    # ---- staged-FAMILY floor (round 10): staged producers/consumers
+    # are excluded from the solo floors above because their cost
+    # contract is the staging window -- which also meant a regressed
+    # member could never re-run.  Round-10's first bench run recorded
+    # dedup_threshold_sweep at 116.5 s (27x) inside a degraded JVM
+    # window while a fresh-session replay of the identical staged
+    # sequence measured 5.9 s.  When any member regresses >1.5x,
+    # re-run the WHOLE family once with the same staging mechanics and
+    # record per-member floors (marked family_rerun) -- the re-run
+    # preserves the incremental-cost-given-staged-edges contract.
+    fam_budget = float(
+        os.environ.get("SPARK_GRAFT_FAMILY_FLOOR_BUDGET", "240")
+    )
+    for prod, cons in STAGED_FAMILIES.items():
+        members = [m for m in (prod, *cons) if m in timings]
+        regressed = [m for m in members if _regression(m) > 1.5]
+        if not regressed:
+            continue
+        if fam_budget <= 0:
+            for m in regressed:
+                floors.setdefault(
+                    m,
+                    {"first": timings[m], "prev_round": prev_queries.get(m)},
+                )["skipped"] = "family floor budget exhausted"
+            continue
+        t_start = time.perf_counter()
+        fam_times: dict[str, float] = {}
+        st = None
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = QUERIES[prod](spark, sf_dir).persist()
+            st = df
+            df.write.format("noop").mode("overwrite").save()
+            fam_times[prod] = round(time.perf_counter() - t0, 3)
+            release_cached()
+            for c in cons:
+                if c not in timings:
+                    continue
+                t0 = time.perf_counter()
+                QUERIES[c](spark, sf_dir, edges=st).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                fam_times[c] = round(time.perf_counter() - t0, 3)
+                release_cached()
+        except Exception as exc:  # noqa: BLE001
+            errors[f"family_floor_{prod}"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
+        finally:
+            if st is not None:
+                st.unpersist()
+            spark.catalog.clearCache()
+            fam_budget -= time.perf_counter() - t_start
+        for m, t in fam_times.items():
+            entry = floors.setdefault(
+                m, {"first": timings[m], "prev_round": prev_queries.get(m)}
+            )
+            entry.setdefault("reruns", []).append(t)
+            entry["floor"] = round(min(timings[m], *entry["reruns"]), 3)
+            entry["family_rerun"] = True
+
     # flagship: the reference's own topology end-to-end (dedup -> 3-way
     # join -> JSON flat-map -> balance agg) over generated NEAR-shaped
     # input scaled to the sf (sf0.1 -> 200k receipts + 5% duplicates)
