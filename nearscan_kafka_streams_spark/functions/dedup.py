@@ -622,6 +622,7 @@ def containment_join(
     broadcast_verify: bool = False,
     bitmap_max_vocab: int = 4096,
     stats_out: dict | None = None,
+    prefix_ext: int | str = "auto",
 ) -> DataFrame:
     """EXACT asymmetric set-CONTAINMENT self-join: pairs where the
     smaller document's n-gram set is mostly inside the larger's,
@@ -646,6 +647,35 @@ def containment_join(
     ``1 + min(|A|-i, |B|-j) >= α`` prunes pre-shuffle.  Prefix grams
     are globally rarest, so the full-side posting lists they probe
     are short by construction.
+
+    ``prefix_ext``: the k-extended prefix scheme, carried over from
+    :func:`jaccard_similarity_join` after the round-10 stress census
+    measured SUPER-LINEAR candidate growth on the synthetic corpus
+    (1,663 -> 222,841 distinct candidates for 10x docs at t=0.9 --
+    the asymmetric predicate has no length-ratio prune, so rare-gram
+    document frequency governs growth).  With k >= 2 the inner side
+    indexes its ``|A| - α + k`` rarest grams and a pair is a
+    candidate only if it collides on >= least(k, α) of them against
+    B's FULL list.  Soundness is the ONE-SIDED pigeonhole: if
+    ``|A ∩ B| >= α`` then for j = 1..min(k, α) the j-th smallest
+    shared gram (global df order) sits within A's first
+    ``|A| - α + j <= |A| - α + k`` grams, and B's side is its full
+    list, so all min(k, α) collisions are observed -- lossless, and
+    property-tested against brute force including tiny-set α < k
+    edges.  The row-level positional cap applies only at k=1
+    (dropping individual collision rows would undercount the k >= 2
+    collision requirement).  ``"auto"`` (the default) estimates the
+    1-prefix candidate mass as ``Σ_g pref_n(g) · df(g)`` -- one
+    aggregate over the prefix index joined to the broadcast df table
+    -- and jumps to k=3 when it exceeds ``max(50_000, 20 · n_docs)``
+    AND the corpus is in the sparse (non-bitmap) vocab regime: on
+    dense corpora every gram is common, the prefix bound is weak at
+    every k, and the positional cap + bitmap verify keep k=1 the
+    cheap plan (measured sf0.1, vocab ~2k: 6.8 s vs 10.1 s), while on
+    sparse corpora the extension retires the quadratic candidate term
+    (measured stress corpus, vocab 595k: 222,841 -> 16,892 distinct
+    candidates for 10x docs at wall parity).  The estimate and
+    decision land in ``stats_out``.
 
     All threshold arithmetic is integer (``threshold`` as p/q), the
     same float-ceil-off-by-one discipline as
@@ -724,42 +754,118 @@ def containment_join(
     )
     if materialize:
         ordered = _persist_tracked(ordered)
-    # inner prefix: plen = sz - ceil(p*sz/q) + 1, integer ceil
-    plen = (
-        F.col("sz")
-        - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
-        + 1
-    )
-    prefixes = ordered.where(F.col("pos") <= plen)
+    par = df.sparkSession.sparkContext.defaultParallelism
 
+    def _plen(k: int) -> F.Column:
+        # inner prefix: plen = sz - α + k with α = ceil(p*sz/q), ceil
+        # done in integers
+        return (
+            F.col("sz")
+            - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
+            + k
+        )
+
+    if prefix_ext == "auto":
+        # vocab-regime gate first (measured, round 10): on DENSE
+        # corpora (small vocab -- the bitmap-verify regime) every gram
+        # is common, the prefix bound is weak at every k, and the
+        # positional cap + bitmap verify make the k=1 plan the cheap
+        # one (sf0.1, vocab ~2k: k=1 7.3 s vs k=3 10.1 s).  The gate
+        # short-circuits BEFORE the estimate aggregate so the dense
+        # path pays zero decision overhead (use_bitmap is already
+        # measured for the verify-representation choice).
+        if use_bitmap:
+            k_ext = 1
+        else:
+            # sparse regime: rare-gram df governs candidate growth and
+            # the k-extension retires the quadratic term (stress
+            # corpus, vocab 595k: candidates 222,841 -> 16,892 for 10x
+            # docs at wall parity).  1-prefix candidate mass: each
+            # prefix posting of gram g can collide with every
+            # full-list posting of g, so Σ pref_n(g) · df(g)
+            # upper-bounds the raw candidates (includes self and
+            # ordering-pruned pairs -- fine for a plan decision).  One
+            # aggregate over the prefix index joined to the broadcast
+            # df table; linear, no pair blow-up.
+            est_row = (
+                ordered.where(F.col("pos") <= _plen(1))
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("_pn"))
+                .join(gdf_b, "g")
+                .agg(F.sum(F.col("_pn") * F.col("df")).alias("m"))
+                .first()
+            )
+            est_collisions = int(est_row["m"] or 0)
+            n_docs = sets.count()
+            k_ext = (
+                3 if est_collisions > max(50_000, 20 * n_docs) else 1
+            )
+            if stats_out is not None:
+                stats_out["est_prefix_collisions"] = est_collisions
+                stats_out["n_docs"] = n_docs
+    else:
+        k_ext = int(prefix_ext)
+    if stats_out is not None:
+        stats_out["prefix_ext"] = k_ext
+
+    prefixes = ordered.where(F.col("pos") <= _plen(k_ext))
     l, r = prefixes.alias("l"), ordered.alias("r")
     lid, rid = f"l.{id_col}", f"r.{id_col}"
-    # positional cap on achievable overlap vs required α = ceil(p*szA/q):
-    # q*(1 + min(szA - i, szB - j)) >= p*szA
-    pos_cap = F.lit(1) + F.least(
-        F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
+    # the inner side is smaller, or equal-sized with the lower id
+    size_order = (F.col("l.sz") < F.col("r.sz")) | (
+        (F.col("l.sz") == F.col("r.sz")) & (F.col(lid) < F.col(rid))
     )
-    cands = (
-        l.join(
-            r,
-            (F.col("l.g") == F.col("r.g"))
-            & (
-                (F.col("l.sz") < F.col("r.sz"))
-                | ((F.col("l.sz") == F.col("r.sz")) & (F.col(lid) < F.col(rid)))
-            )
-            & (F.lit(q) * pos_cap >= F.lit(p) * F.col("l.sz")),
+    if k_ext <= 1:
+        # positional cap on achievable overlap vs required
+        # α = ceil(p*szA/q): q*(1 + min(szA - i, szB - j)) >= p*szA
+        pos_cap = F.lit(1) + F.least(
+            F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
         )
-        .select(F.col(lid).alias("inner_id"), F.col(rid).alias("outer_id"))
-        .distinct()
-        # the verify below is broadcast-join + per-candidate intersect,
-        # so it executes IN the candidates' partitioning -- and AQE
-        # coalesces the distinct's exchange to 1-2 tasks because the
-        # (inner_id, outer_id) pairs are byte-small, starving the
-        # compute-amplifying intersect (round-10 stage census: verify
-        # ran on 2 of 32 cores).  Explicit COUNT repartition pins it;
-        # same adjudication as the exact-Jaccard verify (SCALE.md r9).
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    )
+        cands = (
+            l.join(
+                r,
+                (F.col("l.g") == F.col("r.g"))
+                & size_order
+                & (F.lit(q) * pos_cap >= F.lit(p) * F.col("l.sz")),
+            )
+            .select(F.col(lid).alias("inner_id"), F.col(rid).alias("outer_id"))
+            .distinct()
+            # the verify below is broadcast-join + per-candidate
+            # intersect, so it executes IN the candidates'
+            # partitioning -- and AQE coalesces the distinct's
+            # exchange to 1-2 tasks because the (inner_id, outer_id)
+            # pairs are byte-small, starving the compute-amplifying
+            # intersect (round-10 stage census: verify ran on 2 of 32
+            # cores).  Explicit COUNT repartition pins it; same
+            # adjudication as the exact-Jaccard verify (SCALE.md r9).
+            .repartition(par)
+        )
+    else:
+        # k-extended prefix: count collisions per (inner, outer) pair
+        # against the FULL outer list and require >= least(k, α) with
+        # α = ceil(p*szA/q) in integers.  The positional filter is
+        # row-level and must NOT run here.  The groupBy both counts
+        # and dedups; explicit COUNT repartitions pin the amplifying
+        # collision join against AQE's bytes-based coalescing (the
+        # jaccard k-ext adjudication, SCALE.md r9/r10).
+        l = _persist_tracked(
+            prefixes.repartition(par, "g")
+        ).hint("shuffle_hash").alias("l")
+        alpha = F.floor(
+            (F.lit(p) * F.col("_szi") + F.lit(q - 1)) / F.lit(q)
+        )
+        cands = (
+            l.join(r, (F.col("l.g") == F.col("r.g")) & size_order)
+            .groupBy(
+                F.col(lid).alias("inner_id"),
+                F.col(rid).alias("outer_id"),
+                F.col("l.sz").alias("_szi"),
+            )
+            .agg(F.count(F.lit(1)).alias("_ncoll"))
+            .where(F.col("_ncoll") >= F.least(F.lit(k_ext), alpha))
+            .select("inner_id", "outer_id")
+            .repartition(par)
+        )
 
     # candidate census (same contract as jaccard_similarity_join's
     # stats_out): the super-linear risk under containment is candidate

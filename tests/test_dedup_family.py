@@ -426,6 +426,109 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert jacc == []
 
 
+def test_containment_prefix_ext_exact_vs_bruteforce(spark):
+    """The k-extended prefix scheme carried over to the ASYMMETRIC
+    containment join must stay lossless: requiring >= least(k, alpha)
+    collisions between A's k-extended prefix and B's FULL gram list
+    keeps every true pair (one-sided pigeonhole), including tiny
+    inner sets whose required overlap alpha falls below k.  Checked
+    against python brute force AND the classic k=1 path across
+    thresholds and k values on a corpus mixing quoted-substring pairs
+    (the containment duplicate class), dense random docs, and tiny
+    docs."""
+    import random as _random
+    import re as _re
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        containment_join,
+        release_cached,
+    )
+
+    rng = _random.Random(7)
+    alphabet = "abcdefgh "
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    docs = []
+    for i in range(12):
+        # long hosts sharing a template (quotes of each other's cores)
+        docs.append((i, base * 4 + f"tail{i % 3}"))
+    for i in range(12, 24):
+        # the quoted fragments: near-fully contained in the hosts
+        docs.append((i, base + ("x" if i % 2 else "")))
+    for i in range(24, 44):
+        docs.append(
+            (i, "".join(rng.choice(alphabet) for _ in range(50)))
+        )
+    for i in range(44, 52):
+        # tiny docs: gram sets of size 1-4, alpha can fall below k
+        docs.append((i, "uvwxy"[: 5] + "z" * (i % 4)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def grams(t, n=5):
+        t = _re.sub(r"\s+", " ", t.lower().strip())
+        return {t[i : i + n] for i in range(max(len(t) - (n - 1), 1))}
+
+    gs = {i: {g for g in grams(t) if len(g) == 5} for i, t in docs}
+
+    for thr_n, thr_d in ((4, 5), (9, 10)):
+        want = set()
+        for i, _ in docs:
+            for j, _ in docs:
+                a, b = gs[i], gs[j]
+                if len(a) < 1 or (
+                    (len(a), i) >= (len(b), j)
+                ):
+                    continue
+                inter = len(a & b)
+                if thr_d * inter >= thr_n * len(a):
+                    want.add((i, j, inter, len(a)))
+        for k in (1, 2, 3, "auto"):
+            got = {
+                tuple(r)
+                for r in containment_join(
+                    df,
+                    threshold=thr_n / thr_d,
+                    min_inner_size=1,
+                    prefix_ext=k,
+                ).collect()
+            }
+            release_cached()
+            assert got == want, (thr_n, thr_d, k, want - got, got - want)
+
+
+def test_containment_prefix_ext_auto_records_decision(spark):
+    """auto must record its estimate and decision in stats_out, and
+    the decided plan's output must equal the classic k=1 output."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        containment_join,
+        release_cached,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    quote = "delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(0, long), (1, quote), (2, long + " omega")], ["doc_id", "text"]
+    )
+    stats: dict = {}
+    got = {
+        tuple(r)
+        for r in containment_join(
+            df, threshold=0.9, prefix_ext="auto", stats_out=stats
+        ).collect()
+    }
+    release_cached()
+    classic = {
+        tuple(r)
+        for r in containment_join(df, threshold=0.9, prefix_ext=1).collect()
+    }
+    release_cached()
+    assert got == classic
+    assert stats["prefix_ext"] in (1, 3)
+    # the estimate is only computed in the sparse (non-bitmap) regime
+    # -- the dense gate short-circuits before the aggregate
+    if not stats["use_bitmap"]:
+        assert "est_prefix_collisions" in stats and "n_docs" in stats
+
+
 def test_connected_components_known_graph(spark):
     """Chain, triangle, and isolated pair resolve to min-id labels
     regardless of edge order/partitioning."""
