@@ -1074,7 +1074,11 @@ def winnowed_spans(
     Returns (gram, n_docs, n_occurrences) for spans in >= 2 docs.
     """
     n_grams = f"greatest(length({text_col}) - {k - 1}, 1)"
-    df = df.withColumn(
+    # the per-row winnowing selection (len x window HOF work) executes
+    # in the scan's partitioning, and a bench-scale parquet file
+    # arrives as ONE split -- round-10 stage census measured 5.2 s of
+    # 5.7 s wall on a single task.  _spread is a no-op at scale.
+    df = _spread(df).withColumn(
         "_h",
         F.expr(
             f"transform(sequence(1, {n_grams}),"

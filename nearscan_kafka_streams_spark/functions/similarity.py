@@ -836,6 +836,15 @@ def knn_classify(
     tail is identical.  Output: (query id, own label, predicted label,
     votes, agrees) ordered by id.
     """
+    # the |corpus| x |queries| dot-product fan-out executes IN the
+    # corpus scan's partitioning, and a bench-scale parquet file
+    # arrives as ONE split -- round-10 stage census measured 4.3 s of
+    # 5.3 s wall on a single task.  _spread repartitions only when the
+    # scan is under-parallel (no-op at scale, where the scan yields
+    # many splits).
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
+    corpus = _spread(corpus)
     nn = brute_force_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     )

@@ -24,7 +24,7 @@ def test_front_lanes_lead_the_registry_in_order():
 
 
 def test_round10_front_is_exactly_the_sample_budget():
-    # 11 changed + 32 round-5-green + 7 round-6-green = 50: one driver
+    # 12 changed + 31 round-5-green + 7 round-6-green = 50: one driver
     # sample retires the round-5 backlog entirely, and the oldest
     # driver-green anywhere advances to round 6 (round-9 verdict
     # item 5)
@@ -35,7 +35,7 @@ def test_round10_front_is_exactly_the_sample_budget():
         + list(Q._STALE_R10)
     )
     assert len(front) == 50
-    assert len(Q._STALE_R10) == 39
+    assert len(Q._STALE_R10) == 38
 
 
 def test_changed_lane_is_the_jaccard_family_plus_census_params():
@@ -46,7 +46,7 @@ def test_changed_lane_is_the_jaccard_family_plus_census_params():
     # containment_join / winnowed_spans (executed plan identical when
     # unset, fronted under the "code changed => green history stale"
     # standard); dedup_semantic's verify gained the AQE-starvation
-    # repartition (item 7 census fix)
+    # repartition and knn_classify the corpus _spread (item 7 census fixes)
     assert set(Q._CHANGED_R10) == {
         "dedup_ngram_jaccard",
         "dedup_clusters",
@@ -59,6 +59,7 @@ def test_changed_lane_is_the_jaccard_family_plus_census_params():
         "dedup_ngram_containment",
         "dedup_winnowed_spans",
         "dedup_semantic",
+        "knn_classify_embeddings",
     }
 
 
@@ -78,11 +79,11 @@ def test_driver_budget_arithmetic_documented():
     # steady-state rounds keep new+changed bounded so >= 39 sample
     # slots land on oldest-green re-verifications; round 10's changed
     # lane is exactly the verdict-prescribed jaccard family (8) plus
-    # the two census-param entries and the semantic census fix
+    # the census-param entries and the two census fixes
     n_front = (
         len(Q._REVERIFY_R10) + len(Q._ROUND10_NEW) + len(Q._CHANGED_R10)
     )
-    assert n_front <= 11, (
+    assert n_front <= 12, (
         f"{n_front} new/changed entries would crowd the stale "
         "re-verification batch out of the driver's ~50-row budget"
     )

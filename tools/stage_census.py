@@ -19,6 +19,10 @@ source the judge can cross-check in an event log; no listener wiring.
 
 Usage: python tools/stage_census.py [op ...]
 Ops (default all): jaccard containment winnowed semantic
+Any other name is looked up in the query registry and censused over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), so expensive
+registered queries can be audited directly:
+  python tools/stage_census.py knn_classify_embeddings k_core_peel_users
 """
 
 from __future__ import annotations
@@ -99,6 +103,13 @@ def main() -> None:
         ),
     }
     wanted = sys.argv[1:] or list(ops)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if any(n not in ops for n in wanted):
+        from nearscan_kafka_streams_spark.queries import QUERIES
+
+        for n in wanted:
+            if n not in ops:
+                ops[n] = (lambda q: lambda: QUERIES[q](spark, sf_dir))(n)
 
     for name in wanted:
         thunk = ops[name]
