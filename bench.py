@@ -516,10 +516,13 @@ def main() -> None:
     stress: dict[str, dict] = {}
     stress_diag: dict[str, dict] = {}
     prev_queries: dict[str, float] = {}
+    prev_floors: dict[str, dict] = {}
     try:
         prev_p = os.path.join(repo_dir, f"BENCH_PLANS_r{round_n - 1:02d}.json")
         with open(prev_p) as fh:
-            prev_queries = json.load(fh).get("queries", {})
+            _prev = json.load(fh)
+        prev_queries = _prev.get("queries", {})
+        prev_floors = _prev.get("floors", {})
     except Exception:  # noqa: BLE001
         pass
     force_floor = (
@@ -850,26 +853,33 @@ def main() -> None:
             # (b) a 1x/10x stress pair at FIXED sizes (like the dedup
             # battery) so the side file shows the cost is per-micro-
             # batch state-commit overhead amortizing with volume --
-            # expect a ratio well under 10.
-            runs = []
-            with _shuffle_override(spark, stream_sp):
-                for rep in range(3):
-                    t0 = time.perf_counter()
-                    run_fixture_pipeline(
-                        spark,
-                        f"{stream_root}/fx",
-                        f"{stream_root}/out_floor{rep}",
-                        bridge_batches=4,
-                    ).write.format("noop").mode("overwrite").save()
-                    runs.append(round(time.perf_counter() - t0, 3))
-            floors["near_topology_stream"] = {
-                "first": timings["near_topology_stream"],
-                "prev_round": prev_queries.get("near_topology_stream"),
-                "reruns": runs,
-                "floor": round(
-                    min([timings["near_topology_stream"], *runs]), 3
-                ),
-            }
+            # expect a ratio well under 10.  Once a floor exists in
+            # the prior side file, the ~80 s of solo re-runs only
+            # repeat on a >1.5x regression (the same trigger the
+            # regular floors use) -- the entry stays pinned without
+            # paying the variance-band price every steady round.
+            nt_prev = prev_queries.get("near_topology_stream") or 0.0
+            nt_first = timings["near_topology_stream"]
+            if "near_topology_stream" not in prev_floors or (
+                nt_prev > 0 and nt_first / nt_prev > 1.5
+            ):
+                runs = []
+                with _shuffle_override(spark, stream_sp):
+                    for rep in range(3):
+                        t0 = time.perf_counter()
+                        run_fixture_pipeline(
+                            spark,
+                            f"{stream_root}/fx",
+                            f"{stream_root}/out_floor{rep}",
+                            bridge_batches=4,
+                        ).write.format("noop").mode("overwrite").save()
+                        runs.append(round(time.perf_counter() - t0, 3))
+                floors["near_topology_stream"] = {
+                    "first": nt_first,
+                    "prev_round": nt_prev or None,
+                    "reruns": runs,
+                    "floor": round(min([nt_first, *runs]), 3),
+                }
             st_pair: dict[str, float] = {}
             for leg, n_leg in (("t_1x", 5_000), ("t_10x", 50_000)):
                 lr, lo, la = generate_near_tables(spark, n_leg)
