@@ -314,6 +314,7 @@ def final_line(
     timings: dict[str, float],
     errors: dict[str, str],
     sf: float | str,
+    floor_skips: int = 0,
 ) -> str:
     """The ONE driver-parseable stdout line, built as a pure function so
     tests can pin its size.
@@ -326,17 +327,179 @@ def final_line(
     strings all live in the BENCH_PLANS_r{NN}.json side file; this line
     carries compact totals only and must stay well under 500 bytes.
     """
-    return json.dumps(
-        {
-            "metric": "headline-suite wall time",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "error_count": len(errors),
-        },
-        separators=(",", ":"),
+    line = {
+        "metric": "headline-suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "error_count": len(errors),
+    }
+    # a budget-starved floor pass means some regression adjudications
+    # were SKIPPED -- surface the count on the one driver-visible line
+    # so it's noticed without opening the side file (round-10 verdict
+    # item 6); omitted when zero to keep the line compact
+    if floor_skips:
+        line["floor_skips"] = floor_skips
+    return json.dumps(line, separators=(",", ":"))
+
+
+def build_stress_thunks(spark, n_docs: int, n_vecs: int):
+    """Stress corpus + the ordered ``(name, thunk)`` op table.
+
+    Shared by ``main()``'s ``_stress_ops`` and
+    ``tools/stress_replay.py`` -- the FRESH-JVM arbiter for stress
+    rerun anomalies (round-10 verdict item 3: minhash's in-JVM rerun
+    came back 38.3 s against an 11.7 s first reading; the degraded
+    long-lived-JVM window is a documented failure mode and only a new
+    process measures past it).  ``generate_documents`` /
+    ``generate_embeddings`` are deterministic functions of the row id,
+    so a fresh process rebuilds the byte-identical corpus and the two
+    measurements adjudicate the same computation.
+
+    Returns ``(docs, embs, ops)`` where ops is the list of
+    ``(op_name, thunk)`` pairs in suite order.
+    """
+    from nearscan_kafka_streams_spark.functions.corpus_prep import (
+        pack_sequences,
+        remove_repeated_chunks,
+        shuffle_to_shards,
     )
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        containment_join,
+        jaccard_similarity_join,
+        minhash_lsh_candidates,
+        winnowed_spans,
+    )
+    from nearscan_kafka_streams_spark.functions.similarity import (
+        brute_force_topk_gemm,
+        ivf_topk,
+        semantic_dedup,
+    )
+    from nearscan_kafka_streams_spark.testgen import (
+        generate_documents,
+        generate_embeddings,
+    )
+    from nearscan_kafka_streams_spark.functions.clustering import (
+        kmeans_fit,
+        quantize_vec,
+    )
+    from nearscan_kafka_streams_spark.functions.decontam import (
+        contamination_report,
+    )
+    from nearscan_kafka_streams_spark.functions.graph import pagerank
+    from pyspark.sql import functions as SF
+
+    docs = generate_documents(spark, n_docs)
+    embs = generate_embeddings(spark, n_vecs)
+
+    def _kmeans_thunk():
+        q = embs.select(
+            "vec_id", quantize_vec(SF.col("embedding")).alias("qv")
+        )
+        init = {
+            int(r["vec_id"]): list(r["qv"])
+            for r in q.where(SF.col("vec_id") < 16).collect()
+        }
+        return kmeans_fit(q, init, n_iter=2)[0]
+
+    def _pagerank_thunk():
+        # synthetic ring + hash-skip graph: 2 edges per node, linear in n
+        edges = embs.select(
+            SF.col("vec_id").alias("src"),
+            ((SF.col("vec_id") + 1) % n_vecs).alias("dst"),
+        ).unionByName(
+            embs.select(
+                SF.col("vec_id").alias("src"),
+                ((SF.col("vec_id") * 7 + 3) % n_vecs).alias("dst"),
+            )
+        )
+        return pagerank(edges, n_iter=3)
+
+    ops = [
+        ("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs)),
+        (
+            # exact AllPairs at t=0.9 (the near-dup verify setting)
+            # with prefix_ext="auto": on this bounded-vocab corpus
+            # (19,605 grams at every scale) 1-prefix candidates
+            # grow quadratically while true pairs stay linear, so
+            # auto switches to the k-extended prefix (collision
+            # counting) -- see functions/dedup.py and SCALE.md for
+            # the measured candidate censuses.  Corpus-scale
+            # near-dup at LOW thresholds stays the LSH path above.
+            "dedup_ngram_jaccard",
+            lambda: jaccard_similarity_join(
+                docs,
+                threshold=0.9,
+                broadcast_verify=True,
+                prefix_ext="auto",
+            ),
+        ),
+        (
+            # same params as the registered query (t=0.9, 5-grams)
+            "dedup_ngram_containment",
+            lambda: containment_join(
+                docs, threshold=0.9, broadcast_verify=True
+            ),
+        ),
+        (
+            "dedup_winnowed_spans",
+            lambda: winnowed_spans(docs),
+        ),
+        (
+            "ann_ivf_cosine",
+            lambda: ivf_topk(
+                embs,
+                embs.where(SF.col("vec_id") < 10),
+                k=5,
+                n_clusters=16,
+                n_probe=3,
+            ),
+        ),
+        (
+            # cluster count grows with n (n/256 target cell size --
+            # the auto_signature_bits discipline) so the
+            # within-cluster quadratic term stays bounded
+            "dedup_semantic",
+            lambda: semantic_dedup(
+                embs,
+                embs.where(SF.col("vec_id") < max(n_vecs // 256, 8)).select(
+                    SF.col("vec_id").alias("cid"),
+                    SF.col("embedding").alias("cvec"),
+                ),
+                tau=0.40,
+            ),
+        ),
+        (
+            "ann_bruteforce_gemm",
+            lambda: brute_force_topk_gemm(
+                embs, embs.where(SF.col("vec_id") < 100), k=5
+            ),
+        ),
+        ("kmeans", _kmeans_thunk),
+        ("pagerank", _pagerank_thunk),
+        (
+            # linear-term stats (docs, tokens) come from the untimed
+            # diagnostics pass in main()
+            "pack_training_sequences",
+            lambda: pack_sequences(docs, 2048),
+        ),
+        (
+            "dedup_repeated_chunks",
+            lambda: remove_repeated_chunks(docs, 10),
+        ),
+        ("shuffle_shards", lambda: shuffle_to_shards(docs, 64)),
+        (
+            # eval set fixed-size (50 docs) while train grows: the
+            # production shape -- cost must scale with the TRAIN
+            # explode only (eval grams stay a tiny broadcast)
+            "decontaminate",
+            lambda: contamination_report(
+                docs, docs.where(SF.col("doc_id") < 50)
+            ),
+        ),
+    ]
+    return docs, embs, ops
 
 
 def main() -> None:
@@ -918,56 +1081,16 @@ def main() -> None:
     # line carries only the ratios.
     from nearscan_kafka_streams_spark.functions.corpus_prep import (
         pack_sequences,
-        remove_repeated_chunks,
-        shuffle_to_shards,
     )
     from nearscan_kafka_streams_spark.functions.dedup import (
         containment_join,
         jaccard_similarity_join,
-        minhash_lsh_candidates,
         winnowed_spans,
-    )
-    from nearscan_kafka_streams_spark.functions.similarity import (
-        brute_force_topk_gemm,
-        ivf_topk,
-        semantic_dedup,
-    )
-    from nearscan_kafka_streams_spark.testgen import (
-        generate_documents,
-        generate_embeddings,
-    )
-    from nearscan_kafka_streams_spark.functions.clustering import (
-        kmeans_fit,
-        quantize_vec,
     )
     from nearscan_kafka_streams_spark.functions.decontam import (
         contamination_report,
     )
-    from nearscan_kafka_streams_spark.functions.graph import pagerank
     from pyspark.sql import functions as SF
-
-    def _kmeans_thunk(embs):
-        q = embs.select(
-            "vec_id", quantize_vec(SF.col("embedding")).alias("qv")
-        )
-        init = {
-            int(r["vec_id"]): list(r["qv"])
-            for r in q.where(SF.col("vec_id") < 16).collect()
-        }
-        return kmeans_fit(q, init, n_iter=2)[0]
-
-    def _pagerank_thunk(embs, n_vecs):
-        # synthetic ring + hash-skip graph: 2 edges per node, linear in n
-        edges = embs.select(
-            SF.col("vec_id").alias("src"),
-            ((SF.col("vec_id") + 1) % n_vecs).alias("dst"),
-        ).unionByName(
-            embs.select(
-                SF.col("vec_id").alias("src"),
-                ((SF.col("vec_id") * 7 + 3) % n_vecs).alias("dst"),
-            )
-        )
-        return pagerank(edges, n_iter=3)
 
     # candidate-stage counts per stress scale (the super-linear term in
     # exact set similarity is candidate growth, not verify cost -- make
@@ -981,8 +1104,9 @@ def main() -> None:
         only: set | None = None,
         diag: bool = True,
     ) -> dict[str, float]:
-        docs = generate_documents(spark, n_docs)
-        embs = generate_embeddings(spark, n_vecs)
+        # the corpus and op table live in build_stress_thunks so
+        # tools/stress_replay.py times the SAME thunks in a fresh JVM
+        docs, embs, ops = build_stress_thunks(spark, n_docs, n_vecs)
         out: dict[str, float] = {}
         # linear-term diagnostics are collected in a SEPARATE UNTIMED
         # pass (round-8 ADVICE: stats_out persists+counts inside the
@@ -1045,89 +1169,7 @@ def main() -> None:
                 finally:
                     release_cached()
                     spark.catalog.clearCache()
-        for op_name, thunk in (
-            ("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs)),
-            (
-                # exact AllPairs at t=0.9 (the near-dup verify setting)
-                # with prefix_ext="auto": on this bounded-vocab corpus
-                # (19,605 grams at every scale) 1-prefix candidates
-                # grow quadratically while true pairs stay linear, so
-                # auto switches to the k-extended prefix (collision
-                # counting) -- see functions/dedup.py and SCALE.md for
-                # the measured candidate censuses.  Corpus-scale
-                # near-dup at LOW thresholds stays the LSH path above.
-                "dedup_ngram_jaccard",
-                lambda: jaccard_similarity_join(
-                    docs,
-                    threshold=0.9,
-                    broadcast_verify=True,
-                    prefix_ext="auto",
-                ),
-            ),
-            (
-                # same params as the registered query (t=0.9, 5-grams)
-                "dedup_ngram_containment",
-                lambda: containment_join(
-                    docs, threshold=0.9, broadcast_verify=True
-                ),
-            ),
-            (
-                "dedup_winnowed_spans",
-                lambda: winnowed_spans(docs),
-            ),
-            (
-                "ann_ivf_cosine",
-                lambda: ivf_topk(
-                    embs,
-                    embs.where(SF.col("vec_id") < 10),
-                    k=5,
-                    n_clusters=16,
-                    n_probe=3,
-                ),
-            ),
-            (
-                # cluster count grows with n (n/256 target cell size --
-                # the auto_signature_bits discipline) so the
-                # within-cluster quadratic term stays bounded
-                "dedup_semantic",
-                lambda: semantic_dedup(
-                    embs,
-                    embs.where(SF.col("vec_id") < max(n_vecs // 256, 8)).select(
-                        SF.col("vec_id").alias("cid"),
-                        SF.col("embedding").alias("cvec"),
-                    ),
-                    tau=0.40,
-                ),
-            ),
-            (
-                "ann_bruteforce_gemm",
-                lambda: brute_force_topk_gemm(
-                    embs, embs.where(SF.col("vec_id") < 100), k=5
-                ),
-            ),
-            ("kmeans", lambda: _kmeans_thunk(embs)),
-            ("pagerank", lambda: _pagerank_thunk(embs, n_vecs)),
-            (
-                # linear-term stats (docs, tokens) now come from the
-                # untimed diagnostics pass above
-                "pack_training_sequences",
-                lambda: pack_sequences(docs, 2048),
-            ),
-            (
-                "dedup_repeated_chunks",
-                lambda: remove_repeated_chunks(docs, 10),
-            ),
-            ("shuffle_shards", lambda: shuffle_to_shards(docs, 64)),
-            (
-                # eval set fixed-size (50 docs) while train grows: the
-                # production shape -- cost must scale with the TRAIN
-                # explode only (eval grams stay a tiny broadcast)
-                "decontaminate",
-                lambda: contamination_report(
-                    docs, docs.where(SF.col("doc_id") < 50)
-                ),
-            ),
-        ):
+        for op_name, thunk in ops:
             if only is not None and op_name not in only:
                 continue
             t0 = time.perf_counter()
@@ -1188,6 +1230,46 @@ def main() -> None:
                 "t_10x_rerun": rerun.get(op),
             }
             if rerun.get(op):
+                # an in-JVM rerun that comes back SLOWER than the
+                # first reading is the wrong direction for the
+                # artifact screen (caches released, same data): the
+                # remaining explanation is a degraded long-lived-JVM
+                # window, and only a NEW process measures past it
+                # (round-10 minhash: first 11.66 s, in-JVM rerun
+                # 38.34 s, fresh JVM 10.3 s).  tools/stress_replay.py
+                # rebuilds the deterministic corpus and times the
+                # identical thunk; its reading floors the recorded
+                # figure and is preserved in stress_diag.
+                if rerun[op] > big[op] and rerun_budget > 0:
+                    import subprocess
+
+                    t0 = time.perf_counter()
+                    try:
+                        proc = subprocess.run(
+                            [
+                                sys.executable,
+                                os.path.join(
+                                    repo_dir, "tools", "stress_replay.py"
+                                ),
+                                op,
+                            ],
+                            capture_output=True,
+                            text=True,
+                            timeout=max(rerun_budget, 60),
+                            cwd=repo_dir,
+                        )
+                        fresh = json.loads(
+                            proc.stdout.strip().splitlines()[-1]
+                        )[op]
+                        stress_diag[f"{op}@rerun10x"]["t_10x_fresh"] = fresh
+                        big[op] = min(big[op], fresh)
+                    except Exception as exc:  # noqa: BLE001
+                        stress_diag[f"{op}@rerun10x"]["t_10x_fresh"] = None
+                        errors[f"fresh_replay_{op}"] = (
+                            f"{type(exc).__name__}: {exc}"[:500]
+                        )
+                    finally:
+                        rerun_budget -= time.perf_counter() - t0
                 big[op] = min(big[op], rerun[op])
         # inverted legs (1x slower than 10x) are pure measurement
         # noise; re-measure the 1x leg solo and floor it so the
@@ -1279,7 +1361,8 @@ def main() -> None:
     spark.stop()
     # FINAL stdout line, by itself -- the driver tail-parses stdout
     sys.stdout.flush()
-    print(final_line(timings, errors, sf_val))
+    n_floor_skips = sum(1 for v in floors.values() if "skipped" in v)
+    print(final_line(timings, errors, sf_val, floor_skips=n_floor_skips))
 
 
 if __name__ == "__main__":

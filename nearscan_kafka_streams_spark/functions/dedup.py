@@ -396,28 +396,45 @@ def jaccard_similarity_join(
         )
 
     if prefix_ext == "auto":
-        # the collision mass of the 1-prefix index is sum C(df_pref, 2)
-        # over prefix postings -- the exact raw candidate count BEFORE
-        # the length/positional prunes, computable from one aggregate
-        # over the prefix index (linear, no pair blow-up)
-        ordered = _persist_tracked(ordered)
-        est_row = (
-            _prefixes(1)
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
-            .first()
-        )
-        est_collisions = int(est_row["m"] or 0)
-        n_docs = sets.count()
-        # jump straight to k=3: once collision counting is needed at
-        # all, the marginal prefix gram costs ~8% more collision rows
-        # while thinning candidates by another ~lambda/3 (measured
-        # 3.17M -> 103k at the 50k-doc stress corpus)
-        k_ext = 3 if est_collisions > max(50_000, 20 * n_docs) else 1
-        if stats_out is not None:
-            stats_out["est_prefix_collisions"] = est_collisions
-            stats_out["n_docs"] = n_docs
+        # vocab-regime gate FIRST (ported from containment_join's
+        # auto, round 11): on DENSE corpora (small vocab -- the
+        # bitmap-verify regime) every gram is common, the prefix bound
+        # is weak at every k, and k=1 keeps the positional (PPJoin)
+        # filter, which is exactly where the row-level prune earns its
+        # keep (containment measured k=1 7.3 s vs k=3 10.1 s at sf0.1,
+        # vocab ~2k; jaccard's auto paid the un-gated decision
+        # aggregate there -- 8.2 -> 9.2 s drift, round-10 verdict
+        # item 2).  Short-circuiting BEFORE the estimate means the
+        # dense path pays zero decision overhead (use_bitmap is
+        # already measured for the verify-representation choice).
+        if use_bitmap:
+            k_ext = 1
+        else:
+            # the collision mass of the 1-prefix index is
+            # sum C(df_pref, 2) over prefix postings -- the exact raw
+            # candidate count BEFORE the length/positional prunes,
+            # computable from one aggregate over the prefix index
+            # (linear, no pair blow-up)
+            if materialize:
+                ordered = _persist_tracked(ordered)
+            est_row = (
+                _prefixes(1)
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
+                .first()
+            )
+            est_collisions = int(est_row["m"] or 0)
+            n_docs = sets.count()
+            # jump straight to k=3: once collision counting is needed
+            # at all, the marginal prefix gram costs ~8% more
+            # collision rows while thinning candidates by another
+            # ~lambda/3 (measured 3.17M -> 103k at the 50k-doc stress
+            # corpus)
+            k_ext = 3 if est_collisions > max(50_000, 20 * n_docs) else 1
+            if stats_out is not None:
+                stats_out["est_prefix_collisions"] = est_collisions
+                stats_out["n_docs"] = n_docs
     else:
         k_ext = int(prefix_ext)
     if stats_out is not None:
@@ -473,7 +490,13 @@ def jaccard_similarity_join(
         # docstring); the persisted repartitioned index feeds both
         # join sides from one shuffle.
         par = df.sparkSession.sparkContext.defaultParallelism
-        prefixes = _persist_tracked(prefixes.repartition(par, "g"))
+        prefixes = prefixes.repartition(par, "g")
+        # the repartitioned index feeds BOTH join sides; the persist
+        # (one shuffle instead of two index builds) is gated on the
+        # caller's no-caching contract like sets/ordered (round-10
+        # ADVICE)
+        if materialize:
+            prefixes = _persist_tracked(prefixes)
         l, r = prefixes.hint("shuffle_hash").alias("l"), prefixes.alias("r")
         alpha = F.floor(
             (
@@ -848,9 +871,13 @@ def containment_join(
         # and dedups; explicit COUNT repartitions pin the amplifying
         # collision join against AQE's bytes-based coalescing (the
         # jaccard k-ext adjudication, SCALE.md r9/r10).
-        l = _persist_tracked(
-            prefixes.repartition(par, "g")
-        ).hint("shuffle_hash").alias("l")
+        # prefix persist gated on the caller's no-caching contract
+        # like sets/ordered (round-10 ADVICE); the COUNT repartition
+        # (the parallelism pin) applies either way
+        l = prefixes.repartition(par, "g")
+        if materialize:
+            l = _persist_tracked(l)
+        l = l.hint("shuffle_hash").alias("l")
         alpha = F.floor(
             (F.lit(p) * F.col("_szi") + F.lit(q - 1)) / F.lit(q)
         )
@@ -1024,7 +1051,12 @@ def duplicate_spans(
     output is the duplicated-content vocabulary, usually tiny next to
     the corpus.  Returns (gram, n_docs, n_occurrences).
     """
-    spans = df.select(
+    # the stride-1 explode (~length rows per doc) executes in the
+    # scan's partitioning, and a bench-scale parquet file arrives as
+    # ONE split -- round-10 stage census measured 3.2 s of 3.9 s wall
+    # on a single task.  _spread is a no-op at scale (same
+    # adjudication as winnowed_spans / knn_classify, SCALE.md r10).
+    spans = _spread(df).select(
         F.col(id_col),
         F.explode(
             F.expr(

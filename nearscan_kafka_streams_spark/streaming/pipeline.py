@@ -342,9 +342,16 @@ def _committed_bridge_files(spark: SparkSession, dir_path: str) -> int | None:
             bid < floor_id or (bid == floor_id and not is_compact)
         ):
             continue
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            fs.open(path), "UTF-8"
-        )
+        # commons-io toString does NOT close its argument -- close the
+        # FSDataInputStream explicitly or every metadata-log read leaks
+        # one driver-side handle (round-10 ADVICE)
+        stream = fs.open(path)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
         for line in text.splitlines():
             line = line.strip()
             if not line.startswith("{"):

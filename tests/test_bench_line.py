@@ -54,6 +54,19 @@ def test_final_line_zero_queries_still_parses():
     assert parsed["value"] == 0 and parsed["n_queries"] == 0
 
 
+def test_final_line_floor_skips_surface_only_when_nonzero():
+    # a budget-starved floor pass must be visible on the driver line;
+    # the normal (zero-skip) line stays byte-identical to before
+    assert "floor_skips" not in json.loads(final_line({}, {}, 0.1))
+    parsed = json.loads(final_line({}, {}, 0.1, floor_skips=3))
+    assert parsed["floor_skips"] == 3
+    # worst case still fits the driver's tail window
+    timings = {f"extra_query_with_a_long_name_{i:03d}": 9.99 for i in range(135)}
+    errors = {f"err_query_{i}": "SomeException: boom" for i in range(20)}
+    line = final_line(timings, errors, 0.1, floor_skips=12)
+    assert len(line.encode()) < 500
+
+
 def test_every_headline_entry_is_registered():
     from nearscan_kafka_streams_spark.queries import QUERIES
 

@@ -298,8 +298,11 @@ def test_jaccard_prefix_ext_exact_vs_bruteforce(spark):
 
 
 def test_jaccard_prefix_ext_auto_records_decision(spark):
-    """auto mode must record its density estimate and chosen k in
-    stats_out and still match the k=1 result set."""
+    """auto mode must record its decision in stats_out and still match
+    the k=1 result set.  Dense (bitmap-regime) corpora short-circuit
+    to k=1 BEFORE the collision-mass aggregate (the containment gate,
+    ported round 11), so the estimate keys appear only in the sparse
+    regime."""
     from nearscan_kafka_streams_spark.functions.dedup import (
         jaccard_similarity_join,
         release_cached,
@@ -321,10 +324,58 @@ def test_jaccard_prefix_ext_auto_records_decision(spark):
     }
     release_cached()
     assert got == plain
-    assert stats["prefix_ext"] in (1, 2)
-    assert stats["est_prefix_collisions"] >= 0
-    assert stats["n_docs"] == 20
+    assert stats["prefix_ext"] in (1, 2, 3)
+    if stats["use_bitmap"]:
+        # dense regime: the gate picks k=1 with zero decision overhead
+        assert stats["prefix_ext"] == 1
+        assert "est_prefix_collisions" not in stats
+    else:
+        assert stats["est_prefix_collisions"] >= 0
+        assert stats["n_docs"] == 20
     assert stats["n_candidates_raw"] >= stats["n_candidates_distinct"]
+
+
+def test_jaccard_auto_dense_gate_short_circuits(spark):
+    """A corpus under the bitmap vocab cap must take the k=1 path via
+    the regime gate (no estimate aggregate), and a sparse corpus
+    (vocab forced tiny-cap off) must still compute the estimate --
+    both matching the explicit k=1 output (round-10 verdict item 2)."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        jaccard_similarity_join,
+        release_cached,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = [(i, base + f" tail-{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    dense_stats: dict = {}
+    dense = {
+        tuple(r)
+        for r in jaccard_similarity_join(
+            df, threshold=0.8, prefix_ext="auto", stats_out=dense_stats
+        ).collect()
+    }
+    release_cached()
+    assert dense_stats["use_bitmap"] is True
+    assert dense_stats["prefix_ext"] == 1
+    assert "est_prefix_collisions" not in dense_stats
+    # forcing the bitmap cap to 0 puts the same corpus in the sparse
+    # regime: the estimate must run and the output must be identical
+    sparse_stats: dict = {}
+    sparse = {
+        tuple(r)
+        for r in jaccard_similarity_join(
+            df,
+            threshold=0.8,
+            prefix_ext="auto",
+            bitmap_max_vocab=0,
+            stats_out=sparse_stats,
+        ).collect()
+    }
+    release_cached()
+    assert sparse_stats["use_bitmap"] is False
+    assert "est_prefix_collisions" in sparse_stats
+    assert sparse == dense
 
 
 def test_containment_join_exact_vs_bruteforce(spark):
@@ -493,6 +544,46 @@ def test_containment_prefix_ext_exact_vs_bruteforce(spark):
             }
             release_cached()
             assert got == want, (thr_n, thr_d, k, want - got, got - want)
+
+
+def test_materialize_false_takes_no_cache_ownership(spark):
+    """materialize=False is a no-caching contract: neither the jaccard
+    nor the containment join may take ownership of a cache entry on
+    ANY prefix_ext path when the caller opted out (round-10 ADVICE:
+    the k>=2 prefix persist ignored the flag).  stats_out is the one
+    documented exception (persist+count observability), so it stays
+    None here."""
+    from nearscan_kafka_streams_spark.functions import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = [(i, base + f" tail-{i % 5}") for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for thunk in (
+        lambda: D.jaccard_similarity_join(
+            df, threshold=0.8, materialize=False, prefix_ext=3
+        ),
+        lambda: D.jaccard_similarity_join(
+            df,
+            threshold=0.8,
+            materialize=False,
+            prefix_ext="auto",
+            bitmap_max_vocab=0,
+        ),
+        lambda: D.containment_join(
+            df, threshold=0.9, materialize=False, prefix_ext=3
+        ),
+        lambda: D.containment_join(
+            df,
+            threshold=0.9,
+            materialize=False,
+            prefix_ext="auto",
+            bitmap_max_vocab=0,
+        ),
+    ):
+        before = len(D._CACHED)
+        thunk().collect()
+        assert len(D._CACHED) == before
+        D.release_cached()
 
 
 def test_containment_prefix_ext_auto_records_decision(spark):

@@ -88,3 +88,31 @@ def test_overflow_amount_dropped_but_observed(spark):
     assert m["overflow_dropped_legs"] == 1
     assert m["dropped_legs"] >= 1
     assert m["exploded_legs"] > m["dropped_legs"]
+
+
+def test_ft_transfer_call_emits_zero_legs_reference_parity(spark):
+    """ft_transfer_call -> ZERO legs, by reference parity: the
+    reference's handler is COMMENTED OUT (TokenBalance.java:222-238),
+    so a well-formed, successful ft_transfer_call to the token
+    contract must contribute no transfer rows and no balance effect.
+
+    The control leg proves the zero comes from the method dispatch
+    (transfer_legs_expr's otherwise-empty CASE arm), not an upstream
+    filter: the SAME receipt with method_name swapped to ft_transfer
+    and identical args emits the usual 2 legs (r10 verdict item 7)."""
+    r, o, a, _ = to_dataframes(spark)
+    call_args = {"receiver_id": "bob.near", "amount": "777", "msg": ""}
+    a2 = _with_args(
+        spark, a, "r2",
+        json.dumps({"method_name": "ft_transfer_call",
+                    "args_json": call_args}),
+    )
+    out = run_batch(r, o, a2)
+    assert out.transfers.where("receipt_id = 'r2'").count() == 0
+    # control: identical receipt/outcome/args, handled method -> 2 legs
+    a3 = _with_args(
+        spark, a, "r2",
+        json.dumps({"method_name": "ft_transfer", "args_json": call_args}),
+    )
+    out2 = run_batch(r, o, a3)
+    assert out2.transfers.where("receipt_id = 'r2'").count() == 2
