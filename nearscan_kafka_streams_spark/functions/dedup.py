@@ -450,6 +450,20 @@ def jaccard_similarity_join(
         >= F.lit(p) * F.greatest(F.col("l.sz"), F.col("r.sz"))
     )
     if k_ext <= 1:
+        # the prefix self-join is COMPUTE-AMPLIFYING (a byte-small
+        # posting index fans out to millions of collision rows), so
+        # AQE's bytes-based coalescing funnels it onto a handful of
+        # tasks (round-11 census: 13.9 s of collision work on 5 of 32
+        # cores at sf0.1 once the dense-vocab gate restored this
+        # path).  Same pin as the k>=2 branch: explicit COUNT
+        # repartition on the join key feeding both sides from one
+        # shuffle, persist gated on the caller's no-caching contract.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        pinned = prefixes.repartition(par, "g")
+        if materialize:
+            pinned = _persist_tracked(pinned)
+        l = pinned.hint("shuffle_hash").alias("l")
+        r = pinned.alias("r")
         # required overlap for J >= p/q: alpha = ceil(p*(sx+sy)/(p+q));
         # positional cap: 1 + min(sx - i, sy - j) >= alpha, integer form
         pos_cap = F.lit(1) + F.least(
@@ -475,7 +489,16 @@ def jaccard_similarity_join(
             stats_out["use_bitmap"] = use_bitmap
             raw_cands = _persist_tracked(raw_cands)
             stats_out["n_candidates_raw"] = raw_cands.count()
-        cands = raw_cands.distinct()
+        # the verify below is broadcast-join + per-pair intersect, so
+        # it executes IN the candidates' partitioning -- and AQE
+        # coalesces the distinct's exchange to a handful of tasks
+        # because the (left_id, right_id) pairs are byte-small,
+        # starving the compute-amplifying verify (round-11 census:
+        # 15.2 s of bitmap ANDs on 5 of 32 cores once the dense-vocab
+        # gate restored this path at sf0.1).  Explicit COUNT
+        # repartition pins it; same adjudication as containment's k=1
+        # path (round 10) and the k>=2 paths (round 9).
+        cands = raw_cands.distinct().repartition(par)
         if stats_out is not None:
             cands = _persist_tracked(cands)
             stats_out["n_candidates_distinct"] = cands.count()
