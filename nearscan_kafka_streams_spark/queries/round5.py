@@ -197,10 +197,11 @@ def triangle_count_users(
 
     Scale shape: co-occurrence pairs are generated per bucket
     (bounded fan-out per (type,hour) group, never a global cross
-    join); the triangle join chains the deduped edge list against
-    itself twice on single-key equi-joins.  Edge lists are orders of
-    magnitude smaller than the event log, and the oriented u<v<w
-    form counts each triangle exactly once with no post-dedup.
+    join); triangles are counted by adjacency intersection over the
+    deduped edge list (see the inline note below -- never a wedge
+    materialization).  Edge lists are orders of magnitude smaller
+    than the event log, and the oriented u<v<w form counts each
+    triangle exactly once with no post-dedup.
 
     Blow-up guard (the self-join is quadratic IN BUCKET MEMBERSHIP):
     buckets with more than ``bucket_cap`` distinct users are dropped
@@ -217,10 +218,37 @@ def triangle_count_users(
     recomputes (driver isolation)."""
     if edges is None:
         edges = _co_event_edges(spark, sf_dir)
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # Adjacency-intersection instead of the wedge double self-join
+    # (round 11): per oriented edge (u,v), triangles through it with
+    # apex w > v are |N+(u) ∩ N+(v)| -- each u<v<w triangle counted
+    # exactly once at its (u,v) base.  The wedge join materializes
+    # every OPEN 2-path through a shuffle before the closure check
+    # (67.1M wedge rows for 24.6M triangles / 384k edges at sf0.1,
+    # 148.5 s of executor time in one stage -- stage census); the
+    # adjacency form shuffles only the edge list and one O(m)
+    # neighbor-array frame, and the intersection is a JVM-side
+    # linear-probe per edge.  Measured 5.05 -> 1.56 s on staged
+    # edges, identical counts.  Out-neighbor arrays are O(deg) per
+    # node -- the same worst case the wedge join pays QUADRATICALLY
+    # on hub nodes; for heavy-tailed graphs at 100 TB the next step
+    # is degree-ordered orientation (bounds out-degree by O(sqrt m)),
+    # measured here as a 6.5x LOSS on this near-regular graph (avg
+    # degree 512, max 804 -- reorientation joins cost more than the
+    # 13% wedge reduction buys), so id-orientation stays the default.
+    adj = edges.groupBy(F.col("u").alias("x")).agg(
+        F.collect_list("v").alias("nbrs")
+    )
+    common = (
+        edges.join(
+            adj.select(F.col("x").alias("u"), F.col("nbrs").alias("nu")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("x").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+        )
+        .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
+    )
     nodes = edges.select(F.col("u").alias("x")).unionAll(
         edges.select(F.col("v").alias("x"))
     )
@@ -232,7 +260,11 @@ def triangle_count_users(
             )
         )
         .crossJoin(
-            tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            common.agg(
+                F.coalesce(F.sum("k"), F.lit(0))
+                .cast("long")
+                .alias("n_triangles")
+            )
         )
         .select("n_nodes", "n_edges", "n_triangles")
     )

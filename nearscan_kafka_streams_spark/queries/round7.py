@@ -1032,9 +1032,10 @@ def clustering_coefficient_users(
 
     Scale: degree = one aggregate over the (already persisted,
     capped) edge list's two node projections; per-node triangles =
-    the oriented triangle join re-projected to its three corners --
-    all equi-joins on node ids, sized by the edge list, never the
-    event log."""
+    per-edge common-neighbor intersection re-projected to base
+    endpoints and apexes (see inline note) -- all equi-joins on node
+    ids, sized by the edge list, never the event log or the open
+    wedge set."""
     from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
 
     if edges is None:
@@ -1045,19 +1046,42 @@ def clustering_coefficient_users(
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    # the triangle frame feeds THREE corner projections below;
-    # unpersisted, Catalyst re-plans (and re-runs) the double self-join
-    # per projection -- measured 16.4 s vs ~8 s at sf0.1
-    tri = _persist_tracked(e1.join(e2, "b").join(e3, ["a", "c"]))
+    # Adjacency-intersection instead of the wedge double self-join
+    # (round 11, same change as triangle_count_users): per oriented
+    # edge (u,v) the apexes are N+(u) ∩ N+(v), so each u<v<w
+    # triangle contributes |common| to BOTH base endpoints and 1 to
+    # each apex -- identical per-node counts to the old three-corner
+    # projection of the materialized triangle frame, without pushing
+    # 67M open wedges through a shuffle (measured 7.29 -> 2.28 s on
+    # staged edges at sf0.1, rows identical).  The common-neighbor
+    # frame feeds THREE projections below; unpersisted, Catalyst
+    # re-runs the intersection join per projection (same lesson as
+    # the old tri persist: 16.4 s vs ~8 s at sf0.1).
+    adj = edges.groupBy(F.col("u").alias("x")).agg(
+        F.collect_list("v").alias("nbrs")
+    )
+    wk = _persist_tracked(
+        edges.join(
+            adj.select(F.col("x").alias("u"), F.col("nbrs").alias("nu")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("x").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+        )
+        .select("u", "v", F.array_intersect("nu", "nv").alias("common"))
+        .withColumn("k", F.size("common"))
+    )
     tri_nodes = (
-        tri.select(F.col("a").alias("x"))
-        .unionAll(tri.select(F.col("b").alias("x")))
-        .unionAll(tri.select(F.col("c").alias("x")))
+        wk.select(F.col("u").alias("x"), F.col("k").alias("c"))
+        .unionAll(wk.select(F.col("v").alias("x"), F.col("k").alias("c")))
+        .unionAll(
+            wk.select(
+                F.explode("common").alias("x"), F.lit(1).alias("c")
+            )
+        )
         .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .agg(F.sum("c").alias("n_tri"))
     )
     return (
         deg.join(tri_nodes, "x", "left")

@@ -24,10 +24,11 @@ def test_front_lanes_lead_the_registry_in_order():
 
 
 def test_round11_front_is_exactly_the_sample_budget():
-    # 10 changed + 32 round-6-green + 8 round-7-green = 50: one driver
+    # 12 changed + 32 round-6-green + 6 round-7-green = 50: one driver
     # sample retires the round-6 backlog entirely, and the oldest
     # driver-green anywhere advances to round 7 (round-10 verdict
-    # item 4)
+    # item 4; the triangle/cc re-plan later the same round takes the
+    # last two round-7-head slots)
     front = (
         list(Q._REVERIFY_R11)
         + list(Q._ROUND11_NEW)
@@ -35,7 +36,7 @@ def test_round11_front_is_exactly_the_sample_budget():
         + list(Q._STALE_R11)
     )
     assert len(front) == 50
-    assert len(Q._STALE_R11) == 40
+    assert len(Q._STALE_R11) == 38
 
 
 def test_changed_lane_is_spans_spread_plus_jaccard_gate():
@@ -46,7 +47,10 @@ def test_changed_lane_is_spans_spread_plus_jaccard_gate():
     # corpus_clean_pipeline; round-10 ADVICE: containment's k>=2
     # prefix persist gated on materialize -> dedup_ngram_containment
     # (identical executed plan for the registered call, fronted under
-    # the "code changed => green history stale" standard)
+    # the "code changed => green history stale" standard); round-11
+    # addition: triangle census + clustering coefficient re-planned
+    # from the wedge double self-join to adjacency intersection
+    # (outputs identical, SCALE.md round-11 wave)
     assert set(Q._CHANGED_R11) == {
         "dedup_substring_spans",
         "dedup_ngram_jaccard",
@@ -58,6 +62,8 @@ def test_changed_lane_is_spans_spread_plus_jaccard_gate():
         "dedup_cluster_source_span",
         "corpus_clean_pipeline",
         "dedup_ngram_containment",
+        "triangle_count_users",
+        "clustering_coefficient_users",
     }
 
 
