@@ -388,6 +388,10 @@ def build_stress_thunks(spark, n_docs: int, n_vecs: int):
         contamination_report,
     )
     from nearscan_kafka_streams_spark.functions.graph import pagerank
+    from nearscan_kafka_streams_spark.queries import (
+        clustering_coefficient_users,
+        triangle_count_users,
+    )
     from pyspark.sql import functions as SF
 
     docs = generate_documents(spark, n_docs)
@@ -402,6 +406,18 @@ def build_stress_thunks(spark, n_docs: int, n_vecs: int):
             for r in q.where(SF.col("vec_id") < 16).collect()
         }
         return kmeans_fit(q, init, n_iter=2)[0]
+
+    def _graph_edges():
+        # u < v and distinct by construction (v = u + j, 1 <= j <= 64,
+        # unique (u, j) per row); edges leaving the id range dropped,
+        # a constant 2080-edge deficit at any n
+        r = spark.range(n_docs * 64)
+        u = SF.expr("id div 64")
+        j = (SF.col("id") % 64) + 1
+        return (
+            r.select(u.alias("u"), (u + j).alias("v"))
+            .where(SF.col("v") < n_docs)
+        )
 
     def _pagerank_thunk():
         # synthetic ring + hash-skip graph: 2 edges per node, linear in n
@@ -487,6 +503,26 @@ def build_stress_thunks(spark, n_docs: int, n_vecs: int):
         (
             "dedup_repeated_chunks",
             lambda: remove_repeated_chunks(docs, 10),
+        ),
+        (
+            # graph family over a deterministic near-regular graph:
+            # node i links to i+1..i+64 (in-range only), so
+            # n_nodes = n_docs and n_edges = 64*n_docs - 2080 -- BOTH
+            # data terms exactly x10 across the legs at constant
+            # degree, the regime the adjacency-intersection re-plan
+            # (round 11) is linear in: shuffled frames are the edge
+            # list and one O(m) neighbor-array frame, per-edge
+            # intersect work is O(degree) = constant
+            "triangle_count",
+            lambda: triangle_count_users(
+                spark, None, edges=_graph_edges()
+            ),
+        ),
+        (
+            "clustering_coefficient",
+            lambda: clustering_coefficient_users(
+                spark, None, edges=_graph_edges()
+            ),
         ),
         ("shuffle_shards", lambda: shuffle_to_shards(docs, 64)),
         (
