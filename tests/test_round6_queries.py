@@ -94,6 +94,37 @@ def test_triangle_count_matches_python_recompute(spark, sf_dir):
     )
 
 
+def test_triangle_count_stress_graph_matches_bruteforce(spark):
+    # the bench stress leg's synthetic near-regular graph (bench.py
+    # build_stress_thunks::_graph_edges at d=64): node i -> i+1..i+64
+    # in-range.  Pins the adjacency-intersection formulation (and the
+    # stress leg's data terms) against a pure-Python recompute on a
+    # 200-node instance
+    n, d = 200, 64
+    edges_py = {
+        (i, i + j) for i in range(n) for j in range(1, d + 1) if i + j < n
+    }
+    adj = defaultdict(set)
+    for u, v in edges_py:
+        adj[u].add(v)
+    tris = sum(1 for u, v in edges_py for w in adj[v] if w in adj[u])
+    edges_df = (
+        spark.range(n * d)
+        .select(
+            F.expr(f"id div {d}").alias("u"),
+            (F.expr(f"id div {d}") + (F.col("id") % d) + 1).alias("v"),
+        )
+        .where(F.col("v") < n)
+    )
+    row = triangle_count_users(spark, None, edges=edges_df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (
+        n,
+        len(edges_py),
+        tris,
+    )
+    assert len(edges_py) == d * n - d * (d + 1) // 2
+
+
 def test_triangle_bucket_cap_drops_flash_crowd(spark, tmp_path):
     # 1100 users in ONE (type, hour) bucket exceed bucket_cap=1000: with
     # the guard the pair stage emits nothing; without it, ~600k pairs
