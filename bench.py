@@ -1226,8 +1226,14 @@ def main() -> None:
         # recorded kmeans t_1x 14.4 s > t_10x 8.1 s (an inverted,
         # information-free ratio) because the 1x leg ate cold-start
         _stress_ops(500, 256, diag=False)
-        small = _stress_ops(5_000, 2_000)
-        big = _stress_ops(50_000, 20_000)
+        # the two stress scales; the fresh-JVM replay below passes
+        # these to tools/stress_replay.py explicitly so a future
+        # re-scale cannot silently leave the subprocess measuring a
+        # DIFFERENT corpus and flooring a real regression with it
+        SMALL_DOCS, SMALL_VECS = 5_000, 2_000
+        BIG_DOCS, BIG_VECS = 50_000, 20_000
+        small = _stress_ops(SMALL_DOCS, SMALL_VECS)
+        big = _stress_ops(BIG_DOCS, BIG_VECS)
         # Artifact screen: a 10x/1x ratio > 5 in this long-lived JVM is
         # as often GC / run-order state as real super-linearity (band-
         # bucket census: minhash candidate pairs grow ~linearly 25k ->
@@ -1259,7 +1265,7 @@ def main() -> None:
                 }
                 continue
             t0 = time.perf_counter()
-            rerun = _stress_ops(50_000, 20_000, only={op})
+            rerun = _stress_ops(BIG_DOCS, BIG_VECS, only={op})
             rerun_budget -= time.perf_counter() - t0
             stress_diag[f"{op}@rerun10x"] = {
                 "t_10x_first": big[op],
@@ -1287,6 +1293,10 @@ def main() -> None:
                                 os.path.join(
                                     repo_dir, "tools", "stress_replay.py"
                                 ),
+                                "--n-docs",
+                                str(BIG_DOCS),
+                                "--n-vecs",
+                                str(BIG_VECS),
                                 op,
                             ],
                             capture_output=True,
@@ -1328,7 +1338,7 @@ def main() -> None:
                 }
                 continue
             t0 = time.perf_counter()
-            rerun = _stress_ops(5_000, 2_000, only={op})
+            rerun = _stress_ops(SMALL_DOCS, SMALL_VECS, only={op})
             rerun_budget -= time.perf_counter() - t0
             stress_diag[f"{op}@rerun1x"] = {
                 "t_1x_first": small[op],
@@ -1397,7 +1407,17 @@ def main() -> None:
     spark.stop()
     # FINAL stdout line, by itself -- the driver tail-parses stdout
     sys.stdout.flush()
-    n_floor_skips = sum(1 for v in floors.values() if "skipped" in v)
+    # count BOTH budget-starved adjudication kinds: floor-pass skips
+    # (floors) and stress rerun-screen skips (stress_diag "skipped"
+    # entries) -- either means a regression reading stands
+    # unadjudicated, and the side file should be opened
+    n_floor_skips = sum(
+        1 for v in floors.values() if "skipped" in v
+    ) + sum(
+        1
+        for v in stress_diag.values()
+        if isinstance(v, dict) and "skipped" in v
+    )
     print(final_line(timings, errors, sf_val, floor_skips=n_floor_skips))
 
 

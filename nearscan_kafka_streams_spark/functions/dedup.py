@@ -441,7 +441,8 @@ def jaccard_similarity_join(
         stats_out["prefix_ext"] = k_ext
 
     prefixes = _prefixes(k_ext)
-    l, r = prefixes.alias("l"), prefixes.alias("r")
+    # both branches below bind l/r from a repartition-pinned index --
+    # never from the raw prefixes frame
     lid, rid = f"l.{id_col}", f"r.{id_col}"
     # pair-level length prune (any true pair satisfies it, so it is
     # safe for BOTH the k=1 row path and the k>=2 counting path)

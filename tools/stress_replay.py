@@ -58,6 +58,13 @@ def main() -> int:
     # tiny untimed warm pass per op (bench discipline: codegen
     # compilation / Python-worker spin-up out of the timed reading)
     _, _, warm_ops = build_stress_thunks(spark, 500, 256)
+    # reject unknown names BEFORE the warm/timed passes: exiting after
+    # minutes of measurement would discard every completed reading
+    # (the thunk table is only knowable with a live session, so this
+    # is the earliest the check can run)
+    missing = wanted - {name for name, _ in warm_ops}
+    if missing:
+        sys.exit(f"unknown op(s): {sorted(missing)}")
     for name, thunk in warm_ops:
         if name in wanted:
             thunk().write.format("noop").mode("overwrite").save()
@@ -76,9 +83,6 @@ def main() -> int:
             spark.catalog.clearCache()
         out[name] = min(runs)
         all_reps[name] = runs
-    missing = wanted - set(out)
-    if missing:
-        sys.exit(f"unknown op(s): {sorted(missing)}")
     out["_reps"] = all_reps
     spark.stop()
     sys.stdout.flush()
