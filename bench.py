@@ -64,6 +64,12 @@ HEADLINE = [
     "ann_pq_cosine",
     "dedup_exact_documents",
     "dedup_winnowed_spans",
+    # round-12: the substring-span census (duplicate_spans) gained
+    # _spread in round 11 (census-verified 3.9 -> 1.0 s) but had no
+    # suite line, so a regression would have been invisible to the
+    # auto-floor mechanism protecting every other hot op (round-11
+    # verdict item 4)
+    "dedup_substring_spans",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     # staged-edge consumers: MUST follow dedup_ngram_jaccard directly
@@ -344,6 +350,44 @@ def final_line(
     return json.dumps(line, separators=(",", ":"))
 
 
+def hub_graph_edges(spark, n: int):
+    """Deterministic HEAVY-TAILED stress graph on ``n`` nodes (pure
+    function of the row id, so a fresh JVM rebuilds it byte-identically
+    -- the stress-replay contract).
+
+    Edges, canonical u < v and distinct by construction:
+      - chain: (i, i+1) for i in 0..n-2 -- n-1 edges, keeps the graph
+        connected and supplies triangle closure;
+      - hub: (2^floor(log2 i), i) for i in 2..n-1, skipping i a power
+        of two (self-loop) and i = 2^k + 1 (duplicate of the chain
+        edge) -- every node links DOWN to its id's leading power of
+        two, so hub 2^k collects ~2^k incident edges and max degree
+        grows ~n/4 with n while total edges stay ~2n (linear).
+
+    floor(log2 i) is computed integer-exactly as length(bin(i)) - 1
+    (no float pow/log near power-of-two boundaries).  Chain edges
+    whose endpoints share a hub close triangles, so the triangle count
+    is ~n (linear) while the DEGREE distribution is the power-law tail
+    the adjacency-intersection plans' orientation gate exists for: at
+    id-orientation a degree-D hub replicates its D-element adjacency
+    array onto D join rows (O(D^2) shuffled bytes, super-linear in n);
+    degree-ordered orientation bounds every out-neighbor array by
+    O(sqrt(2m)) (round-12 seam execution, SCALE.md)."""
+    from pyspark.sql import functions as SF
+
+    r = spark.range(n)
+    chain = r.where(SF.col("id") < n - 1).select(
+        SF.col("id").alias("u"), (SF.col("id") + 1).alias("v")
+    )
+    hub = SF.expr("shiftleft(1L, cast(length(bin(id)) as int) - 1)")
+    hubs = (
+        r.where(SF.col("id") >= 2)
+        .select(hub.alias("u"), SF.col("id").alias("v"))
+        .where((SF.col("u") != SF.col("v")) & (SF.col("u") != SF.col("v") - 1))
+    )
+    return chain.unionAll(hubs)
+
+
 def build_stress_thunks(spark, n_docs: int, n_vecs: int):
     """Stress corpus + the ordered ``(name, thunk)`` op table.
 
@@ -522,6 +566,20 @@ def build_stress_thunks(spark, n_docs: int, n_vecs: int):
             "clustering_coefficient",
             lambda: clustering_coefficient_users(
                 spark, None, edges=_graph_edges()
+            ),
+        ),
+        (
+            # the heavy-tail counterpart of the near-regular graph
+            # family above: power-law hub graph (max degree ~n/4,
+            # edges ~2n -- hub_graph_edges docstring).  orientation=
+            # "auto" must route this input to degree-ordering (the
+            # round-12 seam: id-orientation shuffles O(dmax^2) bytes
+            # per hub, measured super-linear; SCALE.md adjudication)
+            # -- the stress ratio here pins that the GATED plan stays
+            # linear when max degree grows 8.4x across the 10x legs
+            "triangle_hub",
+            lambda: triangle_count_users(
+                spark, None, edges=hub_graph_edges(spark, n_docs)
             ),
         ),
         ("shuffle_shards", lambda: shuffle_to_shards(docs, 64)),
@@ -1285,6 +1343,32 @@ def main() -> None:
                 if rerun[op] > big[op] and rerun_budget > 0:
                     import subprocess
 
+                    # The replay runs CONCURRENTLY with this (idle but
+                    # heap-resident) bench JVM, so a full-size 48g
+                    # child can push the host into memory contention
+                    # and return a reading WORSE than either in-JVM
+                    # figure -- exactly what the r11 jaccard firing
+                    # recorded (first 22.9 / rerun 29.5 / fresh
+                    # 61.2 s; solo replay of the same thunk: in the
+                    # in-JVM band -- SCALE.md round-12 adjudication).
+                    # Cap the child's driver heap to what the host can
+                    # actually grant alongside the parent (MemAvailable
+                    # minus 16 GiB headroom for the child's Python
+                    # workers + page cache, floored at 12g), and
+                    # record the cap so the reading's conditions are
+                    # auditable.
+                    replay_mem_g = 24
+                    try:
+                        with open("/proc/meminfo") as mfh:
+                            for ln in mfh:
+                                if ln.startswith("MemAvailable:"):
+                                    avail_g = int(ln.split()[1]) // (1 << 20)
+                                    replay_mem_g = max(
+                                        12, min(48, avail_g - 16)
+                                    )
+                                    break
+                    except Exception:  # noqa: BLE001
+                        pass
                     t0 = time.perf_counter()
                     try:
                         proc = subprocess.run(
@@ -1303,11 +1387,38 @@ def main() -> None:
                             text=True,
                             timeout=max(rerun_budget, 60),
                             cwd=repo_dir,
+                            env={
+                                **os.environ,
+                                "SPARK_DRIVER_MEM": f"{replay_mem_g}g",
+                            },
                         )
                         fresh = json.loads(
                             proc.stdout.strip().splitlines()[-1]
                         )[op]
-                        stress_diag[f"{op}@rerun10x"]["t_10x_fresh"] = fresh
+                        diag = stress_diag[f"{op}@rerun10x"]
+                        diag["t_10x_fresh"] = fresh
+                        diag["replay_mem_g"] = replay_mem_g
+                        # Adjudicate the three-way reading IN the
+                        # artifact (round-11 verdict item 1: the
+                        # arbiter's first live firing recorded
+                        # fresh > first with no verdict and min()
+                        # silently kept the first reading):
+                        #   - fresh below both in-JVM readings: the
+                        #     slow pair was a degraded-JVM artifact
+                        #     (the r10 minhash case the arbiter was
+                        #     built for); fresh floors the figure.
+                        #   - fresh ABOVE both: the replay itself ran
+                        #     degraded (host contention with the
+                        #     resident parent); the in-JVM minimum
+                        #     stands and the disagreement is recorded
+                        #     rather than silently min()'d away.
+                        #   - in between: no adjudication either way.
+                        if fresh < min(big[op], rerun[op]):
+                            diag["verdict"] = "fresh_confirms_jvm_artifact"
+                        elif fresh > max(big[op], rerun[op]):
+                            diag["verdict"] = "arbiter_disagreed"
+                        else:
+                            diag["verdict"] = "fresh_inconclusive"
                         big[op] = min(big[op], fresh)
                     except Exception as exc:  # noqa: BLE001
                         stress_diag[f"{op}@rerun10x"]["t_10x_fresh"] = None
@@ -1376,6 +1487,31 @@ def main() -> None:
                     "t_10x": big[op_name],
                     "ratio": round(big[op_name] / small[op_name], 2),
                 }
+                # reading provenance (round-11 verdict item 6): t_1x /
+                # t_10x are post-rerun minima while the reading history
+                # lives in stress_diag -- surface HOW MANY readings
+                # each leg's figure is the min of, so single-reading
+                # vs adjudicated ratios are distinguishable without
+                # cross-referencing the two dicts (1 = single reading,
+                # omitted for compactness)
+                n10 = 1 + sum(
+                    1
+                    for k2 in ("t_10x_rerun", "t_10x_fresh")
+                    if stress_diag.get(f"{op_name}@rerun10x", {}).get(k2)
+                    is not None
+                )
+                n1 = 1 + (
+                    1
+                    if stress_diag.get(f"{op_name}@rerun1x", {}).get(
+                        "t_1x_rerun"
+                    )
+                    is not None
+                    else 0
+                )
+                if n10 > 1:
+                    stress[op_name]["readings_10x"] = n10
+                if n1 > 1:
+                    stress[op_name]["readings_1x"] = n1
                 if (
                     op_name in still_inverted
                     and small[op_name] > big[op_name]
@@ -1411,12 +1547,19 @@ def main() -> None:
     # (floors) and stress rerun-screen skips (stress_diag "skipped"
     # entries) -- either means a regression reading stands
     # unadjudicated, and the side file should be opened
+    # scope the stress side to the ADJUDICATION entries only
+    # (@rerun10x/@rerun1x): stress_diag also carries raw stats_out
+    # dicts from library census hooks ("<op>@<n_docs>" keys), and a
+    # future stats field named "skipped" would otherwise silently
+    # inflate this count (round-11 ADVICE)
     n_floor_skips = sum(
         1 for v in floors.values() if "skipped" in v
     ) + sum(
         1
-        for v in stress_diag.values()
-        if isinstance(v, dict) and "skipped" in v
+        for k2, v in stress_diag.items()
+        if (k2.endswith("@rerun10x") or k2.endswith("@rerun1x"))
+        and isinstance(v, dict)
+        and "skipped" in v
     )
     print(final_line(timings, errors, sf_val, floor_skips=n_floor_skips))
 

@@ -1077,11 +1077,63 @@ _STALE_R11: list[str] = [
     "association_rules_lineitem", "auc_lang_quality_documents",
     "autocorr_events", "behavioral_entropy_users",
 ]
-_FRONT = [
+_FRONT_R11 = [
     *_REVERIFY_R11,
     *_ROUND11_NEW,
     *_CHANGED_R11,
     *_STALE_R11,
+]
+# ROUND-12 ROTATION (steady-state refresh: reverify -> new -> changed
+# -> oldest-green stale).  CORRECTNESS_r11.json came back 50/50 green
+# so the reverify lane is empty; zero new entries.  Changed lane: the
+# triangle/cc adjacency plans gained the orientation seam (round-11
+# verdict item 2 executed): an ``orientation`` parameter whose default
+# "auto" gate (one 1-row max-degree aggregate, integer-exact compare
+# against _ORIENT_GATE_MULT * sqrt(2m)) routes heavy-tailed graphs to
+# degree-ordered re-orientation -- the registered co-event calls
+# resolve to the SAME id-oriented plan plus the gate aggregate, values
+# identical, but the code changed, so the green history no longer
+# describes it.  Fill: the entire remaining round-7-green cohort (32
+# entries, alphabetical) + the head of the round-8 cohort.  Budget
+# arithmetic: 2 changed + 32 round-7 + 16 round-8 = 50; oldest driver
+# green advances to round 8.
+_REVERIFY_R12: list[str] = []
+_ROUND12_NEW: list[str] = []
+_CHANGED_R12: list[str] = [
+    "triangle_count_users",
+    "clustering_coefficient_users",
+]
+_STALE_R12: list[str] = [
+    # last driver green round 7 (complete cohort; the r11 front
+    # consumed the alphabetical head array_agg..behavioral_entropy)
+    "bm25_retrieval", "bucketed_join_lineitem", "co_event_edges_users",
+    "cohens_kappa_documents", "corpus_curate_pipeline", "cube_events",
+    "dedup_events", "dedup_exact_documents", "dedup_minhash_banded_md5",
+    "dedup_near_time_events", "degree_assortativity_users",
+    "doc_length_histogram", "duplicate_share_by_source",
+    "embedding_dim_stats", "embedding_gram_matrix", "flatmap_legs_events",
+    "hash_sample_events", "hybrid_rrf_retrieval",
+    "interarrival_histogram_events", "interval_join_events",
+    "join_fanout_audit", "json_extract_events",
+    "label_centroid_similarity", "lang_id_confusion",
+    "monotonic_violations_orders", "quality_budget_curve_documents",
+    "referential_integrity_audit", "sessionize_events",
+    "t_closeness_documents", "top_paths_sessions", "trend_slope_users",
+    "zorder_layout_lineitem",
+    # head of the round-8-green cohort (alphabetical)
+    "boilerplate_prefix_census", "broadcast_dim_join", "chunk_documents",
+    "dedup_canonical_by_source", "distinct_agg_orders",
+    "exists_subquery_suppliers", "filter_project_scan",
+    "having_big_customers", "mixture_budget_sample", "multimodal_decode",
+    "multimodal_frame_sample", "multimodal_metadata",
+    "percentile_acctbal", "pivot_orders", "profile_orders",
+    "q10_returned_items",
+]
+_FRONT = [
+    *_REVERIFY_R12,
+    *_ROUND12_NEW,
+    *_CHANGED_R12,
+    *_STALE_R12,
 ]
 assert len(_FRONT) == 50, len(_FRONT)
 assert len(_FRONT) == len(set(_FRONT)), "duplicate rotation entry"

@@ -186,8 +186,110 @@ ORDER BY u, v
 """
 
 
+# Orientation gate for the adjacency-intersection triangle plans:
+# degree-ordered re-orientation pays two extra degree joins to bound
+# per-node out-degree by O(sqrt(2m)) (compact-forward), which only wins
+# when the graph is heavy-tailed enough that id-orientation's O(dmax)
+# adjacency arrays dominate.  Gate: degree-order iff
+# dmax > _ORIENT_GATE_MULT * sqrt(2m), evaluated in exact integer form
+# (dmax^2 > mult^2 * 2m).  Calibration (round 12, SCALE.md hub-graph
+# adjudication): the near-regular co-event graph sits at
+# dmax/sqrt(2m) = 0.92 where degree-ordering measured a 6.5x LOSS; the
+# hub stress graph sits at ~38 where id-orientation is super-linear
+# (D^2 shuffled bytes per hub) and degree-ordering stays linear -- 4
+# separates both measured regimes with >4x margin on each side.
+_ORIENT_GATE_MULT = 4
+
+
+def _oriented_edges(
+    edges: DataFrame, orientation: str = "auto"
+) -> tuple[DataFrame, str]:
+    """Orient the canonical u<v edge list for adjacency-intersection
+    triangle counting; returns ``(oriented, chosen)`` with columns
+    still named (u, v).
+
+    ``orientation``:
+      - ``"id"``: keep the u<v id order (zero cost).  Per-edge
+        intersect work and per-node adjacency arrays are O(dmax) --
+        optimal on near-regular graphs, quadratic-in-degree on hubs.
+      - ``"degree"``: re-orient every edge from its lower-degree
+        endpoint (ties by id) -- any total order counts each triangle
+        exactly once at its order-minimal base edge, and this one
+        bounds out-degree by O(sqrt(2m)) regardless of dmax.  Costs
+        two equi-joins of the edge list against the degree table; the
+        oriented frame is persisted (it feeds the adjacency build and
+        the base-edge join).
+      - ``"auto"`` (default): ONE 1-row gate aggregate over the edge
+        list (max degree + 2m, integer-exact compare against
+        ``_ORIENT_GATE_MULT``) picks between them.  The ``collect`` is
+        a bounded single-row driver pull, same class as the capped
+        fit-sample / DESCRIBE-stats sites.
+
+    Seam history: id-only until round 11 (degree-ordering measured as
+    a 6.5x loss on the near-regular co-event graph, SCALE.md); the
+    heavy-tail hub stress graph (round 12) is the input that breaks
+    id-orientation -- a hub of degree D replicates its D-element
+    adjacency array onto each of its D incident edges, O(D^2) shuffled
+    bytes -- which the gate routes to degree-ordering."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+    )
+
+    if orientation not in ("id", "degree", "auto"):
+        raise ValueError(f"unknown orientation {orientation!r}")
+    deg = None
+    if orientation == "auto":
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        row = deg.agg(
+            F.max("deg").alias("dmax"),
+            F.sum("deg").alias("deg_sum"),
+        ).collect()[0]
+        dmax = int(row["dmax"] or 0)
+        two_m = int(row["deg_sum"] or 0)
+        orientation = (
+            "degree"
+            if dmax * dmax > _ORIENT_GATE_MULT * _ORIENT_GATE_MULT * two_m
+            else "id"
+        )
+    if orientation == "id":
+        return edges, "id"
+    if deg is None:
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(
+            deg.select(F.col("x").alias("u"), F.col("deg").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("x").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+    )
+    return _persist_tracked(oriented), "degree"
+
+
 def triangle_count_users(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    orientation: str = "auto",
 ) -> DataFrame:
     """Triangle census of the user co-occurrence graph: users are
     linked when they act in the same (event_type, hour) bucket at
@@ -215,31 +317,40 @@ def triangle_count_users(
 
     ``edges``: optionally a pre-staged ``co_event_edges_users`` frame
     so the graph family pays the pair generation once; default None
-    recomputes (driver isolation)."""
+    recomputes (driver isolation).
+
+    ``orientation``: see ``_oriented_edges`` -- ``"auto"`` (default)
+    gates between id-order (what the near-regular co-event graph
+    resolves to, dmax/sqrt(2m)=0.92) and degree-order (heavy-tailed
+    graphs: bounds adjacency arrays by O(sqrt(2m)) where a hub would
+    otherwise shuffle O(dmax^2) bytes; executed and measured on the
+    round-12 hub stress graph, SCALE.md)."""
     if edges is None:
         edges = _co_event_edges(spark, sf_dir)
     # Adjacency-intersection instead of the wedge double self-join
     # (round 11): per oriented edge (u,v), triangles through it with
-    # apex w > v are |N+(u) ∩ N+(v)| -- each u<v<w triangle counted
-    # exactly once at its (u,v) base.  The wedge join materializes
-    # every OPEN 2-path through a shuffle before the closure check
-    # (67.1M wedge rows for 24.6M triangles / 384k edges at sf0.1,
-    # 148.5 s of executor time in one stage -- stage census); the
-    # adjacency form shuffles only the edge list and one O(m)
-    # neighbor-array frame, and the intersection is a JVM-side
-    # linear-probe per edge.  Measured 5.05 -> 1.56 s on staged
-    # edges, identical counts.  Out-neighbor arrays are O(deg) per
-    # node -- the same worst case the wedge join pays QUADRATICALLY
-    # on hub nodes; for heavy-tailed graphs at 100 TB the next step
-    # is degree-ordered orientation (bounds out-degree by O(sqrt m)),
-    # measured here as a 6.5x LOSS on this near-regular graph (avg
-    # degree 512, max 804 -- reorientation joins cost more than the
-    # 13% wedge reduction buys), so id-orientation stays the default.
-    adj = edges.groupBy(F.col("u").alias("x")).agg(
+    # apex w after v in the orientation order are |N+(u) ∩ N+(v)| --
+    # each triangle counted exactly once at its order-minimal base
+    # edge, for ANY total-order orientation.  The wedge join
+    # materializes every OPEN 2-path through a shuffle before the
+    # closure check (67.1M wedge rows for 24.6M triangles / 384k
+    # edges at sf0.1, 148.5 s of executor time in one stage -- stage
+    # census); the adjacency form shuffles only the edge list and one
+    # O(m) neighbor-array frame, and the intersection is a JVM-side
+    # probe per edge.  Measured 5.05 -> 1.56 s on staged edges,
+    # identical counts.  Orientation choice (_oriented_edges gate):
+    # id-order arrays are O(dmax) -- optimal near-regular (degree
+    # ordering measured a 6.5x LOSS here: avg degree 512, max 804,
+    # reorientation joins cost more than the 13% wedge reduction
+    # buys) but O(D^2) shuffled bytes per degree-D hub; degree-order
+    # bounds arrays by O(sqrt(2m)), the linear-vs-superlinear winner
+    # on the round-12 hub stress graph (SCALE.md).
+    oe, _chosen = _oriented_edges(edges, orientation)
+    adj = oe.groupBy(F.col("u").alias("x")).agg(
         F.collect_list("v").alias("nbrs")
     )
     common = (
-        edges.join(
+        oe.join(
             adj.select(F.col("x").alias("u"), F.col("nbrs").alias("nu")),
             "u",
         )

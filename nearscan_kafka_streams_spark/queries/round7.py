@@ -27,6 +27,7 @@ from .corpus_ops import (  # noqa: F401
 )
 from .round5 import (  # noqa: F401
     _co_event_edges,
+    _oriented_edges,
 )
 
 # --------------------------------------------------------------------------
@@ -1016,7 +1017,10 @@ LIMIT 50
 
 
 def clustering_coefficient_users(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    orientation: str = "auto",
 ) -> DataFrame:
     """Local clustering coefficient over the user co-occurrence graph
     (same graph as triangle_count_users, via the shared
@@ -1035,7 +1039,9 @@ def clustering_coefficient_users(
     per-edge common-neighbor intersection re-projected to base
     endpoints and apexes (see inline note) -- all equi-joins on node
     ids, sized by the edge list, never the event log or the open
-    wedge set."""
+    wedge set.  ``orientation``: see ``_oriented_edges`` (auto-gated
+    id-order vs degree-order; the heavy-tail seam executed on the
+    round-12 hub stress graph, SCALE.md)."""
     from nearscan_kafka_streams_spark.functions.dedup import _persist_tracked
 
     if edges is None:
@@ -1048,20 +1054,26 @@ def clustering_coefficient_users(
     )
     # Adjacency-intersection instead of the wedge double self-join
     # (round 11, same change as triangle_count_users): per oriented
-    # edge (u,v) the apexes are N+(u) ∩ N+(v), so each u<v<w
-    # triangle contributes |common| to BOTH base endpoints and 1 to
-    # each apex -- identical per-node counts to the old three-corner
-    # projection of the materialized triangle frame, without pushing
-    # 67M open wedges through a shuffle (measured 7.29 -> 2.28 s on
-    # staged edges at sf0.1, rows identical).  The common-neighbor
-    # frame feeds THREE projections below; unpersisted, Catalyst
-    # re-runs the intersection join per projection (same lesson as
-    # the old tri persist: 16.4 s vs ~8 s at sf0.1).
-    adj = edges.groupBy(F.col("u").alias("x")).agg(
+    # edge (u,v) the apexes are N+(u) ∩ N+(v), so each triangle
+    # contributes |common| to BOTH base endpoints and 1 to each apex
+    # at its order-minimal base edge -- identical per-node counts to
+    # the old three-corner projection of the materialized triangle
+    # frame, for ANY total-order orientation, without pushing 67M
+    # open wedges through a shuffle (measured 7.29 -> 2.28 s on
+    # staged edges at sf0.1, rows identical).  ``orientation`` gates
+    # id-order vs degree-order exactly as in triangle_count_users
+    # (see _oriented_edges; the published ``degree`` column stays the
+    # UNDIRECTED degree off the original edge list either way).  The
+    # common-neighbor frame feeds THREE projections below;
+    # unpersisted, Catalyst re-runs the intersection join per
+    # projection (same lesson as the old tri persist: 16.4 s vs ~8 s
+    # at sf0.1).
+    oe, _chosen = _oriented_edges(edges, orientation)
+    adj = oe.groupBy(F.col("u").alias("x")).agg(
         F.collect_list("v").alias("nbrs")
     )
     wk = _persist_tracked(
-        edges.join(
+        oe.join(
             adj.select(F.col("x").alias("u"), F.col("nbrs").alias("nu")),
             "u",
         )

@@ -104,10 +104,19 @@ def test_triangle_count_stress_graph_matches_bruteforce(spark):
     edges_py = {
         (i, i + j) for i in range(n) for j in range(1, d + 1) if i + j < n
     }
-    adj = defaultdict(set)
-    for u, v in edges_py:
-        adj[u].add(v)
-    tris = sum(1 for u, v in edges_py for w in adj[v] if w in adj[u])
+    # fully independent oracle (round-11 ADVICE): enumerate ALL
+    # C(200,3) ~ 1.3M vertex triples and test undirected membership
+    # of the three sides -- shares NO orientation/out-neighbor
+    # reasoning with the adjacency-intersection implementation (the
+    # old recompute used the same per-edge common-out-neighbor
+    # formula, so a shared conceptual error would have passed both)
+    from itertools import combinations
+
+    tris = sum(
+        1
+        for a, b, c in combinations(range(n), 3)
+        if (a, b) in edges_py and (b, c) in edges_py and (a, c) in edges_py
+    )
     edges_df = (
         spark.range(n * d)
         .select(
