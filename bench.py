@@ -1343,20 +1343,22 @@ def main() -> None:
                 if rerun[op] > big[op] and rerun_budget > 0:
                     import subprocess
 
-                    # The replay runs CONCURRENTLY with this (idle but
-                    # heap-resident) bench JVM, so a full-size 48g
-                    # child can push the host into memory contention
-                    # and return a reading WORSE than either in-JVM
-                    # figure -- exactly what the r11 jaccard firing
-                    # recorded (first 22.9 / rerun 29.5 / fresh
-                    # 61.2 s; solo replay of the same thunk: in the
-                    # in-JVM band -- SCALE.md round-12 adjudication).
-                    # Cap the child's driver heap to what the host can
-                    # actually grant alongside the parent (MemAvailable
-                    # minus 16 GiB headroom for the child's Python
-                    # workers + page cache, floored at 12g), and
-                    # record the cap so the reading's conditions are
-                    # auditable.
+                    # Round-12 adjudication of the r11 jaccard firing
+                    # (first 22.9 / rerun 29.5 / fresh 61.2 s): the
+                    # fresh leg's slow reading was NOT host contention
+                    # -- a SOLO replay on an idle host read the same
+                    # 62.1/70.7 s -- it was fresh-process JVM warm-up
+                    # (heap growth + GC ergonomics churn + first-touch
+                    # page faults + C2 compilation) amplified by the
+                    # battery's heaviest-shuffle op; with -Xms pinned
+                    # and one full-scale untimed warm pass,
+                    # stress_replay now reads 19.6/21.3 s, inside the
+                    # warmed in-JVM band (SCALE.md round-12).  The
+                    # heap cap below is defense-in-depth for the
+                    # concurrent case (MemAvailable minus 16 GiB
+                    # headroom for the child's Python workers + page
+                    # cache, floored at 12g), recorded so the
+                    # reading's conditions are auditable.
                     replay_mem_g = 24
                     try:
                         with open("/proc/meminfo") as mfh:
@@ -1385,7 +1387,12 @@ def main() -> None:
                             ],
                             capture_output=True,
                             text=True,
-                            timeout=max(rerun_budget, 60),
+                            # the replay's untimed full-scale warm
+                            # pass (its cold-JVM discipline) can alone
+                            # take minutes; give a single firing a
+                            # realistic window -- the rerun_budget
+                            # still bounds the adjudication LOOP
+                            timeout=max(rerun_budget, 300),
                             cwd=repo_dir,
                             env={
                                 **os.environ,

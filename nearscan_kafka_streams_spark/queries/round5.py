@@ -194,10 +194,12 @@ ORDER BY u, v
 # dmax > _ORIENT_GATE_MULT * sqrt(2m), evaluated in exact integer form
 # (dmax^2 > mult^2 * 2m).  Calibration (round 12, SCALE.md hub-graph
 # adjudication): the near-regular co-event graph sits at
-# dmax/sqrt(2m) = 0.92 where degree-ordering measured a 6.5x LOSS; the
-# hub stress graph sits at ~38 where id-orientation is super-linear
-# (D^2 shuffled bytes per hub) and degree-ordering stays linear -- 4
-# separates both measured regimes with >4x margin on each side.
+# dmax/sqrt(2m) = 0.92 where degree-ordering measured a 6.5x LOSS
+# (10.2 vs 1.56 s); the hub stress graph sits at 14.5 / 38.5 / 84.6
+# (n = 5k / 50k / 150k) where id-orientation is super-linear (O(D^2)
+# shuffled bytes per degree-D hub: 6.89 -> 39.4 s for x3 nodes) and
+# degree-ordering stays flat (2.23 -> 3.47 s) -- 4 separates the two
+# measured regimes with 4.3x margin below and 3.6x margin above.
 _ORIENT_GATE_MULT = 4
 
 

@@ -46,10 +46,19 @@ def main() -> int:
     from nearscan_kafka_streams_spark.functions.dedup import release_cached
     from nearscan_kafka_streams_spark.session import get_spark
 
+    # Pin -Xms to the driver heap: a fresh JVM growing its heap under
+    # the allocation pressure of a heavy-shuffle op thrashes GC
+    # ergonomics for the WHOLE run, and the readings never converge
+    # (round-12 adjudication: default-Xms solo reps of the jaccard 10x
+    # thunk read 62.1 / 70.7 s where the warmed bench JVM reads ~23 s;
+    # with -Xms pinned, rep 1 pays first-touch page faults (81 s) and
+    # rep 2 lands at 17.1 s -- SCALE.md).
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name="nearscan-stress-replay",
         extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")
+            "spark.driver.memory": mem,
+            "spark.driver.extraJavaOptions": f"-Xms{mem}",
         },
     )
     wanted = set(args)
@@ -71,6 +80,24 @@ def main() -> int:
             release_cached()
             spark.catalog.clearCache()
     _, _, ops = build_stress_thunks(spark, n_docs, n_vecs)
+    # ONE untimed FULL-SCALE pass per wanted op before the timed reps:
+    # the tiny warm pass above compiles codegen but does not fault the
+    # pinned heap or C2-compile the hot shuffle loops at real data
+    # volume, and those fresh-process costs are NOT the computation
+    # being adjudicated -- the in-bench readings this tool arbitrates
+    # against all run in a long-lived, fully-warmed JVM.  The full
+    # warm pass makes the fresh reading steady-state-comparable
+    # (round-12: 62-81 s cold vs 17.1 s warmed for the identical
+    # jaccard thunk); its wall is recorded under "_warm_full" so the
+    # cold figure stays visible.
+    warm_full: dict[str, float] = {}
+    for name, thunk in ops:
+        if name in wanted:
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            warm_full[name] = round(time.perf_counter() - t0, 3)
+            release_cached()
+            spark.catalog.clearCache()
     for name, thunk in ops:
         if name not in wanted:
             continue
@@ -84,6 +111,7 @@ def main() -> int:
         out[name] = min(runs)
         all_reps[name] = runs
     out["_reps"] = all_reps
+    out["_warm_full"] = warm_full
     spark.stop()
     sys.stdout.flush()
     print(json.dumps(out, separators=(",", ":")))
