@@ -101,6 +101,7 @@ def global_row_number(
     order_cols: list[str | Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = 1-based global row number in ``order_cols``
     order, computed with the same two-pass distributed scan as
@@ -111,7 +112,16 @@ def global_row_number(
     The composite ``order_cols`` must be a total order (end with a
     unique key): a tie spanning a range boundary would make the
     numbering boundary-dependent.
-    """
+
+    ``total_col``: when set, additionally attach the GLOBAL row count
+    as a column of that name.  The count is the sum of the
+    per-partition counts the offset pass aggregates anyway, riding the
+    same tiny broadcast frame -- so a caller that needs ``n_total``
+    (trimmed means, percentile targets, NTILE) gets it for free
+    instead of paying a second full pass over the input (one extra
+    scan of the base table, or of the persisted ranked frame, per
+    query -- measured as a full parquet re-read in
+    ``trimmed_mean_lineitem``)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *cols).withColumn(
@@ -126,6 +136,20 @@ def global_row_number(
     counts = local.groupBy("_pid").agg(
         F.count(F.lit(1)).cast("long").alias("_cnt")
     )
+    extra = (
+        [
+            F.sum("_cnt")
+            .over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias(total_col)
+        ]
+        if total_col
+        else []
+    )
     offsets = counts.select(
         "_pid",
         F.coalesce(
@@ -136,6 +160,7 @@ def global_row_number(
             ),
             F.lit(0).cast("long"),
         ).alias("_off"),
+        *extra,
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
@@ -159,12 +184,20 @@ def global_ntile(
     rows and the rest ``n div k`` -- so the distributed
     :func:`global_row_number` plus one broadcast scalar reproduces
     the standard SQL semantics bit-for-bit (Spark and DuckDB agree
-    on this fill rule)."""
+    on this fill rule).
+
+    The total count rides :func:`global_row_number`'s offset
+    broadcast (``total_col``) -- the bucket arithmetic costs no
+    second pass over the frame and no extra join (previously: one
+    full count aggregate over the persisted ranked frame plus a
+    broadcast nested-loop join, per call -- 3 extra passes in
+    ``rfm_segments_customers`` alone)."""
     numbered = global_row_number(
-        df, order_cols, out_col="_rn", num_partitions=num_partitions
-    )
-    total = numbered.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
+        df,
+        order_cols,
+        out_col="_rn",
+        num_partitions=num_partitions,
+        total_col="_n",
     )
     big = F.col("_n") % F.lit(k)  # buckets with floor(n/k)+1 rows
     base = F.expr(f"_n div {k}")
@@ -179,7 +212,5 @@ def global_ntile(
         big + F.ceil((F.col("_rn") - cut) / F.greatest(base, F.lit(1)))
     )
     return (
-        numbered.join(F.broadcast(total))
-        .withColumn(out_col, bucket.cast("int"))
-        .drop("_rn", "_n")
+        numbered.withColumn(out_col, bucket.cast("int")).drop("_rn", "_n")
     )

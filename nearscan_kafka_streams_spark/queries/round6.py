@@ -1062,11 +1062,15 @@ def percentiles_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scalable exact form: distributed two-pass rank
     (``functions.scan.global_row_number`` -- one range shuffle,
     partition-local sorts), then each requested percentile is the row
-    whose rank equals ``ceil(p * n)`` (PERCENTILE_DISC semantics),
-    found by a broadcast join against four target rows.  All rank
-    arithmetic is integer (``(num*n + den-1) div den``), so Spark and
-    the oracle agree bit-for-bit; DECIMAL prices are never touched by
-    floats."""
+    whose rank equals ``ceil(p * n)`` (PERCENTILE_DISC semantics).
+    ``n`` rides the rank pass's offset broadcast (``total_col``), so
+    target matching is a scan-local filter + explode of the (at most
+    four) matching labels per row -- no second pass over the frame and
+    no extra join; two percentiles landing on the same rank (tiny
+    ``n``) still emit one row each, exactly like the join form.  All
+    rank arithmetic is integer (``(num*n + den-1) div den``), so Spark
+    and the oracle agree bit-for-bit; DECIMAL prices are never touched
+    by floats."""
     from ..functions.scan import global_row_number
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -1075,41 +1079,33 @@ def percentiles_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     numbered = global_row_number(
-        li, ["price", "l_orderkey", "l_linenumber"], out_col="rn"
-    )
-    total = numbered.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+        li,
+        ["price", "l_orderkey", "l_linenumber"],
+        out_col="rn",
+        total_col="n",
     )
     pcts = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000)]
-    targets = (
-        total.select(
-            "n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(lbl).alias("pct"),
-                            F.expr(f"({num}*n + {den - 1}) div {den}")
-                            .cast("long")
-                            .alias("target"),
-                        )
-                        for lbl, num, den in pcts
-                    ]
-                )
-            ).alias("t"),
-        )
-        .select(F.col("n").alias("n_rows"), "t.pct", "t.target")
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("pct"),
+                F.expr(f"({num}*n + {den - 1}) div {den}")
+                .cast("long")
+                .alias("target"),
+            )
+            for lbl, num, den in pcts
+        ]
     )
     return (
-        numbered.join(
-            F.broadcast(targets), numbered["rn"] == targets["target"]
-        )
-        .select(
-            "pct",
+        numbered.select(
+            F.col("n").alias("n_rows"),
             F.col("rn").cast("long").alias("rk"),
             "price",
-            "n_rows",
+            F.explode(
+                F.filter(targets, lambda t: t["target"] == F.col("rn"))
+            ).alias("t"),
         )
+        .select("t.pct", "rk", "price", "n_rows")
         .orderBy("pct")
     )
 

@@ -596,7 +596,8 @@ def trimmed_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the global rank is ``functions.scan.global_row_number`` --
     one range shuffle, partition-local sorts, closed-form offsets --
     never a single-task ROW_NUMBER window; everything after is one
-    aggregate."""
+    aggregate.  ``n_total`` rides the rank pass's offset broadcast
+    (``total_col``) instead of a second full scan of lineitem."""
     from ..functions.scan import global_row_number
 
     li = _t(spark, sf_dir, "lineitem")
@@ -606,10 +607,12 @@ def trimmed_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     ranked = global_row_number(
-        cents, ["cents", "l_orderkey", "l_linenumber"], out_col="rn"
+        cents,
+        ["cents", "l_orderkey", "l_linenumber"],
+        out_col="rn",
+        total_col="n_total",
     )
-    n = cents.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    kept = ranked.crossJoin(F.broadcast(n)).where(
+    kept = ranked.where(
         (F.col("rn") > F.expr("n_total div 10"))
         & (F.col("rn") <= F.expr("n_total - n_total div 10"))
     )
@@ -983,7 +986,16 @@ def scan_pruning_audit_lineitem(
     Scale: each layout's rank is ``functions.scan.global_row_number``
     (one range shuffle, partition-local sorts -- never a single-task
     ROW_NUMBER), zone maps are one 64-group aggregate with map-side
-    combine, and the verdict reads the 64-row zone table only."""
+    combine, and the verdict reads the 64-row zone table only.  The
+    shared projection (keys + z-interleave) is persisted ONCE and fed
+    to all three layout rankings: previously each layout's range
+    shuffle re-read the parquet scan and re-derived the bands/z --
+    three full input scans for one audit (guide s2.4/s5: share one
+    materialization across same-source passes); the band columns bp/bs
+    exist only to build z and are dropped before the persist."""
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        _persist_tracked,
+    )
     from nearscan_kafka_streams_spark.functions.scan import (
         global_row_number,
     )
@@ -994,7 +1006,7 @@ def scan_pruning_audit_lineitem(
         F.max("l_suppkey").alias("ms"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    base = (
+    base = _persist_tracked(
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .crossJoin(F.broadcast(maxima))
         .select(
@@ -1007,6 +1019,7 @@ def scan_pruning_audit_lineitem(
             ),
         )
         .withColumn("z", F.expr(f"CAST({_PRUNE_Z} AS BIGINT)"))
+        .drop("bp", "bs")
     )
     layouts = [
         ("natural", ["l_orderkey", "l_linenumber"]),

@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # scale/deployment-dependent settings stay parameterised (the
+    # optimization-guide rule: local defaults keep the bench
+    # comparable; a cluster run overrides via environment without a
+    # code change).  Format: "key=value;key=value".
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
