@@ -229,6 +229,52 @@ def shingle_strings(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
 
 
+def _doc_bitmaps(
+    tok: DataFrame, gdf: DataFrame, id_col: str, vocab_size: int
+) -> DataFrame:
+    """(id_col, sz, bm) fixed-width gram bitmaps for the dense-vocab
+    verify paths: each doc's gram set as ``vocab/64`` long words, so an
+    exact intersection is AND + popcount per word.  ``tok`` must carry
+    (id_col, sz, g) rows; the vocab index is df-ordered only to keep a
+    deterministic bijection (any order yields identical intersection
+    sizes)."""
+    n_words = (vocab_size + 63) // 64
+    vocab = gdf.select(
+        "g",
+        (F.row_number().over(Window.orderBy("df", "g")) - 1).alias("idx"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "g")
+        .select(
+            id_col,
+            "sz",
+            (F.col("idx") / 64).cast("int").alias("word"),
+            # pyspark's shiftleft wrapper takes a literal shift only
+            F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)").alias("bit"),
+        )
+        .groupBy(id_col, "sz", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .groupBy(id_col, "sz")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            "sz",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.coalesce(
+                    # map lookup by KEY (the 0-based word index)
+                    F.element_at(F.col("m"), w),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("bm"),
+        )
+    )
+
+
 def jaccard_similarity_join(
     df: DataFrame,
     text_col: str = "text",
@@ -240,6 +286,7 @@ def jaccard_similarity_join(
     bitmap_max_vocab: int = 4096,
     stats_out: dict | None = None,
     prefix_ext: int | str = "auto",
+    allpairs_max_docs: int = 65536,
 ) -> DataFrame:
     """EXACT set-similarity self-join via AllPairs prefix filtering.
 
@@ -317,6 +364,15 @@ def jaccard_similarity_join(
 
     Two candidate prunes beyond the prefix bound, both standard:
 
+    ``allpairs_max_docs`` (round 12): in the dense/bitmap regime with
+    ``prefix_ext="auto"`` and a corpus small enough that the bitmap
+    table broadcasts comfortably, candidate generation is skipped
+    entirely -- a broadcast nested-loop all-pairs over the fixed-width
+    bitmaps beats the weak prefix filter (measured 27% candidate
+    selectivity at sf0.1); see the inline branch for the full
+    rationale.  0 disables; explicit ``prefix_ext`` keeps the classic
+    plan.  Output is identical on every path.
+
     * positional filter (PPJoin): a prefix collision at 1-based sorted
       positions (i, j) caps the achievable overlap at
       ``1 + min(|x|-i, |y|-j)``; pairs whose cap is below the required
@@ -358,10 +414,100 @@ def jaccard_similarity_join(
 
     tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
     gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if materialize:
+        # gdf feeds the regime count below AND (depending on path) the
+        # df-order join, the bitmap vocab index, or the broadcast
+        # build -- each a fresh explode+groupBy of the whole token
+        # stream without this persist (the count action materializes
+        # it; the frame is one row per distinct gram, vocabulary-sized)
+        gdf = _persist_tracked(gdf)
     # the gram vocabulary is bounded (char n-grams over natural text);
     # one cheap count decides the verify representation
     vocab_size = gdf.count()
     use_bitmap = vocab_size <= bitmap_max_vocab
+
+    # Dense-regime ALL-PAIRS plan (round 12, guide §1.1/§3): when the
+    # vocabulary is bitmap-small, prefix filtering barely filters --
+    # measured at sf0.1 (5k docs, vocab 377): 3.43M distinct candidates
+    # of 12.5M possible pairs (27% selectivity), i.e. the prefix
+    # self-join + per-pair shuffle + distinct cost MORE than they
+    # prune.  In that regime skip candidate generation entirely: every
+    # doc is a vocab/64-word bitmap (a few hundred bytes), so the
+    # corpus bitmap table broadcasts whole and a broadcast nested-loop
+    # join evaluates the cheap (id<, length-ratio) predicates in
+    # codegen with no shuffle, no pair materialization for rejected
+    # rows, and no distinct -- the exact intersection (AND+popcount)
+    # runs on survivors only.  Output is provably identical: the BNLJ
+    # pair superset contains every length-eligible pair and the verify
+    # predicate is the exact one (measured bit-identical at sf0.1).
+    # Dense/bounded-vocab corpora make exact AllPairs inherently
+    # quadratic in PAIRS whichever way candidates are generated (the
+    # 100 TB answer stays MinHash+LSH, SCALE.md); this plan only
+    # lowers the constant, so it is gated to corpora whose bitmap
+    # table broadcasts comfortably (``allpairs_max_docs``, ~36 MB at
+    # the 4096-vocab worst case) and to the ``"auto"`` plan chooser
+    # (an explicit ``prefix_ext`` keeps the classic plan).
+    if (
+        prefix_ext == "auto"
+        and use_bitmap
+        and materialize
+        and allpairs_max_docs > 0
+        and sets.count() <= allpairs_max_docs
+    ):
+        par = df.sparkSession.sparkContext.defaultParallelism
+        bitmaps = _doc_bitmaps(tok, gdf, id_col, vocab_size)
+        if materialize:
+            bitmaps = _persist_tracked(bitmaps)
+        # the BNLJ stream side is compute-amplifying (kilobytes of
+        # bitmaps fan out to n^2 pair evaluations), so pin its
+        # parallelism against AQE bytes-based coalescing -- the same
+        # adjudication as the prefix paths (SCALE.md r9/r10)
+        left_bm = bitmaps.select(
+            F.col(id_col).alias("left_id"),
+            F.col("bm").alias("bm_l"),
+            F.col("sz").alias("sz_l"),
+        ).repartition(par)
+        right_bm = bitmaps.select(
+            F.col(id_col).alias("right_id"),
+            F.col("bm").alias("bm_r"),
+            F.col("sz").alias("sz_r"),
+        )
+        pair_ok = (F.col("left_id") < F.col("right_id")) & (
+            F.lit(q) * F.least(F.col("sz_l"), F.col("sz_r"))
+            >= F.lit(p) * F.greatest(F.col("sz_l"), F.col("sz_r"))
+        )
+        pairs = left_bm.join(F.broadcast(right_bm), pair_ok)
+        if stats_out is not None:
+            stats_out["vocab_size"] = vocab_size
+            stats_out["use_bitmap"] = True
+            stats_out["prefix_ext"] = 1
+            stats_out["plan"] = "bitmap_allpairs"
+            # this plan's candidate set is the length-eligible pair
+            # set, distinct by construction (counted only in stats
+            # mode -- one extra BNLJ pass, diag lanes are untimed)
+            n_pairs = pairs.count()
+            stats_out["n_candidates_raw"] = n_pairs
+            stats_out["n_candidates_distinct"] = n_pairs
+        inter = F.aggregate(
+            F.zip_with(
+                "bm_l", "bm_r", lambda a, b: F.bit_count(a.bitwiseAND(b))
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            pairs.withColumn("inter_size", inter)
+            .withColumn(
+                "union_size",
+                F.col("sz_l") + F.col("sz_r") - F.col("inter_size"),
+            )
+            .where(
+                F.lit(q) * F.col("inter_size")
+                >= F.lit(p) * F.col("union_size")
+            )
+            .select("left_id", "right_id", "inter_size", "union_size")
+        )
+
     # the document-frequency table is one row per distinct gram --
     # bounded vocabulary -> broadcast it so attaching df to every token
     # is map-side (gate generously; 4M rows of (gram, count) ~ 100 MB)
@@ -569,40 +715,7 @@ def jaccard_similarity_join(
         # dense corpus: prefix filtering is weak, so candidates are the
         # cost center -- dedup them first, then verify each surviving
         # pair with a few long ANDs instead of a per-pair hash set
-        n_words = (vocab_size + 63) // 64
-        vocab = gdf.select(
-            "g",
-            (F.row_number().over(Window.orderBy("df", "g")) - 1).alias("idx"),
-        )
-        word_bits = (
-            tok.join(F.broadcast(vocab), "g")
-            .select(
-                id_col,
-                (F.col("idx") / 64).cast("int").alias("word"),
-                # pyspark's shiftleft wrapper takes a literal shift only
-                F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)").alias("bit"),
-            )
-            .groupBy(id_col, "word")
-            .agg(F.bit_or("bit").alias("bits"))
-            .groupBy(id_col)
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("word", "bits"))
-                ).alias("m")
-            )
-            .select(
-                id_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_words - 1)),
-                    lambda w: F.coalesce(
-                        # map lookup by KEY (the 0-based word index)
-                        F.element_at(F.col("m"), w),
-                        F.lit(0).cast("long"),
-                    ),
-                ).alias("bm"),
-            )
-        )
-        bitmaps = word_bits.join(sets.select(id_col, "sz"), id_col)
+        bitmaps = _doc_bitmaps(tok, gdf, id_col, vocab_size)
         if materialize:
             bitmaps = _persist_tracked(bitmaps)
         left_sets = bitmaps.select(
@@ -670,6 +783,7 @@ def containment_join(
     bitmap_max_vocab: int = 4096,
     stats_out: dict | None = None,
     prefix_ext: int | str = "auto",
+    allpairs_max_docs: int = 65536,
 ) -> DataFrame:
     """EXACT asymmetric set-CONTAINMENT self-join: pairs where the
     smaller document's n-gram set is mostly inside the larger's,
@@ -743,6 +857,11 @@ def containment_join(
     gram strings (3-4x the verify bytes) where absolute exactness is
     required at large vocab.
 
+    ``allpairs_max_docs``: same dense-regime all-pairs bypass as
+    :func:`jaccard_similarity_join` (round 12) -- under the asymmetric
+    predicate the prefix index prunes even less, so the broadcast
+    nested-loop plan over bitmaps wins by a wider margin.  0 disables.
+
     Dense corpora hit prefix filtering even harder here than in the
     symmetric join (no length-ratio prune at all), so the small-vocab
     bitmap verify of :func:`jaccard_similarity_join` matters more:
@@ -779,8 +898,80 @@ def containment_join(
 
     tok = sets.select(id_col, "sz", F.explode("grams").alias("g"))
     gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if materialize:
+        # same rationale as the symmetric join: the regime count, the
+        # df-order join / bitmap vocab index, and the broadcast build
+        # each re-run the explode+groupBy without this persist
+        gdf = _persist_tracked(gdf)
     vocab_size = gdf.count()
     use_bitmap = vocab_size <= bitmap_max_vocab
+
+    # Dense-regime ALL-PAIRS plan (round 12): containment hits weak
+    # prefix filtering even harder than symmetric Jaccard (no
+    # length-ratio prune exists for this predicate -- measured ~6M
+    # candidates of 12.5M possible at sf0.1, vocab ~2k), so in the
+    # bitmap-vocab regime the positioned prefix/full-index join +
+    # per-candidate shuffle + distinct cost more than they prune.
+    # Same construction and gating rationale as the symmetric join's
+    # branch (see jaccard_similarity_join): broadcast the fixed-width
+    # bitmap table, evaluate the cheap size-order predicate in a
+    # broadcast nested-loop join, verify survivors exactly.  Output
+    # provably identical (the BNLJ pair superset contains every
+    # size-ordered pair; the verify predicate is the exact one).
+    if (
+        prefix_ext == "auto"
+        and use_bitmap
+        and materialize
+        and allpairs_max_docs > 0
+        and sets.count() <= allpairs_max_docs
+    ):
+        par = df.sparkSession.sparkContext.defaultParallelism
+        bitmaps = _doc_bitmaps(tok, gdf, id_col, vocab_size)
+        if materialize:
+            bitmaps = _persist_tracked(bitmaps)
+        inner_bm = bitmaps.select(
+            F.col(id_col).alias("inner_id"),
+            F.col("bm").alias("bm_i"),
+            F.col("sz").alias("sz_i"),
+        ).repartition(par)
+        outer_bm = bitmaps.select(
+            F.col(id_col).alias("outer_id"),
+            F.col("bm").alias("bm_o"),
+            F.col("sz").alias("sz_o"),
+        )
+        pair_ok = (F.col("sz_i") < F.col("sz_o")) | (
+            (F.col("sz_i") == F.col("sz_o"))
+            & (F.col("inner_id") < F.col("outer_id"))
+        )
+        pairs = inner_bm.join(F.broadcast(outer_bm), pair_ok)
+        if stats_out is not None:
+            stats_out["vocab_size"] = vocab_size
+            stats_out["use_bitmap"] = True
+            stats_out["prefix_ext"] = 1
+            stats_out["plan"] = "bitmap_allpairs"
+            n_pairs = pairs.count()
+            stats_out["n_candidates_raw"] = n_pairs
+            stats_out["n_candidates_distinct"] = n_pairs
+        inter = F.aggregate(
+            F.zip_with(
+                "bm_i", "bm_o", lambda a, b: F.bit_count(a.bitwiseAND(b))
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            pairs.withColumn("inter_size", inter)
+            .where(
+                F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("sz_i")
+            )
+            .select(
+                "inner_id",
+                "outer_id",
+                F.col("inter_size").cast("int").alias("inter_size"),
+                F.col("sz_i").cast("int").alias("inner_size"),
+            )
+        )
+
     gdf_b = F.broadcast(gdf)
     # every doc's grams ordered by global df (rarest first), positioned
     ordered = (
@@ -936,38 +1127,7 @@ def containment_join(
         # dense corpus: same fixed-width bitmap representation as the
         # symmetric join -- exact intersection via AND + popcount, no
         # gram hashing at all (collision-free)
-        n_words = (vocab_size + 63) // 64
-        vocab = gdf.select(
-            "g",
-            (F.row_number().over(Window.orderBy("df", "g")) - 1).alias("idx"),
-        )
-        bitmaps = (
-            tok.join(F.broadcast(vocab), "g")
-            .select(
-                id_col,
-                "sz",
-                (F.col("idx") / 64).cast("int").alias("word"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)").alias("bit"),
-            )
-            .groupBy(id_col, "sz", "word")
-            .agg(F.bit_or("bit").alias("bits"))
-            .groupBy(id_col, "sz")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("word", "bits"))
-                ).alias("m")
-            )
-            .select(
-                id_col,
-                "sz",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_words - 1)),
-                    lambda w: F.coalesce(
-                        F.element_at(F.col("m"), w), F.lit(0).cast("long")
-                    ),
-                ).alias("bm"),
-            )
-        )
+        bitmaps = _doc_bitmaps(tok, gdf, id_col, vocab_size)
         if materialize:
             bitmaps = _persist_tracked(bitmaps)
         inner_sets = bitmaps.select(
