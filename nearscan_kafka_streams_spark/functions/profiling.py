@@ -33,6 +33,14 @@ def profile_table(
     (column_name, n_rows, n_nonnull, n_distinct, min_value, max_value).
     min/max as strings so heterogeneous column types stack into one
     long-form result."""
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
+    # the multi-DISTINCT aggregate expands the input |cols|-fold and
+    # partially aggregates IN THE SCAN'S PARTITIONING; a bench-scale
+    # parquet table arrives as ONE split, serializing the expand on a
+    # single task (round-12 stage census: 1.6 s of 2.5 s wall on one
+    # task for profile_orders).  _spread is a no-op at scale.
+    df = _spread(df)
     cols = columns or df.columns
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]

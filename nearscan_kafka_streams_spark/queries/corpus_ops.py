@@ -191,12 +191,17 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear quality classifier over every document
     (fastText-style scoring path with deterministic stand-in weights;
     integer-millionth quantization makes the margin engine-exact)."""
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
     from nearscan_kafka_streams_spark.functions.quality_model import (
         make_weights,
         quality_margin_cols,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # the hashed-feature scoring expression is the whole query and it
+    # executes in the scan's partitioning -- one split at bench scale
+    # (round-12 stage census: 1.0 s of 1.9 s wall on a single task).
+    # _spread is a no-op at scale.
+    d = _spread(_t(spark, sf_dir, "documents"))
     cols = quality_margin_cols(F.col("text"), make_weights())
     return d.select(
         "doc_id",

@@ -521,7 +521,13 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one character explode (rows = total corpus chars), one
     (doc, char) hash aggregate with map-side combine, one per-doc
     sum -- both shuffles keyed by doc_id, no global state."""
-    d = _t(spark, sf_dir, "documents")
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
+    # the per-character explode (rows = total corpus chars) executes
+    # in the scan's partitioning, and a bench-scale parquet file
+    # arrives as ONE split (round-12 stage census: 1.8 s of 3.0 s wall
+    # on a single task).  _spread is a no-op at scale.
+    d = _spread(_t(spark, sf_dir, "documents"))
     # empty-text guard: Spark's sequence(1, 0) infers step -1 and
     # yields [1, 0] (two phantom rows) where DuckDB's
     # generate_series(1, 0) is empty -- filter empties in BOTH engines
