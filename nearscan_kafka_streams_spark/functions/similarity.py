@@ -276,8 +276,14 @@ def ivf_topk(
     Candidates ~ corpus * n_probe / n_clusters.
     """
     centers = _fit_ivf_centers(corpus, n_clusters, vec_col, seed, fit_sample_cap)
+    # cell assignment (n_clusters sq-dists per vector) executes in the
+    # scan's partitioning -- one split at bench scale; _spread is a
+    # no-op at scale (same adjudication as the PQ encode stage)
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
     assigned = (
-        corpus.select(
+        _spread(corpus)
+        .select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
         )
         .withColumn("_cell", F.expr(_cell_assign_sql(centers)))
@@ -585,8 +591,15 @@ def pq_topk(
         )
         + ")"
     )
+    # the m x n_codes sq-dist encode expression is the corpus-wide
+    # heavy stage and executes in the scan's partitioning -- one split
+    # at bench scale (round-12 stage census: 2.1 s of 5.2 s wall on a
+    # single STARVED task).  _spread is a no-op at scale.
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
     encoded = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        _spread(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
         .withColumn("_nvec", F.expr(norm_sql.format(v="_v")))
         .select("neighbor_id", F.expr(codes_sql).alias("_codes"))
     )
