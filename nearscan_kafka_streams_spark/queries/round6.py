@@ -397,6 +397,13 @@ def dedup_edit_distance_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bsize") <= block_cap)
         .drop("bsize")
     )
+    # the in-block levenshtein fan-out is compute-amplifying (a
+    # byte-small title frame fans out to every within-block pair), so
+    # AQE's bytes-based coalescing funnels the broadcast-join probe
+    # onto one task (round-12 stage census: 1.1 s of 1.7 s wall on a
+    # single task).  A user repartition is exempt from AQE coalescing
+    # -- the same pin the exact-similarity verify stages carry.
+    t = t.repartition(spark.sparkContext.defaultParallelism)
     a, b = t.alias("a"), t.alias("b")
     return (
         a.join(

@@ -1532,9 +1532,14 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan scoring every document (pure codegen string
     expressions), one small groupBy, one |langs|-row window for the
     shares."""
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
     from nearscan_kafka_streams_spark.functions.text import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    # the per-doc scoring expressions execute in the scan's
+    # partitioning -- one split at bench scale (round-12 stage census:
+    # 1.4 s of 2.6 s wall on a single task).  _spread is a no-op at
+    # scale.
+    d = _spread(_t(spark, sf_dir, "documents"))
     cells = (
         d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
