@@ -1041,7 +1041,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_qnorm", norm_expr(F.col("_qvec")))
     )
-    c = emb.select(
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
+    # the corpus x anchors cosine fan-out executes in the corpus
+    # scan's partitioning -- one split at bench scale (round-12 stage
+    # census: 1.5 s of 2.1 s wall on a single task); same fix as
+    # knn_classify's brute-force leg.  _spread is a no-op at scale.
+    c = _spread(emb).select(
         F.col("vec_id").alias("negative_id"),
         F.col("embedding").alias("_cvec"),
         F.col("label").alias("negative_label"),
@@ -2943,7 +2949,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle (<= n_sources rows), so pair expansion is at most
     C(n_sources, 2) per shingle -- never a cross product however hot
     the shingle."""
-    d = _t(spark, sf_dir, "documents")
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
+    # the 5-gram md5 explode executes in the scan's partitioning --
+    # one split at bench scale (round-12 stage census: 1.1 s of 2.2 s
+    # wall on a single task).  _spread is a no-op at scale.
+    d = _spread(_t(spark, sf_dir, "documents"))
     words = F.split(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
     )

@@ -528,7 +528,11 @@ def ngram_novelty_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: shingle once scan-side, one (fp, source) distinct, one
     fp-keyed window count (groups bounded by |sources|), one
     |sources|-row aggregate -- all shuffles keyed by fingerprint."""
-    d = _t(spark, sf_dir, "documents")
+    from nearscan_kafka_streams_spark.functions.dedup import _spread
+
+    # same single-split starvation as source_overlap_matrix (round-12
+    # stage census: 1.1 s of 2.0 s wall on one task); no-op at scale
+    d = _spread(_t(spark, sf_dir, "documents"))
     words = F.split(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
     )
