@@ -919,6 +919,32 @@ def main() -> None:
         out = run_batch(r, o, a)
         out.balances.write.format("noop").mode("overwrite").save()
         timings["token_pipeline"] = round(time.perf_counter() - t0, 3)
+        # floor pin (round 12): the streaming/flagship legs run LAST
+        # in the suite and sit outside the HEADLINE floor loop, so a
+        # degraded late-suite host window could land a 2x artifact in
+        # the side file with no re-measurement (observed: 7.57 s in
+        # the r12 final run vs 3.13 s in a solo fresh-JVM replay
+        # minutes later).  Same trigger and recording contract as the
+        # near_topology_stream pin: re-run only when no prior floor
+        # exists or the first reading regressed >1.5x; the floor goes
+        # NEXT TO the first reading in ``floors``, never over it.
+        tp_prev = prev_queries.get("token_pipeline") or 0.0
+        if "token_pipeline" not in prev_floors or (
+            tp_prev > 0 and timings["token_pipeline"] / tp_prev > 1.5
+        ):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_batch(r, o, a).balances.write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            floors["token_pipeline"] = {
+                "first": timings["token_pipeline"],
+                "prev_round": tp_prev or None,
+                "reruns": runs,
+                "floor": round(min([timings["token_pipeline"], *runs]), 3),
+            }
     except Exception as exc:  # noqa: BLE001
         errors["token_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -998,6 +1024,33 @@ def main() -> None:
                 if best is None or elapsed < best:
                     best = elapsed
             timings["wire_pipeline"] = round(best, 3)
+            # floor pin (round 12) -- same contract as the
+            # token_pipeline / near_topology_stream pins: these legs
+            # run last in the suite with no HEADLINE floor coverage,
+            # and the r12 final run recorded a 1.4-2.5x late-window
+            # artifact on them (wire 21.0 vs its 13-15 s class)
+            wp_prev = prev_queries.get("wire_pipeline") or 0.0
+            if "wire_pipeline" not in prev_floors or (
+                wp_prev > 0 and timings["wire_pipeline"] / wp_prev > 1.5
+            ):
+                runs = []
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    run_wire_pipeline(
+                        spark,
+                        f"{wire_root}/logs",
+                        f"{wire_root}/out_floor{i}",
+                        shuffle_partitions=wire_sp,
+                    ).write.format("noop").mode("overwrite").save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                floors["wire_pipeline"] = {
+                    "first": timings["wire_pipeline"],
+                    "prev_round": wp_prev or None,
+                    "reruns": runs,
+                    "floor": round(
+                        min([timings["wire_pipeline"], *runs]), 3
+                    ),
+                }
 
             # all-JVM control: the identical topology from
             # parquet-staged decoded frames (file-stream sources, no
@@ -1037,6 +1090,31 @@ def main() -> None:
                 if best is None or elapsed < best:
                     best = elapsed
             timings["wire_pipeline_jvm"] = round(best, 3)
+            # floor pin (round 12): observed 21.5 s late-window
+            # reading vs a 7.98 s solo fresh-JVM replay minutes later
+            wj_prev = prev_queries.get("wire_pipeline_jvm") or 0.0
+            if "wire_pipeline_jvm" not in prev_floors or (
+                wj_prev > 0
+                and timings["wire_pipeline_jvm"] / wj_prev > 1.5
+            ):
+                runs = []
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    run_parquet_pipeline(
+                        spark,
+                        f"{wire_root}/pq",
+                        f"{wire_root}/out_pq_floor{i}",
+                        shuffle_partitions=wire_sp,
+                    ).write.format("noop").mode("overwrite").save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                floors["wire_pipeline_jvm"] = {
+                    "first": timings["wire_pipeline_jvm"],
+                    "prev_round": wj_prev or None,
+                    "reruns": runs,
+                    "floor": round(
+                        min([timings["wire_pipeline_jvm"], *runs]), 3
+                    ),
+                }
         finally:
             _shutil.rmtree(wire_root, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
