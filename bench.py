@@ -600,7 +600,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    round_n = 1 + max(
+    # round-12 verdict item 2: deriving the side-file round from
+    # max(BENCH_r*)+1 made the driver's run overwrite the builder's
+    # session-baseline side file (both resolved to the same number),
+    # and the 8-core control then skipped numbers so its prev-floor
+    # lookup (hard ``round_n - 1``) missed every existing floor.  The
+    # round is now env-overridable, the side-file write never clobbers
+    # an existing artifact (writes a _<k> sibling instead), and the
+    # prev-floor source is the latest existing side file by mtime
+    # (env-overridable), never a hard round_n - 1.
+    round_env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    round_n = int(round_env) if round_env.isdigit() else 1 + max(
         (
             int(f[len("BENCH_r") : -len(".json")])
             for f in os.listdir(repo_dir)
@@ -775,7 +785,17 @@ def main() -> None:
     prev_queries: dict[str, float] = {}
     prev_floors: dict[str, dict] = {}
     try:
-        prev_p = os.path.join(repo_dir, f"BENCH_PLANS_r{round_n - 1:02d}.json")
+        # prev side file = env override, else the latest existing one
+        # by mtime (round-12 verdict item 2: a hard ``round_n - 1``
+        # lookup missed every floor whenever round numbers skipped)
+        prev_p = os.environ.get("SPARK_GRAFT_PREV_PLANS", "")
+        if not prev_p:
+            cands = [
+                os.path.join(repo_dir, f)
+                for f in os.listdir(repo_dir)
+                if f.startswith("BENCH_PLANS_r") and f.endswith(".json")
+            ]
+            prev_p = max(cands, key=os.path.getmtime) if cands else ""
         with open(prev_p) as fh:
             _prev = json.load(fh)
         prev_queries = _prev.get("queries", {})
@@ -932,19 +952,29 @@ def main() -> None:
         if "token_pipeline" not in prev_floors or (
             tp_prev > 0 and timings["token_pipeline"] / tp_prev > 1.5
         ):
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                run_batch(r, o, a).balances.write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(round(time.perf_counter() - t0, 3))
-            floors["token_pipeline"] = {
-                "first": timings["token_pipeline"],
-                "prev_round": tp_prev or None,
-                "reruns": runs,
-                "floor": round(min([timings["token_pipeline"], *runs]), 3),
-            }
+            # own try/except (round-12 ADVICE): a failure during the
+            # OPTIONAL floor re-run must not report the leg itself --
+            # whose primary timing is already recorded -- as errored
+            try:
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    run_batch(r, o, a).balances.write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                floors["token_pipeline"] = {
+                    "first": timings["token_pipeline"],
+                    "prev_round": tp_prev or None,
+                    "reruns": runs,
+                    "floor": round(
+                        min([timings["token_pipeline"], *runs]), 3
+                    ),
+                }
+            except Exception as exc:  # noqa: BLE001
+                errors["floor_token_pipeline"] = (
+                    f"{type(exc).__name__}: {exc}"[:500]
+                )
     except Exception as exc:  # noqa: BLE001
         errors["token_pipeline"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -1033,24 +1063,30 @@ def main() -> None:
             if "wire_pipeline" not in prev_floors or (
                 wp_prev > 0 and timings["wire_pipeline"] / wp_prev > 1.5
             ):
-                runs = []
-                for i in range(2):
-                    t0 = time.perf_counter()
-                    run_wire_pipeline(
-                        spark,
-                        f"{wire_root}/logs",
-                        f"{wire_root}/out_floor{i}",
-                        shuffle_partitions=wire_sp,
-                    ).write.format("noop").mode("overwrite").save()
-                    runs.append(round(time.perf_counter() - t0, 3))
-                floors["wire_pipeline"] = {
-                    "first": timings["wire_pipeline"],
-                    "prev_round": wp_prev or None,
-                    "reruns": runs,
-                    "floor": round(
-                        min([timings["wire_pipeline"], *runs]), 3
-                    ),
-                }
+                # own try/except: re-run failure must not error the leg
+                try:
+                    runs = []
+                    for i in range(2):
+                        t0 = time.perf_counter()
+                        run_wire_pipeline(
+                            spark,
+                            f"{wire_root}/logs",
+                            f"{wire_root}/out_floor{i}",
+                            shuffle_partitions=wire_sp,
+                        ).write.format("noop").mode("overwrite").save()
+                        runs.append(round(time.perf_counter() - t0, 3))
+                    floors["wire_pipeline"] = {
+                        "first": timings["wire_pipeline"],
+                        "prev_round": wp_prev or None,
+                        "reruns": runs,
+                        "floor": round(
+                            min([timings["wire_pipeline"], *runs]), 3
+                        ),
+                    }
+                except Exception as exc:  # noqa: BLE001
+                    errors["floor_wire_pipeline"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
 
             # all-JVM control: the identical topology from
             # parquet-staged decoded frames (file-stream sources, no
@@ -1097,24 +1133,30 @@ def main() -> None:
                 wj_prev > 0
                 and timings["wire_pipeline_jvm"] / wj_prev > 1.5
             ):
-                runs = []
-                for i in range(2):
-                    t0 = time.perf_counter()
-                    run_parquet_pipeline(
-                        spark,
-                        f"{wire_root}/pq",
-                        f"{wire_root}/out_pq_floor{i}",
-                        shuffle_partitions=wire_sp,
-                    ).write.format("noop").mode("overwrite").save()
-                    runs.append(round(time.perf_counter() - t0, 3))
-                floors["wire_pipeline_jvm"] = {
-                    "first": timings["wire_pipeline_jvm"],
-                    "prev_round": wj_prev or None,
-                    "reruns": runs,
-                    "floor": round(
-                        min([timings["wire_pipeline_jvm"], *runs]), 3
-                    ),
-                }
+                # own try/except: re-run failure must not error the leg
+                try:
+                    runs = []
+                    for i in range(2):
+                        t0 = time.perf_counter()
+                        run_parquet_pipeline(
+                            spark,
+                            f"{wire_root}/pq",
+                            f"{wire_root}/out_pq_floor{i}",
+                            shuffle_partitions=wire_sp,
+                        ).write.format("noop").mode("overwrite").save()
+                        runs.append(round(time.perf_counter() - t0, 3))
+                    floors["wire_pipeline_jvm"] = {
+                        "first": timings["wire_pipeline_jvm"],
+                        "prev_round": wj_prev or None,
+                        "reruns": runs,
+                        "floor": round(
+                            min([timings["wire_pipeline_jvm"], *runs]), 3
+                        ),
+                    }
+                except Exception as exc:  # noqa: BLE001
+                    errors["floor_wire_pipeline_jvm"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
         finally:
             _shutil.rmtree(wire_root, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
@@ -1198,23 +1240,33 @@ def main() -> None:
             if "near_topology_stream" not in prev_floors or (
                 nt_prev > 0 and nt_first / nt_prev > 1.5
             ):
-                runs = []
-                with _shuffle_override(spark, stream_sp):
-                    for rep in range(3):
-                        t0 = time.perf_counter()
-                        run_fixture_pipeline(
-                            spark,
-                            f"{stream_root}/fx",
-                            f"{stream_root}/out_floor{rep}",
-                            bridge_batches=4,
-                        ).write.format("noop").mode("overwrite").save()
-                        runs.append(round(time.perf_counter() - t0, 3))
-                floors["near_topology_stream"] = {
-                    "first": nt_first,
-                    "prev_round": nt_prev or None,
-                    "reruns": runs,
-                    "floor": round(min([nt_first, *runs]), 3),
-                }
+                # own try/except: re-run failure must not error the leg
+                try:
+                    runs = []
+                    with _shuffle_override(spark, stream_sp):
+                        for rep in range(3):
+                            t0 = time.perf_counter()
+                            run_fixture_pipeline(
+                                spark,
+                                f"{stream_root}/fx",
+                                f"{stream_root}/out_floor{rep}",
+                                bridge_batches=4,
+                            ).write.format("noop").mode(
+                                "overwrite"
+                            ).save()
+                            runs.append(
+                                round(time.perf_counter() - t0, 3)
+                            )
+                    floors["near_topology_stream"] = {
+                        "first": nt_first,
+                        "prev_round": nt_prev or None,
+                        "reruns": runs,
+                        "floor": round(min([nt_first, *runs]), 3),
+                    }
+                except Exception as exc:  # noqa: BLE001
+                    errors["floor_near_topology_stream"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
             st_pair: dict[str, float] = {}
             for leg, n_leg in (("t_1x", 5_000), ("t_10x", 50_000)):
                 lr, lo, la = generate_near_tables(spark, n_leg)
@@ -1525,8 +1577,18 @@ def main() -> None:
             for op in small
             if op in big and big[op] > 0 and small[op] / big[op] > 1.0
         ]
+        # own budget (round-12 verdict item 9): 1x re-measures cost
+        # seconds by construction, but they ran LAST against whatever
+        # the 10x adjudications (whose fresh-JVM replays can each eat
+        # minutes) left of the shared budget -- the r12 driver run
+        # skipped kmeans/pagerank @rerun1x for exactly that reason.
+        # Giving the cheap loop its own small budget keeps floor_skips
+        # at 0 without letting a noisy round grow the bench unboundedly.
+        rerun1x_budget = float(
+            os.environ.get("SPARK_GRAFT_RERUN1X_BUDGET", "120")
+        )
         for op in inverted:
-            if rerun_budget <= 0:
+            if rerun1x_budget <= 0:
                 stress_diag[f"{op}@rerun1x"] = {
                     "t_1x_first": small[op],
                     "t_1x_rerun": None,
@@ -1535,7 +1597,7 @@ def main() -> None:
                 continue
             t0 = time.perf_counter()
             rerun = _stress_ops(SMALL_DOCS, SMALL_VECS, only={op})
-            rerun_budget -= time.perf_counter() - t0
+            rerun1x_budget -= time.perf_counter() - t0
             stress_diag[f"{op}@rerun1x"] = {
                 "t_1x_first": small[op],
                 "t_1x_rerun": rerun.get(op),
@@ -1605,6 +1667,33 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["scale_stress"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Carry the STREAMING-LEG pins' floors forward (round-12 ADVICE):
+    # the pins only write a floors entry on trigger rounds, so after a
+    # clean round the key vanished from the side file and the next
+    # round's ``not in prev_floors`` check re-ran the heavy pipeline
+    # blind.  Carried entries are marked and age-bounded: after 3
+    # rounds without a fresh reading the pin re-fires and refreshes
+    # the floor (staleness bound), so a carried floor can never mask a
+    # regression indefinitely.  Only the four pinned legs are carried
+    # -- the HEADLINE floors fire on regression, not key absence, so
+    # carrying them would only stale-date diff_bench's floor-vs-floor
+    # preference.
+    for leg in (
+        "token_pipeline",
+        "wire_pipeline",
+        "wire_pipeline_jvm",
+        "near_topology_stream",
+    ):
+        if leg in floors:
+            floors[leg].setdefault("age", 0)
+        elif leg in prev_floors and leg in timings:
+            prev_entry = dict(prev_floors[leg])
+            age = int(prev_entry.get("age", 0)) + 1
+            if age <= 3:
+                prev_entry["age"] = age
+                prev_entry["carried"] = True
+                floors[leg] = prev_entry
+
     total = round(sum(timings.values()), 3)
 
     # plans + per-query timings + stress ratios + full error strings go
@@ -1621,7 +1710,17 @@ def main() -> None:
         "sf": sf_val,
         "total_sec": total,
     }
+    # never clobber an existing side file (round-12 verdict item 2:
+    # the driver's run overwrote the builder's session baseline) --
+    # write a _<k> sibling instead; the prev-floor lookup above is
+    # mtime-based, so siblings are found next round without renaming
     side_path = os.path.join(repo_dir, f"BENCH_PLANS_r{round_n:02d}.json")
+    k = 0
+    while os.path.exists(side_path):
+        k += 1
+        side_path = os.path.join(
+            repo_dir, f"BENCH_PLANS_r{round_n:02d}_{k}.json"
+        )
     with open(side_path, "w") as fh:
         json.dump(side, fh, indent=1)
 

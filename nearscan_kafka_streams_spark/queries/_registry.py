@@ -1129,11 +1129,82 @@ _STALE_R12: list[str] = [
     "percentile_acctbal", "pivot_orders", "profile_orders",
     "q10_returned_items",
 ]
-_FRONT = [
+_FRONT_R12 = [
     *_REVERIFY_R12,
     *_ROUND12_NEW,
     *_CHANGED_R12,
     *_STALE_R12,
+]
+# ROUND-13 ROTATION (round-12 verdict item 1: the r12 front was staged
+# BEFORE the optimization session, so the riskiest round-12 re-plans
+# shipped with only self-reported oracle greens).  Changed lane = every
+# query path whose PLAN changed in rounds 12-13: the dense-regime
+# bitmap all-pairs joins (producer + the 7 staged consumers + both
+# pipelines), the global-rank total-count fuse consumers, the _spread
+# starvation-fix set, and the round-13 touches (the dedup joins'
+# gate/verify-expression changes and the threshold-sweep shared pass
+# front the same entries).  lang_id_confusion / profile_orders /
+# corpus_curate_pipeline were already driver-green POST-change in
+# CORRECTNESS_r12 but are re-fronted per the verdict's explicit list.
+# Fill: the alphabetical head of the remaining round-8-green cohort
+# (26 candidates after the two changed-lane overlaps; 25 taken,
+# vocab_topk carries to round 14).  Budget: 25 changed + 25 stale = 50;
+# oldest driver green stays round 8 (one entry left) -- the changed
+# lane takes priority over cohort progress this round by design.
+_REVERIFY_R13: list[str] = []
+_ROUND13_NEW: list[str] = []
+_CHANGED_R13: list[str] = [
+    # dense-regime bitmap all-pairs family (r12 re-plan + r13 verify
+    # expression / gate changes)
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_cluster_census",
+    "minhash_candidate_pr_audit",
+    "dedup_threshold_sweep",
+    "dedup_cluster_source_span",
+    "corpus_clean_pipeline",
+    "corpus_curate_pipeline",
+    # global-rank total-count fuse (r12)
+    "rfm_segments_customers",
+    "trimmed_mean_lineitem",
+    "percentiles_global_lineitem",
+    "equidepth_histogram_orders",
+    "scan_pruning_audit_lineitem",
+    # _spread starvation-fix set (r12)
+    "ann_pq_cosine",
+    "ann_ivf_cosine",
+    "char_entropy_documents",
+    "quality_model_score",
+    "dedup_edit_distance_titles",
+    "source_overlap_matrix",
+    "ngram_novelty_sources",
+    "hard_negative_mining",
+    "lang_id_confusion",
+    "profile_orders",
+]
+_STALE_R13: list[str] = [
+    # last driver green round 8 (alphabetical head; the two changed-
+    # lane overlaps scan_pruning_audit_lineitem / trimmed_mean_lineitem
+    # are carried above)
+    "q12_priority_lines", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q1_pricing_summary",
+    "q22_dormant_customers", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "running_balance_events",
+    "scalar_functions_events", "stratified_sample_documents",
+    "term_doc_stats", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_repetition", "text_scrub",
+    "text_token_count", "token_budget_shards",
+    "token_budget_waterfill_sources", "tumbling_window_events",
+    "unpivot_lineitem",
+]
+_FRONT = [
+    *_REVERIFY_R13,
+    *_ROUND13_NEW,
+    *_CHANGED_R13,
+    *_STALE_R13,
 ]
 assert len(_FRONT) == 50, len(_FRONT)
 assert len(_FRONT) == len(set(_FRONT)), "duplicate rotation entry"

@@ -1,4 +1,6 @@
-"""Dump ``explain("formatted")`` for registry queries to plans/r12/.
+"""Dump ``explain("formatted")`` for registry queries to plans/r<NN>/.
+
+The round directory comes from $SPARK_GRAFT_PLANS_ROUND (default r13).
 
 Usage:
   python tools/dump_plans.py before q1_pricing_summary dedup_ngram_jaccard ...
@@ -32,7 +34,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
