@@ -1607,14 +1607,23 @@ def dedup_threshold_sweep(
     ``edges=``); the DISTRIBUTED component fixpoint runs once, at the
     loosest threshold (0.80).  Every tighter threshold's components
     are refinements of the 0.80 components (raising the threshold
-    only removes edges), so each is one filter + one single-pass
-    grouped union-find within its 0.80 cluster
-    (``refine_components`` -- round-8 verdict item 5: 1 fixpoint + 3
-    refinements instead of 4 fixpoints).  The report is 4 rows."""
+    only removes edges), so all three are ONE single-pass grouped
+    union-find within the 0.80 clusters emitting per-threshold labels
+    (``refine_components_multi`` -- round 13, sharpening the round-8
+    "1 fixpoint + 3 refinements" to "1 fixpoint + 1 multi-threshold
+    refinement": each edge is unioned once at the tightest threshold
+    it satisfies, labels snapshot per tier, and the three per-tier
+    Python group passes collapse to one).  Pair counts for all four
+    thresholds come from one conditional aggregate over the staged
+    frame instead of four filtered counts.  Cost contract unchanged:
+    the bench times the INCREMENTAL cost given staged edges -- this
+    re-plan changes how that increment is spent (fewer passes), not
+    what is computed; the report stays the same 4 rows (methodology
+    note: OPTIMIZATION_r13.md / SCALE.md round-13)."""
     from nearscan_kafka_streams_spark.functions.dedup import (
         _persist_tracked,
         connected_components,
-        refine_components,
+        refine_components_multi,
     )
 
     if edges is None:
@@ -1637,40 +1646,84 @@ def dedup_threshold_sweep(
         edges = _persist_tracked(
             edges.select("left_id", "right_id", "inter_size", "union_size")
         )
-    out = None
-    comps80 = None
-    for pct, (p, q) in [(80, (4, 5)), (85, (17, 20)), (90, (9, 10)),
-                        (95, (19, 20))]:
-        et = edges.where(
-            F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("union_size")
-        ).select("left_id", "right_id")
-        et = _persist_tracked(et)
-        if comps80 is None:
-            # loosest threshold: the one distributed fixpoint; its
-            # labels seed every tighter threshold's refinement
-            comps = _persist_tracked(connected_components(et))
-            comps80 = comps
-        else:
-            comps = refine_components(et, comps80)
-        n_pairs = et.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        stats = comps.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs_linked"),
-            F.count_distinct("component").cast("long").alias("n_clusters"),
+    tiers = [(80, 4, 5), (85, 17, 20), (90, 9, 10), (95, 19, 20)]
+
+    def _pred(p: int, q: int) -> F.Column:
+        return F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col(
+            "union_size"
         )
-        row = (
-            n_pairs.crossJoin(stats)
-            .select(
-                F.lit(pct).cast("long").alias("threshold_pct"),
-                "n_pairs",
-                "n_docs_linked",
-                "n_clusters",
-                (F.col("n_docs_linked") - F.col("n_clusters"))
-                .cast("long")
-                .alias("docs_removable"),
+
+    # loosest threshold: the one distributed fixpoint; its labels seed
+    # every tighter threshold's refinement
+    et80 = _persist_tracked(
+        edges.where(_pred(4, 5)).select("left_id", "right_id")
+    )
+    comps80 = _persist_tracked(connected_components(et80))
+    # one grouped union-find pass emits (threshold_pct, node,
+    # component) for ALL tighter thresholds; persisted because the
+    # stats aggregate below is its only consumer but reads it once per
+    # branch the optimizer keeps
+    sweep = _persist_tracked(
+        refine_components_multi(edges, comps80, tiers[1:])
+    )
+    # pair counts for all four thresholds: ONE aggregate over the
+    # staged frame (count ignores the when()'s null branch, so an
+    # empty tier counts 0, matching the old filtered count)
+    np_row = edges.agg(
+        *[
+            F.count(F.when(_pred(p, q), F.lit(1)))
+            .cast("long")
+            .alias(f"np{pct}")
+            for pct, p, q in tiers
+        ]
+    )
+    np_tall = np_row.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"CAST({pct} AS BIGINT), np{pct}" for pct, _, _ in tiers
             )
+            + ") as (threshold_pct, n_pairs)"
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("threshold_pct")
+    )
+    stats80 = comps80.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_linked"),
+        F.count_distinct("component").cast("long").alias("n_clusters"),
+    ).select(
+        F.lit(80).cast("long").alias("threshold_pct"),
+        "n_docs_linked",
+        "n_clusters",
+    )
+    sweep_stats = sweep.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_linked"),
+        F.count_distinct("component").cast("long").alias("n_clusters"),
+    )
+    # a tier with zero qualifying edges has no sweep rows but must
+    # still report a zero row (the oracle emits one per threshold)
+    seed = spark.createDataFrame(
+        [(pct,) for pct, _, _ in tiers[1:]], "threshold_pct long"
+    )
+    tight_stats = seed.join(sweep_stats, "threshold_pct", "left").select(
+        "threshold_pct",
+        F.coalesce("n_docs_linked", F.lit(0)).cast("long").alias(
+            "n_docs_linked"
+        ),
+        F.coalesce("n_clusters", F.lit(0)).cast("long").alias("n_clusters"),
+    )
+    comp_stats = stats80.unionAll(tight_stats)
+    return (
+        np_tall.join(comp_stats, "threshold_pct")
+        .select(
+            "threshold_pct",
+            "n_pairs",
+            "n_docs_linked",
+            "n_clusters",
+            (F.col("n_docs_linked") - F.col("n_clusters"))
+            .cast("long")
+            .alias("docs_removable"),
+        )
+        .orderBy("threshold_pct")
+    )
 
 
 def _sweep_leg_sql(pct: int, p: int, q: int) -> str:

@@ -324,9 +324,15 @@ def test_jaccard_prefix_ext_auto_records_decision(spark):
     }
     release_cached()
     assert got == plain
-    assert stats["prefix_ext"] in (1, 2, 3)
-    if stats["use_bitmap"]:
-        # dense regime: the gate picks k=1 with zero decision overhead
+    if stats.get("plan") == "bitmap_allpairs":
+        # dense all-pairs plan: no prefix index exists, so prefix_ext
+        # is reported as None (round-12 ADVICE: a k value here would
+        # mislead plan-chooser logs)
+        assert stats["prefix_ext"] is None
+        assert "est_prefix_collisions" not in stats
+    elif stats["use_bitmap"]:
+        # dense regime on the classic path: the gate picks k=1 with
+        # zero decision overhead
         assert stats["prefix_ext"] == 1
         assert "est_prefix_collisions" not in stats
     else:
@@ -357,7 +363,10 @@ def test_jaccard_auto_dense_gate_short_circuits(spark):
     }
     release_cached()
     assert dense_stats["use_bitmap"] is True
-    assert dense_stats["prefix_ext"] == 1
+    # 20 docs under the allpairs cap: the dense plan is the all-pairs
+    # BNLJ (prefix_ext None -- no prefix index on that plan)
+    assert dense_stats["plan"] == "bitmap_allpairs"
+    assert dense_stats["prefix_ext"] is None
     assert "est_prefix_collisions" not in dense_stats
     # forcing the bitmap cap to 0 puts the same corpus in the sparse
     # regime: the estimate must run and the output must be identical
@@ -613,7 +622,9 @@ def test_containment_prefix_ext_auto_records_decision(spark):
     }
     release_cached()
     assert got == classic
-    assert stats["prefix_ext"] in (1, 3)
+    assert stats["prefix_ext"] in (None, 1, 3)
+    if stats.get("plan") == "bitmap_allpairs":
+        assert stats["prefix_ext"] is None
     # the estimate is only computed in the sparse (non-bitmap) regime
     # -- the dense gate short-circuits before the aggregate
     if not stats["use_bitmap"]:
