@@ -105,6 +105,89 @@ def _arrow_batches(framed_iter, codec, names, arrow_schema, batch_size):
         yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
 
+def _scan_frame_bodies(path: str, skip: int = 0, stop: int | None = None):
+    """Load a framed log into one padded uint8 buffer and return
+    ``(buf, body_starts)`` for records [skip, stop): the vectorized
+    decoder's input.  The header walk is Python but touches 4 bytes
+    per record; bodies are never copied out (the decoder gathers from
+    ``buf`` in place).  The 16-byte zero pad keeps finished-lane
+    gathers in bounds at the final record."""
+    import numpy as np
+
+    size = os.path.getsize(path)
+    buf = np.zeros(size + 16, dtype=np.uint8)
+    with open(path, "rb") as fh:
+        got = fh.readinto(memoryview(buf)[:size])
+    if got != size:
+        raise EOFError(f"{path}: short read ({got} of {size} bytes)")
+    mem = memoryview(buf)  # header walk: 4 bytes/record, zero-copy
+    starts: list[int] = []
+    pos = 0
+    i = 0
+    while pos < size:
+        if pos + 4 > size:
+            raise EOFError(f"{path}: truncated length header at {pos}")
+        (n,) = RECORD_LEN.unpack_from(mem, pos)
+        if pos + 4 + n > size:
+            raise EOFError(
+                f"{path}: truncated record (wanted {n} bytes at {pos + 4})"
+            )
+        if stop is not None and i >= stop:
+            break
+        if i >= skip:
+            starts.append(pos + 4)
+        pos += 4 + n
+        i += 1
+    frame_starts = np.asarray(starts, dtype=np.int64)
+    if len(frame_starts) and (buf[frame_starts] != 0).any():
+        raise ValueError("not Confluent wire format (bad magic byte)")
+    # skip magic (1) + schema id (4): Avro body start
+    return buf, frame_starts + 5
+
+
+def _batches_auto(
+    path, skip, stop, avro_schema, names, arrow_schema, batch_size,
+    vectorized=True,
+):
+    """Yield RecordBatches for records [skip, stop) of ``path``: the
+    vectorized numpy decoder when the schema supports it, the
+    row-at-a-time codec otherwise.  A mid-file vector failure falls
+    back to the row path AT THE FAILED RECORD (already-yielded batches
+    are never re-emitted), so exotic data degrades to the old cost
+    instead of erroring differently."""
+    from nearscan_kafka_streams_spark.serde.avro import AvroCodec
+    from nearscan_kafka_streams_spark.serde.avro_vec import (
+        VectorizedDecoder,
+    )
+
+    decoder = None
+    if vectorized and arrow_schema is not None and VectorizedDecoder.supports(
+        avro_schema, arrow_schema
+    ):
+        try:
+            decoder = VectorizedDecoder(avro_schema, arrow_schema)
+            buf, body_starts = _scan_frame_bodies(path, skip, stop)
+        except Exception:  # noqa: BLE001
+            decoder = None
+    yielded = 0
+    if decoder is not None:
+        try:
+            for lo in range(0, len(body_starts), batch_size):
+                batch = decoder.decode_batch(
+                    buf, body_starts[lo : lo + batch_size]
+                )
+                yield batch
+                yielded += batch.num_rows
+            return
+        except Exception:  # noqa: BLE001
+            pass  # resume below on the row path at record skip+yielded
+    codec = AvroCodec(avro_schema)
+    framed = read_framed_log(path, skip + yielded, stop)
+    yield from _arrow_batches(
+        framed, codec, names, arrow_schema, batch_size
+    )
+
+
 def write_framed_log(
     records: list[bytes], path: str
 ) -> None:
@@ -160,6 +243,12 @@ class ConfluentAvroReader(DataSourceReader):
                 "confluentavro: option 'avro_schema' (JSON) is required"
             )
         self.arrow = options.get("arrow", "true").lower() != "false"
+        # measurement knob (same stance as option("arrow")): the
+        # numpy field-sweep decoder is the default; "false" restores
+        # the row-at-a-time codec lane for A/B
+        self.vectorized = (
+            options.get("vectorized", "true").lower() != "false"
+        )
         self.batch_size = int(
             options.get("arrow_batch_size", str(ARROW_BATCH_SIZE))
         )
@@ -178,13 +267,20 @@ class ConfluentAvroReader(DataSourceReader):
         # imports INSIDE read: this body executes on executors
         from nearscan_kafka_streams_spark.serde.avro import AvroCodec
 
-        codec = AvroCodec(self.avro_schema)
-        framed = read_framed_log(partition.path)
         if self.arrow:
-            yield from _arrow_batches(
-                framed, codec, self.names, self.arrow_schema, self.batch_size
+            yield from _batches_auto(
+                partition.path,
+                0,
+                None,
+                self.avro_schema,
+                self.names,
+                self.arrow_schema,
+                self.batch_size,
+                vectorized=self.vectorized,
             )
         else:
+            codec = AvroCodec(self.avro_schema)
+            framed = read_framed_log(partition.path)
             for row in _decode_rows(framed, codec, self.names):
                 yield tuple(row[n] for n in self.names)
 
@@ -248,6 +344,12 @@ class ConfluentAvroStreamReader(DataSourceStreamReader):
                 "confluentavro: option 'avro_schema' (JSON) is required"
             )
         self.arrow = options.get("arrow", "true").lower() != "false"
+        # measurement knob (same stance as option("arrow")): the
+        # numpy field-sweep decoder is the default; "false" restores
+        # the row-at-a-time codec lane for A/B
+        self.vectorized = (
+            options.get("vectorized", "true").lower() != "false"
+        )
         self.batch_size = int(
             options.get("arrow_batch_size", str(ARROW_BATCH_SIZE))
         )
@@ -289,15 +391,22 @@ class ConfluentAvroStreamReader(DataSourceStreamReader):
         # executor-side: decode only this partition's record range
         from nearscan_kafka_streams_spark.serde.avro import AvroCodec
 
-        codec = AvroCodec(self.avro_schema)
-        framed = read_framed_log(
-            partition.path, partition.skip, partition.stop
-        )
         if self.arrow:
-            yield from _arrow_batches(
-                framed, codec, self.names, self.arrow_schema, self.batch_size
+            yield from _batches_auto(
+                partition.path,
+                partition.skip,
+                partition.stop,
+                self.avro_schema,
+                self.names,
+                self.arrow_schema,
+                self.batch_size,
+                vectorized=self.vectorized,
             )
         else:
+            codec = AvroCodec(self.avro_schema)
+            framed = read_framed_log(
+                partition.path, partition.skip, partition.stop
+            )
             for row in _decode_rows(framed, codec, self.names):
                 yield tuple(row[n] for n in self.names)
 
