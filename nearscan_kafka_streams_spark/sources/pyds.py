@@ -367,12 +367,29 @@ class ConfluentAvroStreamReader(DataSourceStreamReader):
         )
 
     def latestOffset(self) -> dict:
-        return {
-            "consumed": {
-                f: _count_records(os.path.join(self.dir, f))
-                for f in self._files()
-            }
-        }
+        # segments are immutable once committed (the writer renames
+        # staged files into place), so the per-file record count is
+        # cached keyed by (size, mtime): the header-to-header walk (2
+        # syscalls per record, driver-side) then runs once per segment
+        # per query instead of once per offset probe.  A file that
+        # somehow grows or is rewritten changes its key and is
+        # recounted.
+        cache = getattr(self, "_count_cache", None)
+        if cache is None:
+            cache = self._count_cache = {}
+        out = {}
+        for f in self._files():
+            path = os.path.join(self.dir, f)
+            st = os.stat(path)
+            key = (st.st_size, st.st_mtime_ns)
+            hit = cache.get(f)
+            if hit is not None and hit[0] == key:
+                out[f] = hit[1]
+            else:
+                n = _count_records(path)
+                cache[f] = (key, n)
+                out[f] = n
+        return {"consumed": out}
 
     def partitions(self, start: dict, end: dict):
         consumed = start.get("consumed", {})
