@@ -1009,3 +1009,59 @@ def test_refine_components_matches_fixpoint(spark):
         )
         release_cached()
         assert got == want, (trial, got ^ want)
+
+
+def test_refine_components_multi_matches_per_threshold_runs(spark):
+    """refine_components_multi's per-tier snapshots must equal an
+    independent connected_components run on each tier's edge subset --
+    randomized weighted graphs, nested ratio thresholds, including a
+    tier with zero qualifying edges."""
+    import random as _random
+
+    from nearscan_kafka_streams_spark.functions.dedup import (
+        connected_components,
+        refine_components_multi,
+        release_cached,
+    )
+
+    rng = _random.Random(13)
+    tiers = [(85, 17, 20), (90, 9, 10), (95, 19, 20)]
+    for trial in range(3):
+        n = 50
+        rows = []
+        seen = set()
+        while len(rows) < 80:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b or (min(a, b), max(a, b)) in seen:
+                continue
+            seen.add((min(a, b), max(a, b)))
+            # union size 20; inter drawn so the three thresholds
+            # split the edge set (17, 18, 19, 20 of 20 = ratios
+            # .85/.90/.95/1.0); trial 2 forces an empty 95 tier
+            hi = 18 if trial == 2 else 20
+            rows.append((min(a, b), max(a, b), rng.randrange(15, hi + 1), 20))
+        edges = spark.createDataFrame(
+            rows, ["left_id", "right_id", "inter_size", "union_size"]
+        )
+        base = connected_components(
+            edges.select("left_id", "right_id")
+        )
+        got: dict[int, set] = {pct: set() for pct, _, _ in tiers}
+        for r in refine_components_multi(edges, base, tiers).collect():
+            got[r["threshold_pct"]].add((r["node"], r["component"]))
+        release_cached()
+        for pct, p, q in tiers:
+            sub = [
+                (a, b) for a, b, i, u in rows if q * i >= p * u
+            ]
+            if sub:
+                want = {
+                    (r["node"], r["component"])
+                    for r in connected_components(
+                        spark.createDataFrame(sub, ["left_id", "right_id"])
+                    ).collect()
+                }
+            else:
+                want = set()
+            release_cached()
+            assert got[pct] == want, (trial, pct, got[pct] ^ want)
